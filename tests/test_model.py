@@ -1,0 +1,148 @@
+"""Model forward parity tests vs an independent PyTorch oracle (SURVEY.md §4
+item 1: "attention/block/encoder/decoder forward vs dumped activations" -- here
+the oracle is a from-scratch torch implementation of the published architecture,
+standing in for the Burn/tch reference which cannot run in this image).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisper_tpu.config import tiny_test_config
+from whisper_tpu.models import whisper as m
+
+from torch_ref import TorchWhisper
+
+CFG = tiny_test_config()
+
+
+@pytest.fixture(scope="module")
+def params():
+    return m.init_params(jax.random.PRNGKey(0), CFG)
+
+
+@pytest.fixture(scope="module")
+def np_params(params):
+    return jax.tree.map(np.asarray, params)
+
+
+def _mel(rng, batch=1, frames=None):
+    frames = frames or CFG.audio_encoder_config.n_audio_ctx
+    return rng.standard_normal((batch, CFG.audio_encoder_config.n_mels, frames)).astype(
+        np.float32
+    )
+
+
+def _tokens(rng, batch=1, seq=8):
+    return rng.integers(
+        0, CFG.text_decoder_config.n_vocab, size=(batch, seq)
+    ).astype(np.int32)
+
+
+class TestForwardParity:
+    def test_encoder(self, rng, params, np_params):
+        mel = _mel(rng)
+        ours = np.asarray(m.encoder_forward(params, jnp.asarray(mel), CFG))
+        theirs = TorchWhisper(np_params, CFG).encode(mel).numpy()
+        assert ours.shape == theirs.shape
+        np.testing.assert_allclose(ours, theirs, atol=3e-4)
+
+    def test_encoder_short_input_slices_pos_emb(self, rng, params, np_params):
+        """Shorter-than-ctx audio works; pos emb sliced (src/model/mod.rs:246-252)."""
+        mel = _mel(rng, frames=CFG.audio_encoder_config.n_audio_ctx - 10)
+        ours = np.asarray(m.encoder_forward(params, jnp.asarray(mel), CFG))
+        theirs = TorchWhisper(np_params, CFG).encode(mel).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=3e-4)
+
+    def test_full_forward(self, rng, params, np_params):
+        mel, toks = _mel(rng), _tokens(rng)
+        ours = np.asarray(m.whisper_forward(params, jnp.asarray(mel), jnp.asarray(toks), CFG))
+        theirs = TorchWhisper(np_params, CFG).forward(mel, toks)
+        np.testing.assert_allclose(ours, theirs, atol=5e-4)
+
+    def test_decoder_batch(self, rng, params, np_params):
+        mel, toks = _mel(rng, batch=3), _tokens(rng, batch=3, seq=5)
+        enc = m.encoder_forward(params, jnp.asarray(mel), CFG)
+        ours = np.asarray(m.decoder_forward(params, jnp.asarray(toks), enc, CFG))
+        tw = TorchWhisper(np_params, CFG)
+        theirs = tw.decode(toks, tw.encode(mel)).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=5e-4)
+
+    def test_ctx_length_guards(self, rng, params):
+        """Reference asserts (src/model/mod.rs:134-139, 231-241)."""
+        with pytest.raises(ValueError):
+            m.encoder_forward(
+                params,
+                jnp.zeros((1, CFG.audio_encoder_config.n_mels,
+                           CFG.audio_encoder_config.n_audio_ctx + 1)),
+                CFG,
+            )
+        with pytest.raises(ValueError):
+            m.decoder_forward(
+                params,
+                jnp.zeros((1, CFG.text_decoder_config.n_text_ctx + 1), jnp.int32),
+                jnp.zeros((1, 4, CFG.n_state)),
+                CFG,
+            )
+
+
+class TestKVCache:
+    """Incremental decode must equal full-sequence forward (causal masking)."""
+
+    def test_prefill_matches_full(self, rng, params):
+        mel, toks = _mel(rng), _tokens(rng, seq=6)
+        enc = m.encoder_forward(params, jnp.asarray(mel), CFG)
+        full = np.asarray(m.decoder_forward(params, jnp.asarray(toks), enc, CFG))
+
+        cache = m.init_cache(params, enc, CFG)
+        logits, cache = m.decoder_step(
+            params, jnp.asarray(toks), jnp.int32(0), cache, CFG
+        )
+        np.testing.assert_allclose(np.asarray(logits), full, atol=3e-4)
+
+    def test_stepwise_matches_full(self, rng, params):
+        mel, toks = _mel(rng), _tokens(rng, seq=7)
+        enc = m.encoder_forward(params, jnp.asarray(mel), CFG)
+        full = np.asarray(m.decoder_forward(params, jnp.asarray(toks), enc, CFG))
+
+        # prefill 3 tokens, then step one-by-one
+        cache = m.init_cache(params, enc, CFG)
+        logits, cache = m.decoder_step(
+            params, jnp.asarray(toks[:, :3]), jnp.int32(0), cache, CFG
+        )
+        np.testing.assert_allclose(np.asarray(logits), full[:, :3], atol=3e-4)
+        for i in range(3, 7):
+            logits, cache = m.decoder_step(
+                params, jnp.asarray(toks[:, i : i + 1]), jnp.int32(i), cache, CFG
+            )
+            np.testing.assert_allclose(
+                np.asarray(logits)[:, 0], full[:, i], atol=1e-4
+            )
+
+    def test_cross_kv_broadcast(self, rng, params):
+        """Beam-style cache: enc batch 1, decode batch 5."""
+        mel = _mel(rng)
+        toks = _tokens(rng, batch=5, seq=4)
+        enc = m.encoder_forward(params, jnp.asarray(mel), CFG)
+        cache = m.init_cache(params, enc, CFG, batch=5)
+        logits, _ = m.decoder_step(params, jnp.asarray(toks), jnp.int32(0), cache, CFG)
+
+        enc5 = jnp.broadcast_to(enc, (5,) + enc.shape[1:])
+        full = np.asarray(m.decoder_forward(params, jnp.asarray(toks), enc5, CFG))
+        np.testing.assert_allclose(np.asarray(logits), full, atol=3e-4)
+
+    def test_reorder_cache(self, rng, params):
+        mel = _mel(rng)
+        enc = m.encoder_forward(params, jnp.asarray(mel), CFG)
+        cache = m.init_cache(params, enc, CFG, batch=3)
+        toks = _tokens(rng, batch=3, seq=2)
+        _, cache = m.decoder_step(params, jnp.asarray(toks), jnp.int32(0), cache, CFG)
+        perm = jnp.asarray([2, 0, 1])
+        re = m.reorder_cache(cache, perm)
+        np.testing.assert_allclose(
+            np.asarray(re.self_k[:, 0]), np.asarray(cache.self_k[:, 2])
+        )
+        # cross KV untouched
+        assert re.cross_k is cache.cross_k

@@ -1,0 +1,473 @@
+"""Whisper encoder-decoder as pure JAX functions over a parameter pytree.
+
+Capability parity with the reference model (whisper-burn `src/model/mod.rs`):
+conv stem + encoder blocks + ln_post (`AudioEncoder::forward`,
+src/model/mod.rs:228-260), token/positional embedding + decoder blocks + tied
+output head (`TextDecoder::forward`, src/model/mod.rs:131-157), pre-LN residual
+blocks (src/model/mod.rs:298-303,344-350), and the dual q/k scaling
+`(n_state/n_head)^-0.25` attention (`qkv_attention`, src/model/mod.rs:493-533)
+with a bias-free K projection (src/model/mod.rs:402-404).
+
+TPU-first design (NOT a port of the Burn module graph):
+  * Parameters are a pytree of plain arrays with all transformer blocks
+    STACKED on a leading layer axis; forward passes `lax.scan` over layers so
+    a 32-layer model traces once per block, not 32 times.
+  * Q/K/V projections are fused into one (d, 3d) matmul at load time (K has
+    no bias; its bias slot is zero, so results are bit-identical). Cross
+    attention fuses K/V into (d, 2d).
+  * Convolutions run in NHC (channels-last) layout, the native TPU layout.
+  * Incremental decoding uses a fixed-shape KV cache (new capability -- the
+    reference recomputes the full sequence every beam step,
+    src/transcribe.rs:270) so the decode step is O(seq) instead of O(seq^2).
+  * All matmuls request `preferred_element_type=float32` so bf16 params still
+    accumulate in f32 on the MXU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import WhisperConfig
+
+Params = Dict[str, Any]
+
+NEG_INF = float("-inf")
+
+
+# ----------------------------------------------------------------------------
+# Parameter initialization (random; checkpoints overwrite these).
+# ----------------------------------------------------------------------------
+
+
+def init_params(key: jax.Array, cfg: WhisperConfig, dtype=jnp.float32) -> Params:
+    """Random-normal parameters in the canonical pytree layout.
+
+    Shapes (L = layers, d = n_state, V = vocab):
+      encoder:
+        conv1_w (3, n_mels, d)  conv1_b (d,)      # NHC/HIO layout
+        conv2_w (3, d, d)       conv2_b (d,)
+        pos_emb (n_audio_ctx, d)
+        blocks: attn_ln_{g,b} (L,d); qkv_w (L,d,3d); qkv_b (L,3d);
+                attn_o_w (L,d,d); attn_o_b (L,d); mlp_ln_{g,b} (L,d);
+                mlp1_w (L,d,4d); mlp1_b (L,4d); mlp2_w (L,4d,d); mlp2_b (L,d)
+        ln_post_{g,b} (d,)
+      decoder:
+        tok_emb (V, d); pos_emb (n_text_ctx, d)
+        blocks: as encoder plus cross_ln_{g,b} (L,d); cross_q_w (L,d,d);
+                cross_q_b (L,d); cross_kv_w (L,d,2d); cross_kv_b (L,2d);
+                cross_o_w (L,d,d); cross_o_b (L,d)
+        ln_{g,b} (d,)
+    """
+    enc_cfg, dec_cfg = cfg.audio_encoder_config, cfg.text_decoder_config
+    d = cfg.n_state
+    keys = jax.random.split(key, 8)
+
+    def normal(k, shape, scale=0.02):
+        return (jax.random.normal(k, shape) * scale).astype(dtype)
+
+    def block_params(k, n_layer, cross: bool):
+        ks = jax.random.split(k, 16)
+        p = {
+            "attn_ln_g": jnp.ones((n_layer, d), dtype),
+            "attn_ln_b": jnp.zeros((n_layer, d), dtype),
+            "qkv_w": normal(ks[0], (n_layer, d, 3 * d)),
+            "qkv_b": jnp.zeros((n_layer, 3 * d), dtype),
+            "attn_o_w": normal(ks[1], (n_layer, d, d)),
+            "attn_o_b": jnp.zeros((n_layer, d), dtype),
+            "mlp_ln_g": jnp.ones((n_layer, d), dtype),
+            "mlp_ln_b": jnp.zeros((n_layer, d), dtype),
+            "mlp1_w": normal(ks[2], (n_layer, d, 4 * d)),
+            "mlp1_b": jnp.zeros((n_layer, 4 * d), dtype),
+            "mlp2_w": normal(ks[3], (n_layer, 4 * d, d)),
+            "mlp2_b": jnp.zeros((n_layer, d), dtype),
+        }
+        if cross:
+            p.update(
+                {
+                    "cross_ln_g": jnp.ones((n_layer, d), dtype),
+                    "cross_ln_b": jnp.zeros((n_layer, d), dtype),
+                    "cross_q_w": normal(ks[4], (n_layer, d, d)),
+                    "cross_q_b": jnp.zeros((n_layer, d), dtype),
+                    "cross_kv_w": normal(ks[5], (n_layer, d, 2 * d)),
+                    "cross_kv_b": jnp.zeros((n_layer, 2 * d), dtype),
+                    "cross_o_w": normal(ks[6], (n_layer, d, d)),
+                    "cross_o_b": jnp.zeros((n_layer, d), dtype),
+                }
+            )
+        return p
+
+    return {
+        "encoder": {
+            "conv1_w": normal(keys[0], (3, enc_cfg.n_mels, d)),
+            "conv1_b": jnp.zeros((d,), dtype),
+            "conv2_w": normal(keys[1], (3, d, d)),
+            "conv2_b": jnp.zeros((d,), dtype),
+            "pos_emb": normal(keys[2], (enc_cfg.n_audio_ctx, d), 1.0),
+            "blocks": block_params(keys[3], enc_cfg.n_audio_layer, cross=False),
+            "ln_post_g": jnp.ones((d,), dtype),
+            "ln_post_b": jnp.zeros((d,), dtype),
+        },
+        "decoder": {
+            "tok_emb": normal(keys[4], (dec_cfg.n_vocab, d), 1.0),
+            "pos_emb": normal(keys[5], (dec_cfg.n_text_ctx, d), 1.0),
+            "blocks": block_params(keys[6], dec_cfg.n_text_layer, cross=True),
+            "ln_g": jnp.ones((d,), dtype),
+            "ln_b": jnp.zeros((d,), dtype),
+        },
+    }
+
+
+# ----------------------------------------------------------------------------
+# Primitive ops
+# ----------------------------------------------------------------------------
+
+
+def layer_norm(x: jax.Array, g: jax.Array, b: jax.Array, eps: float) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * g + b).astype(x.dtype)
+
+
+def _linear(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
+    y = jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def qkv_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    n_head: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Scaled dot-product attention over (B, S, d) projections.
+
+    Matches the reference `qkv_attention` (src/model/mod.rs:493-533): scale
+    (d/h)^-0.25 applied to BOTH q and k, additive mask, softmax over keys.
+    Softmax runs in f32 regardless of input dtype.
+    """
+    b, sq, d = q.shape
+    sk = k.shape[1]
+    hd = d // n_head
+    scale = (d / n_head) ** -0.25
+
+    q = (q * scale).reshape(b, sq, n_head, hd)
+    k = (k * scale).reshape(b, sk, n_head, hd)
+    v = v.reshape(b, sk, n_head, hd)
+
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    if mask is not None:
+        scores = scores + mask
+    w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, v, preferred_element_type=jnp.float32)
+    return out.astype(v.dtype).reshape(b, sq, d)
+
+
+def causal_mask(sq: int, sk: int, offset: int = 0, dtype=jnp.float32) -> jax.Array:
+    """Additive causal mask (1, 1, sq, sk): query i attends keys j <= i+offset.
+
+    Parity with `attn_decoder_mask` (src/model/mod.rs:535-544) sliced to
+    [0..sq, 0..sk] (src/model/mod.rs:522-524).
+    """
+    i = jnp.arange(sq)[:, None]
+    j = jnp.arange(sk)[None, :]
+    m = jnp.where(j > i + offset, NEG_INF, 0.0).astype(dtype)
+    return m[None, None]
+
+
+# ----------------------------------------------------------------------------
+# Encoder
+# ----------------------------------------------------------------------------
+
+
+def _conv1d_nhc(x: jax.Array, w: jax.Array, b: jax.Array, stride: int) -> jax.Array:
+    """1-D conv, x (B, T, C_in), w (K, C_in, C_out), 'same'-style padding=1."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=((1, 1),),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return y + b
+
+
+def _encoder_block(x: jax.Array, p: Dict[str, jax.Array], n_head: int, eps: float) -> jax.Array:
+    """Pre-LN residual encoder block (src/model/mod.rs:298-303)."""
+    h = layer_norm(x, p["attn_ln_g"], p["attn_ln_b"], eps)
+    qkv = _linear(h, p["qkv_w"], p["qkv_b"])
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    x = x + _linear(qkv_attention(q, k, v, n_head), p["attn_o_w"], p["attn_o_b"])
+    h = layer_norm(x, p["mlp_ln_g"], p["mlp_ln_b"], eps)
+    h = _linear(jax.nn.gelu(_linear(h, p["mlp1_w"], p["mlp1_b"]), approximate=False),
+                p["mlp2_w"], p["mlp2_b"])
+    return x + h
+
+
+def encoder_forward(params: Params, mel: jax.Array, cfg: WhisperConfig) -> jax.Array:
+    """AudioEncoder forward: mel (B, n_mels, T) -> (B, ceil(T/2), d).
+
+    Parity: `AudioEncoder::forward` (src/model/mod.rs:228-260). The positional
+    embedding is sliced to the actual post-conv length (src/model/mod.rs:246-252)
+    so inputs shorter than n_audio_ctx work.
+    """
+    enc = params["encoder"]
+    enc_cfg = cfg.audio_encoder_config
+    if mel.shape[1] != enc_cfg.n_mels:
+        raise ValueError(f"Audio mel spectrum size must be {enc_cfg.n_mels}.")
+    if mel.shape[2] > enc_cfg.n_audio_ctx:
+        raise ValueError(
+            f"Audio length {mel.shape[2]} cannot exceed {enc_cfg.n_audio_ctx}."
+        )
+
+    x = jnp.swapaxes(mel, 1, 2).astype(enc["conv1_w"].dtype)  # (B, T, n_mels)
+    x = jax.nn.gelu(_conv1d_nhc(x, enc["conv1_w"], enc["conv1_b"], 1), approximate=False)
+    x = jax.nn.gelu(_conv1d_nhc(x, enc["conv2_w"], enc["conv2_b"], 2), approximate=False)
+
+    x = x + enc["pos_emb"][: x.shape[1]]
+
+    n_head, eps = enc_cfg.n_audio_head, cfg.ln_eps
+
+    def body(h, p):
+        return _encoder_block(h, p, n_head, eps), None
+
+    x, _ = jax.lax.scan(body, x, enc["blocks"])
+    return layer_norm(x, enc["ln_post_g"], enc["ln_post_b"], eps)
+
+
+# ----------------------------------------------------------------------------
+# Decoder: full-sequence forward (teacher-forcing / parity path)
+# ----------------------------------------------------------------------------
+
+
+def _decoder_block(
+    x: jax.Array,
+    p: Dict[str, jax.Array],
+    xa: jax.Array,
+    mask: jax.Array,
+    n_head: int,
+    eps: float,
+) -> jax.Array:
+    """Pre-LN residual decoder block (src/model/mod.rs:344-350)."""
+    h = layer_norm(x, p["attn_ln_g"], p["attn_ln_b"], eps)
+    qkv = _linear(h, p["qkv_w"], p["qkv_b"])
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    x = x + _linear(qkv_attention(q, k, v, n_head, mask), p["attn_o_w"], p["attn_o_b"])
+
+    h = layer_norm(x, p["cross_ln_g"], p["cross_ln_b"], eps)
+    q = _linear(h, p["cross_q_w"], p["cross_q_b"])
+    kv = _linear(xa, p["cross_kv_w"], p["cross_kv_b"])
+    ck, cv = jnp.split(kv, 2, axis=-1)
+    x = x + _linear(qkv_attention(q, ck, cv, n_head), p["cross_o_w"], p["cross_o_b"])
+
+    h = layer_norm(x, p["mlp_ln_g"], p["mlp_ln_b"], eps)
+    h = _linear(jax.nn.gelu(_linear(h, p["mlp1_w"], p["mlp1_b"]), approximate=False),
+                p["mlp2_w"], p["mlp2_b"])
+    return x + h
+
+
+def decoder_forward(
+    params: Params, tokens: jax.Array, enc_out: jax.Array, cfg: WhisperConfig
+) -> jax.Array:
+    """TextDecoder forward: tokens (B, S) + enc_out (B, Sa, d) -> logits (B, S, V).
+
+    Parity: `TextDecoder::forward` (src/model/mod.rs:131-157): token embedding
+    plus positional embedding sliced to S, N causal-masked blocks, final LN,
+    tied-embedding output head (logits = x @ tok_emb.T, src/model/mod.rs:156).
+    """
+    dec = params["decoder"]
+    dec_cfg = cfg.text_decoder_config
+    seq_len = tokens.shape[1]
+    if seq_len > dec_cfg.n_text_ctx:
+        raise ValueError(
+            f"Token sequence length {seq_len} must not exceed {dec_cfg.n_text_ctx}."
+        )
+
+    x = dec["tok_emb"][tokens] + dec["pos_emb"][:seq_len]
+    mask = causal_mask(seq_len, seq_len)
+    n_head, eps = dec_cfg.n_text_head, cfg.ln_eps
+
+    def body(h, p):
+        return _decoder_block(h, p, enc_out, mask, n_head, eps), None
+
+    x, _ = jax.lax.scan(body, x, dec["blocks"])
+    x = layer_norm(x, dec["ln_g"], dec["ln_b"], eps)
+    return jax.lax.dot_general(
+        x, dec["tok_emb"], (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def whisper_forward(
+    params: Params, mel: jax.Array, tokens: jax.Array, cfg: WhisperConfig
+) -> jax.Array:
+    """`Whisper::forward` (src/model/mod.rs:48-50): decoder(tokens, encoder(mel))."""
+    return decoder_forward(params, tokens, encoder_forward(params, mel, cfg), cfg)
+
+
+# ----------------------------------------------------------------------------
+# Incremental decoding with KV cache (new capability vs the reference's
+# full-sequence recompute per beam step, src/transcribe.rs:270).
+# ----------------------------------------------------------------------------
+
+
+class DecoderCache(NamedTuple):
+    """Fixed-shape decoder state for `lax.scan`/`while_loop` decoding.
+
+    self_k/self_v: (L, B, n_text_ctx, d) -- self-attention KV, written at
+        position `pos` each step.
+    cross_k/cross_v: (L, B, Sa, d) -- cross-attention KV, computed once per
+        encoded window.
+    """
+
+    self_k: jax.Array
+    self_v: jax.Array
+    cross_k: jax.Array
+    cross_v: jax.Array
+
+
+def init_cache(
+    params: Params, enc_out: jax.Array, cfg: WhisperConfig, batch: Optional[int] = None
+) -> DecoderCache:
+    """Allocate the self-attn cache and precompute cross-attn K/V from enc_out.
+
+    If `batch` is given and differs from enc_out's batch, the cross K/V are
+    broadcast (the beam-search case: one window, `beam` decode lanes --
+    replaces the reference's `encoder_output.repeat` per step,
+    src/transcribe.rs:270).
+    """
+    dec = params["decoder"]
+    dec_cfg = cfg.text_decoder_config
+    L = dec_cfg.n_text_layer
+    d = dec_cfg.n_text_state
+    b_enc, sa, _ = enc_out.shape
+    b = batch or b_enc
+    dtype = dec["tok_emb"].dtype
+
+    def cross_kv_layer(p, xa):
+        kv = _linear(xa, p["cross_kv_w"], p["cross_kv_b"])
+        k, v = jnp.split(kv, 2, axis=-1)
+        return k, v
+
+    # vmap over the stacked layer axis of the block params.
+    blocks = dec["blocks"]
+    cross_p = {k: blocks[k] for k in ("cross_kv_w", "cross_kv_b")}
+    ck, cv = jax.vmap(cross_kv_layer, in_axes=(0, None))(cross_p, enc_out.astype(dtype))
+    if b != b_enc:
+        if b_enc != 1:
+            raise ValueError("cross-KV broadcast requires enc_out batch of 1")
+        ck = jnp.broadcast_to(ck, (L, b, sa, d))
+        cv = jnp.broadcast_to(cv, (L, b, sa, d))
+
+    self_k = jnp.zeros((L, b, dec_cfg.n_text_ctx, d), dtype)
+    self_v = jnp.zeros((L, b, dec_cfg.n_text_ctx, d), dtype)
+    return DecoderCache(self_k, self_v, ck, cv)
+
+
+def _cached_attention(
+    q: jax.Array,  # (B, S, d) -- S query positions starting at `pos`
+    k_cache: jax.Array,  # (B, C, d)
+    v_cache: jax.Array,  # (B, C, d)
+    pos: jax.Array,  # scalar int: index of first query position
+    n_head: int,
+) -> jax.Array:
+    """Self-attention of S new queries against the full fixed-size cache.
+
+    Key j is visible to query (pos + i) iff j <= pos + i; invalid (future /
+    unwritten) cache slots are masked to -inf before the f32 softmax.
+    """
+    b, s, d = q.shape
+    c = k_cache.shape[1]
+    hd = d // n_head
+    scale = (d / n_head) ** -0.25
+
+    qh = (q * scale).reshape(b, s, n_head, hd)
+    kh = (k_cache * scale).reshape(b, c, n_head, hd)
+    vh = v_cache.reshape(b, c, n_head, hd)
+
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32)
+    j = jnp.arange(c)[None, :]
+    i = pos + jnp.arange(s)[:, None]
+    scores = jnp.where((j > i)[None, None], NEG_INF, scores)
+    w = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, vh, preferred_element_type=jnp.float32)
+    return out.astype(v_cache.dtype).reshape(b, s, d)
+
+
+def decoder_step(
+    params: Params,
+    tokens: jax.Array,  # (B, S) new tokens at absolute positions [pos, pos+S)
+    pos: jax.Array,  # scalar int32
+    cache: DecoderCache,
+    cfg: WhisperConfig,
+) -> Tuple[jax.Array, DecoderCache]:
+    """Run the decoder on S new tokens using/updating the KV cache.
+
+    Returns (logits (B, S, V), updated cache). S=1 is the steady-state decode
+    step; S=prompt_len is prefill. Numerically equivalent to the reference's
+    full recompute (causal masking makes cached and full attention identical).
+    """
+    dec = params["decoder"]
+    dec_cfg = cfg.text_decoder_config
+    n_head, eps = dec_cfg.n_text_head, cfg.ln_eps
+    b, s = tokens.shape
+
+    x = dec["tok_emb"][tokens] + jax.lax.dynamic_slice_in_dim(
+        dec["pos_emb"], pos, s, axis=0
+    )
+
+    def body(h, layer):
+        p, k_cache, v_cache, ck, cv = layer
+        hn = layer_norm(h, p["attn_ln_g"], p["attn_ln_b"], eps)
+        qkv = _linear(hn, p["qkv_w"], p["qkv_b"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k, pos, axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v, pos, axis=1)
+        h = h + _linear(
+            _cached_attention(q, k_cache, v_cache, pos, n_head),
+            p["attn_o_w"],
+            p["attn_o_b"],
+        )
+
+        hn = layer_norm(h, p["cross_ln_g"], p["cross_ln_b"], eps)
+        q = _linear(hn, p["cross_q_w"], p["cross_q_b"])
+        h = h + _linear(
+            qkv_attention(q, ck, cv, n_head), p["cross_o_w"], p["cross_o_b"]
+        )
+
+        hn = layer_norm(h, p["mlp_ln_g"], p["mlp_ln_b"], eps)
+        hn = _linear(
+            jax.nn.gelu(_linear(hn, p["mlp1_w"], p["mlp1_b"]), approximate=False),
+            p["mlp2_w"],
+            p["mlp2_b"],
+        )
+        return h + hn, (k_cache, v_cache)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, x, (dec["blocks"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v)
+    )
+    x = layer_norm(x, dec["ln_g"], dec["ln_b"], eps)
+    logits = jax.lax.dot_general(
+        x, dec["tok_emb"], (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return logits, DecoderCache(new_k, new_v, cache.cross_k, cache.cross_v)
+
+
+def reorder_cache(cache: DecoderCache, parents: jax.Array) -> DecoderCache:
+    """Gather the self-attn cache along the batch axis (beam reshuffle)."""
+    return DecoderCache(
+        jnp.take(cache.self_k, parents, axis=1),
+        jnp.take(cache.self_v, parents, axis=1),
+        cache.cross_k,
+        cache.cross_v,
+    )
