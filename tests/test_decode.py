@@ -1,0 +1,237 @@
+"""Decoding tests (SURVEY.md §4 item 4).
+
+The strongest test here replicates the REFERENCE decode driver on the host --
+full decoder recompute per step over all beams, exactly like
+`mels_to_text`'s `beamsearch_next` closure (src/transcribe.rs:253-307) feeding
+the generic `beam_search` (src/beam.rs) -- and asserts the on-device
+while_loop beam search produces the identical token sequence on a random
+tiny model.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisper_tpu.config import tiny_test_config
+from whisper_tpu.models import whisper as M
+from whisper_tpu.decode import beam as dbeam
+from whisper_tpu.decode import greedy as dgreedy
+from whisper_tpu.decode import host_beam
+
+CFG = tiny_test_config(n_vocab=32, n_text_ctx=24, n_audio_ctx=16)
+EOT = 7  # arbitrary token id playing <|endoftext|>
+SUPPRESS = [5, 6, 7, 30, 31]  # pretend these are "special" tokens
+
+
+@pytest.fixture(scope="module")
+def params():
+    return M.init_params(jax.random.PRNGKey(3), CFG)
+
+
+@pytest.fixture(scope="module")
+def enc_out(params):
+    rng = np.random.default_rng(7)
+    mel = rng.standard_normal((1, 80, CFG.audio_encoder_config.n_audio_ctx)).astype(
+        np.float32
+    )
+    return M.encoder_forward(params, jnp.asarray(mel), CFG)
+
+
+def _suppress_mask():
+    m = np.zeros((CFG.text_decoder_config.n_vocab,), np.float32)
+    m[SUPPRESS] = -np.inf
+    return jnp.asarray(m)
+
+
+def _reference_driver_beam(params, enc_out, prompt, beam_size, max_depth):
+    """Host beam search with the reference's full-recompute next() closure."""
+    suppress = np.asarray(_suppress_mask())
+
+    def next_fn(beams):
+        max_len = max(len(b.seq) for b in beams)
+        toks = np.zeros((len(beams), max_len), np.int32)
+        for i, b in enumerate(beams):
+            toks[i, : len(b.seq)] = b.seq  # right-pad with 0 (transcribe.rs:254-268)
+        enc_rep = jnp.broadcast_to(enc_out, (len(beams),) + enc_out.shape[1:])
+        logits = np.asarray(
+            M.decoder_forward(params, jnp.asarray(toks), enc_rep, CFG)
+        ).astype(np.float64)
+        if max_len <= 5:
+            logits = logits + suppress[None, None, :]
+        # log-softmax over vocab (f64 on host, like the reference's elem::<f64>)
+        x = logits - logits.max(axis=-1, keepdims=True)
+        logp = x - np.log(np.exp(x).sum(axis=-1, keepdims=True))
+        out = []
+        for i, b in enumerate(beams):
+            row = logp[i, len(b.seq) - 1]
+            out.append([(t, b.log_prob + row[t]) for t in range(len(row))])
+        return out
+
+    init = host_beam.BeamNode(list(prompt), 0.0)
+    return host_beam.beam_search(
+        [init], next_fn, lambda seq: len(seq) > 0 and seq[-1] == EOT,
+        beam_size, max_depth,
+    )
+
+
+class TestHostBeamGeneric:
+    """Unit tests of the generic API with a stub scorer (src/beam.rs parity)."""
+
+    def test_simple_path(self):
+        # vocab {0,1,2}; token 2 ends. Scores fixed per position.
+        table = {
+            (): [(0, -1.0), (1, -0.5), (2, -5.0)],
+            (1,): [(0, -0.1), (1, -3.0), (2, -4.0)],
+            (1, 0): [(0, -5.0), (1, -5.0), (2, -0.2)],
+        }
+
+        def next_fn(beams):
+            return [
+                [(t, b.log_prob + lp) for t, lp in table.get(tuple(b.seq), [(2, -0.01)])]
+                for b in beams
+            ]
+
+        seq = host_beam.beam_search(
+            [host_beam.BeamNode([], 0.0)],
+            next_fn,
+            lambda s: len(s) > 0 and s[-1] == 2,
+            beam_size=2,
+            max_depth=10,
+        )
+        assert seq == [1, 0, 2]
+
+    def test_empty_beams(self):
+        assert host_beam.beam_search([], lambda b: [], lambda s: False, 3, 5) == []
+
+    def test_finished_beats_active_on_tie(self):
+        # One beam finished at -1.0, expansion can only reach -1.0 too:
+        # stop rule prefers the finished beam (last-max semantics).
+        def next_fn(beams):
+            return [[(0, -1.0), (1, -9.0)] for _ in beams]
+
+        beams = [
+            host_beam.BeamNode([9], -1.0),  # finished (ends with 9)
+            host_beam.BeamNode([0], -0.0),
+        ]
+        seq = host_beam.beam_search(
+            beams, next_fn, lambda s: s[-1] == 9, beam_size=2, max_depth=3
+        )
+        # step 1: active [0] expands to [0,0]@-1.0 and [0,1]@-9.0; [9] frozen.
+        # step 2 stop-check: best is tie (-1.0); finished listed last wins.
+        assert seq == [9]
+
+    def test_max_depth_caps_steps(self):
+        calls = []
+
+        def next_fn(beams):
+            calls.append(len(beams))
+            return [[(0, b.log_prob - 1.0)] for b in beams]
+
+        host_beam.beam_search(
+            [host_beam.BeamNode([], 0.0)], next_fn, lambda s: False, 1, 4
+        )
+        assert len(calls) == 4
+
+
+class TestDeviceBeamParity:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_reference_driver(self, params, enc_out, seed):
+        """On-device beam search == host reference driver, token-exact."""
+        prompt = np.array([3, 9, 11, 4], np.int32)  # 4-token prompt like SOT...
+        ref = _reference_driver_beam(params, enc_out, prompt, beam_size=3, max_depth=12)
+
+        toks, length, logp = dbeam.beam_search_jit(
+            params,
+            enc_out,
+            jnp.asarray(prompt),
+            CFG,
+            eot_id=EOT,
+            suppress_mask=_suppress_mask(),
+            beam_size=3,
+            max_depth=12,
+        )
+        ours = list(np.asarray(toks)[: int(length)])
+        assert ours == ref
+
+    def test_suppression_active_early(self, params, enc_out):
+        """Suppressed tokens never appear while seq len <= 5."""
+        prompt = np.array([3, 9, 11, 4], np.int32)
+        toks, length, _ = dbeam.beam_search_jit(
+            params,
+            enc_out,
+            jnp.asarray(prompt),
+            CFG,
+            eot_id=EOT,
+            suppress_mask=_suppress_mask(),
+            beam_size=3,
+            max_depth=10,
+        )
+        seq = list(np.asarray(toks)[: int(length)])
+        # positions 4 and 5 (0-based) are generated while len <= 5
+        for pos in (4, 5):
+            if pos < len(seq):
+                assert seq[pos] not in SUPPRESS
+
+    def test_max_depth_bound(self, params, enc_out):
+        prompt = np.array([3, 9, 11, 4], np.int32)
+        toks, length, _ = dbeam.beam_search_jit(
+            params, enc_out, jnp.asarray(prompt), CFG,
+            eot_id=EOT, beam_size=2, max_depth=5,
+        )
+        assert int(length) <= len(prompt) + 5
+
+
+class TestGreedy:
+    def test_matches_stepwise_argmax(self, params, enc_out):
+        """Greedy decode == naive per-step argmax with full recompute."""
+        prompt = np.array([3, 9, 11, 4], np.int32)
+        suppress = np.asarray(_suppress_mask())
+
+        seq = list(prompt)
+        for _ in range(10):
+            logits = np.asarray(
+                M.decoder_forward(
+                    params, jnp.asarray([seq], dtype=jnp.int32), enc_out, CFG
+                )
+            )[0, -1]
+            if len(seq) <= 5:
+                logits = logits + suppress
+            tok = int(np.argmax(logits))
+            seq.append(tok)
+            if tok == EOT:
+                break
+
+        toks, lengths, _ = dgreedy.greedy_decode_jit(
+            params,
+            enc_out,
+            jnp.asarray(prompt),
+            CFG,
+            eot_id=EOT,
+            suppress_mask=_suppress_mask(),
+            max_depth=10,
+        )
+        ours = list(np.asarray(toks)[0, : int(lengths[0])])
+        assert ours == seq
+
+    def test_batch_streams_independent(self, params):
+        """B=3 batched greedy == 3 singleton runs (per-stream early stop)."""
+        rng = np.random.default_rng(11)
+        mels = rng.standard_normal(
+            (3, 80, CFG.audio_encoder_config.n_audio_ctx)
+        ).astype(np.float32)
+        enc = M.encoder_forward(params, jnp.asarray(mels), CFG)
+        prompt = np.array([3, 9, 11, 4], np.int32)
+
+        toks_b, len_b, _ = dgreedy.greedy_decode_jit(
+            params, enc, jnp.asarray(prompt), CFG, eot_id=EOT, max_depth=8
+        )
+        for i in range(3):
+            toks_1, len_1, _ = dgreedy.greedy_decode_jit(
+                params, enc[i : i + 1], jnp.asarray(prompt), CFG,
+                eot_id=EOT, max_depth=8,
+            )
+            assert list(np.asarray(toks_b)[i, : int(len_b[i])]) == list(
+                np.asarray(toks_1)[0, : int(len_1[0])]
+            )

@@ -1,0 +1,152 @@
+"""Long-form pipeline tests: stitching, windowing, end-to-end transcribe
+(SURVEY.md §4 item 5, with a random tiny model standing in for real weights)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from whisper_tpu.config import tiny_test_config
+from whisper_tpu.models import whisper as M
+from whisper_tpu.pipeline.transcribe import (
+    DecodeOptions,
+    Transcriber,
+    find_chunk_overlap,
+    window_waveform,
+)
+from whisper_tpu.text.tokenizer import WhisperTokenizer, build_test_tokenizer_json
+
+
+class TestFindChunkOverlap:
+    """Parity cases for src/transcribe.rs:76-110."""
+
+    def test_perfect_overlap(self):
+        prev = [1, 2, 3, 4, 5]
+        curr = [3, 4, 5, 6, 7]
+        res = find_chunk_overlap(prev, curr, 40, 3)
+        assert res == (2, 0)
+        prev_idx, curr_idx = res
+        assert prev[:prev_idx] + curr[curr_idx:] == [1, 2, 3, 4, 5, 6, 7]
+
+    def test_no_overlap(self):
+        assert find_chunk_overlap([1, 2, 3], [7, 8, 9], 40, 3) is None
+
+    def test_min_overlaps_threshold(self):
+        # only 2 matching tokens < min 3
+        assert find_chunk_overlap([1, 2, 9, 9], [9, 9, 5], 40, 3) is None
+
+    def test_non_contiguous_matches_count(self):
+        # aligned matches need not be contiguous in the reference
+        prev = [1, 2, 3, 9, 5]
+        curr = [3, 4, 5, 6, 7, 8]  # offset 2: matches at rel idx 0 (3) and 2 (5)
+        res = find_chunk_overlap(prev, curr, 40, 2)
+        assert res == (2, 0)
+
+    def test_empty(self):
+        assert find_chunk_overlap([], [1, 2, 3], 40, 3) is None
+        assert find_chunk_overlap([1, 2, 3], [], 40, 3) is None
+
+    def test_max_offsets_limits_search(self):
+        prev = list(range(100))
+        curr = list(range(50, 120))  # overlap starts 50 tokens back
+        assert find_chunk_overlap(prev, curr, 10, 3) is None
+        assert find_chunk_overlap(prev, curr, 60, 3) == (50, 0)
+
+    def test_offsets_also_capped_by_curr_len(self):
+        """n_offsets = min(|prev|, |curr|, max) (src/transcribe.rs:84)."""
+        prev = list(range(100))
+        curr = list(range(50, 60))  # |curr|=10 caps the search depth
+        assert find_chunk_overlap(prev, curr, 60, 3) is None
+
+
+class TestWindowing:
+    def test_bounds(self):
+        # reference: shift = window - overlap; n = (len-1)//shift + 1
+        wins = list(window_waveform(np.zeros(1000), 100, 300, 100))
+        assert wins[0] == (0, 300)
+        assert wins[1] == (200, 500)
+        assert wins[-1][1] == 1000
+        assert len(wins) == (1000 - 1) // 200 + 1
+
+    def test_overlap_longer_than_window_clamps_shift(self):
+        wins = list(window_waveform(np.zeros(10), 100, 5, 8))
+        # shift clamped to 1 (src/transcribe.rs:122 saturating_sub + max(1))
+        assert wins[0] == (0, 5) and wins[1] == (1, 6)
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pipe")
+    tok_path = str(d / "tokenizer.json")
+    build_test_tokenizer_json(tok_path)
+    tok = WhisperTokenizer(tok_path)
+    cfg = tiny_test_config(
+        n_vocab=tok.vocab_size, n_audio_ctx=64, n_text_ctx=32, n_state=8,
+    )
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    return params, cfg, tok
+
+
+class TestTranscriber:
+    def test_end_to_end_single_window(self, setup):
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        # window = max_waveform_samples(64-10) = 160*55-1 samples
+        wave = np.random.default_rng(0).standard_normal(5000).astype(np.float32)
+        chunks = []
+        text, tokens = t.transcribe(
+            wave, 16000,
+            DecodeOptions(lang="en", beam_size=2, max_depth=6,
+                          chunk_overlap_seconds=0.01),
+            on_chunk=lambda i, s: chunks.append((i, s)),
+        )
+        assert isinstance(text, str)
+        assert len(tokens) >= 4  # at least the prompt survived
+        assert chunks and chunks[0][0] == 0
+        # prompt tokens present at the start
+        assert tokens[: 4] == tok.prompt_ids("en")
+
+    def test_multi_window_stitching(self, setup):
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        # 3 windows of 8799 samples with small overlap
+        wave = np.random.default_rng(1).standard_normal(20000).astype(np.float32)
+        chunks = []
+        text, tokens = t.transcribe(
+            wave, 16000,
+            DecodeOptions(lang="en", strategy="greedy", max_depth=6,
+                          chunk_overlap_seconds=0.02),
+            on_chunk=lambda i, s: chunks.append(i),
+        )
+        assert len(chunks) >= 2  # several windows processed
+        assert isinstance(text, str)
+
+    def test_greedy_and_beam_agree_on_trivial(self, setup):
+        """With beam_size=1 beam search reduces to greedy's argmax path."""
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        wave = np.random.default_rng(2).standard_normal(4000).astype(np.float32)
+        opts = dict(lang="en", max_depth=5, chunk_overlap_seconds=0.01)
+        _, toks_beam = t.transcribe(
+            wave, 16000, DecodeOptions(strategy="beam", beam_size=1, **opts),
+            on_chunk=lambda *a: None)
+        _, toks_greedy = t.transcribe(
+            wave, 16000, DecodeOptions(strategy="greedy", **opts),
+            on_chunk=lambda *a: None)
+        assert toks_beam == toks_greedy
+
+    def test_tail_window_shorter_than_fft_skipped(self, setup):
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        # length chosen so the final window is < 400 samples
+        n_window = 160 * 55 - 1  # max_waveform_samples(54)
+        wave = np.random.default_rng(3).standard_normal(
+            n_window + 300
+        ).astype(np.float32)
+        text, tokens = t.transcribe(
+            wave, 16000,
+            DecodeOptions(lang="en", strategy="greedy", max_depth=4,
+                          chunk_overlap_seconds=0.0),
+            on_chunk=lambda *a: None,
+        )
+        assert isinstance(text, str)

@@ -1,0 +1,189 @@
+"""Command-line interface.
+
+Preserves the reference CLI contracts:
+  * `transcribe <model name> <audio file> <lang> <transcription file>`
+    (whisper-burn src/bin/transcribe/main.rs:85-94): loads `<model>.cfg` +
+    weights + `tokenizer.json`, asserts 16 kHz mono (main.rs:41-42) unless
+    `--resample`, writes the transcription file (main.rs:153).
+  * `convert <dump dir>` (src/bin/convert/main.rs:23-57): converts a npy dump
+    tree into the fast-load format + `<dir>.cfg`. The reference emits Burn
+    `.mpk.gz`; the TPU-native fast format is `.safetensors`.
+
+Extra (new capability) flags are opt-in and default to reference behavior.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: first-run compiles through the TPU
+    tunnel are slow (minutes); cached reloads are instant."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "WHISPER_TPU_CACHE", os.path.expanduser("~/.cache/whisper_tpu/xla")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def cmd_transcribe(argv) -> int:
+    p = argparse.ArgumentParser(
+        prog="whisper_tpu transcribe",
+        description="Transcribe a WAV file (reference CLI parity).",
+    )
+    p.add_argument("model", help="model name: <name>.cfg + <name>.safetensors/"
+                                 ".mpk.gz, or a npy dump directory")
+    p.add_argument("audio", help="16 kHz mono WAV file")
+    p.add_argument("lang", help="language code, e.g. en")
+    p.add_argument("out", help="output transcription text file")
+    p.add_argument("--tokenizer", default=None,
+                   help="path to tokenizer.json (default: next to model, then CWD)")
+    p.add_argument("--greedy", action="store_true",
+                   help="greedy decoding instead of beam search")
+    p.add_argument("--beam-size", type=int, default=5)
+    p.add_argument("--max-depth", type=int, default=100)
+    p.add_argument("--resample", action="store_true",
+                   help="resample input to 16 kHz instead of rejecting it")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    p.add_argument("-v", "--verbose", action="count", default=0)
+    args = p.parse_args(argv)
+
+    from .utils.logging import configure
+
+    configure(args.verbose)
+    _enable_compilation_cache()
+
+    import jax.numpy as jnp
+
+    from .config import SAMPLE_RATE, WhisperConfig
+    from .io import checkpoint, wav
+    from .pipeline.transcribe import DecodeOptions, Transcriber
+    from .text.tokenizer import LANGUAGES, WhisperTokenizer
+
+    print("Loading waveform...")  # main.rs:109 contract
+    try:
+        waveform, rate = wav.load_wav(args.audio)
+    except Exception as e:
+        print(f"Failed to load audio file: {e}", file=sys.stderr)
+        return 1
+    if rate != SAMPLE_RATE:
+        if args.resample:
+            waveform = wav.resample(waveform, rate, SAMPLE_RATE)
+            rate = SAMPLE_RATE
+        else:
+            print(
+                f"The audio sample rate must be 16k (got {rate}); "
+                "pass --resample to convert.",
+                file=sys.stderr,
+            )
+            return 1
+
+    tok_path = args.tokenizer
+    if tok_path is None:
+        model_dir = os.path.dirname(os.path.abspath(args.model))
+        for cand in (os.path.join(model_dir, "tokenizer.json"), "tokenizer.json"):
+            if os.path.exists(cand):
+                tok_path = cand
+                break
+        else:
+            print("Failed to load tokenizer: tokenizer.json not found",
+                  file=sys.stderr)
+            return 1
+    try:
+        tokenizer = WhisperTokenizer(tok_path)
+    except Exception as e:
+        print(f"Failed to load tokenizer: {e}", file=sys.stderr)
+        return 1
+
+    cfg = None
+    cfg_path = f"{args.model}.cfg"
+    if os.path.exists(cfg_path):
+        cfg = WhisperConfig.load(cfg_path)
+
+    print("Loading model...")  # main.rs:134 contract
+    try:
+        params, cfg = checkpoint.load_params(args.model, cfg)
+    except Exception as e:
+        print(f"Failed to load whisper model file: {e}", file=sys.stderr)
+        return 1
+
+    if args.lang not in LANGUAGES:
+        print(f"Invalid language abbreviation: {args.lang}", file=sys.stderr)
+        return 1
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+    t = Transcriber(params, cfg, tokenizer, dtype=dtype)
+    opts = DecodeOptions(
+        lang=args.lang,
+        strategy="greedy" if args.greedy else "beam",
+        beam_size=args.beam_size,
+        max_depth=args.max_depth,
+    )
+    t0 = time.perf_counter()
+    text, _tokens = t.transcribe(waveform, rate, opts)
+    dt = time.perf_counter() - t0
+
+    with open(args.out, "w") as f:
+        f.write(text)
+    if args.verbose:
+        audio_sec = len(waveform) / rate
+        print(f"[{audio_sec:.1f}s audio in {dt:.1f}s = {audio_sec/dt:.1f}x RT]",
+              file=sys.stderr)
+    print("Transcription finished.")  # main.rs:159 contract
+    return 0
+
+
+def cmd_convert(argv) -> int:
+    p = argparse.ArgumentParser(
+        prog="whisper_tpu convert",
+        description="Convert a npy dump tree to the fast-load format "
+                    "(reference convert CLI parity).",
+    )
+    p.add_argument("dump_dir", help="npy dump directory (python/dump.py output)")
+    p.add_argument("--out", default=None,
+                   help="output basename (default: <dump_dir>)")
+    args = p.parse_args(argv)
+
+    from .io import checkpoint, npy_tree
+
+    name = args.out or args.dump_dir.rstrip("/")
+    try:
+        params, cfg = npy_tree.load_whisper(args.dump_dir)
+    except Exception as e:
+        print(f"Error loading model {args.dump_dir}: {e}", file=sys.stderr)
+        return 1
+    print("Saving model...")  # convert main.rs:44 contract
+    checkpoint.save_safetensors(params, cfg, f"{name}.safetensors")
+    print("Saving config...")  # convert main.rs:50 contract
+    cfg.save(f"{name}.cfg")
+    print("Finished.")  # convert main.rs:56 contract
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: whisper_tpu {transcribe,convert,bench} ...", file=sys.stderr)
+        print("  transcribe <model> <audio.wav> <lang> <out.txt>", file=sys.stderr)
+        print("  convert <dump dir>", file=sys.stderr)
+        return 0 if argv else 1
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "transcribe":
+        return cmd_transcribe(rest)
+    if cmd == "convert":
+        return cmd_convert(rest)
+    print(f"unknown command: {cmd}", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

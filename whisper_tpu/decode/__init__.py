@@ -1,0 +1,1 @@
+from . import beam, greedy, host_beam

@@ -1,0 +1,132 @@
+"""Batched greedy decoding as a jitted `lax.while_loop` with KV cache.
+
+New capability relative to the reference (whose greedy loop is dead code,
+src/transcribe.rs:314-378): supports B independent streams per call -- the
+production multi-stream path that `pjit`/data-parallel sharding batches
+across chips. Keeps the reference pipeline's special-token suppression rule
+(mask while seq len <= 5, src/transcribe.rs:271-275) so outputs line up with
+beam search on the same model.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import WhisperConfig
+from ..models import whisper as M
+from .beam import _masked_log_softmax
+
+
+class GreedyState(NamedTuple):
+    tokens: jax.Array  # (B, n_text_ctx) i32
+    length: jax.Array  # (B,) i32 per-stream sequence length (incl. prompt)
+    seq_len: jax.Array  # i32 scalar: current padded length (same all streams)
+    done: jax.Array  # (B,) bool
+    logp_next: jax.Array  # (B, V)
+    sum_logp: jax.Array  # (B,) cumulative log-prob of emitted tokens
+    cache: M.DecoderCache
+
+
+def greedy_decode(
+    params: M.Params,
+    enc_out: jax.Array,  # (B, Sa, d) or (1, Sa, d) broadcast to B
+    prompt: jax.Array,  # (P,) i32 shared prompt
+    cfg: WhisperConfig,
+    eot_id: int,
+    suppress_mask: Optional[jax.Array] = None,
+    batch: Optional[int] = None,
+    max_depth: int = 224,
+    suppress_until_len: int = 5,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Greedy decode; returns (tokens (B, n_text_ctx), lengths (B,), sum_logp).
+
+    Sequences end with EOT (appended implicitly when predicted); streams that
+    finish early idle until the last stream finishes (fixed-shape loop).
+    """
+    dec_cfg = cfg.text_decoder_config
+    ctx = dec_cfg.n_text_ctx
+    P = prompt.shape[0]
+    B = batch or enc_out.shape[0]
+
+    tokens0 = jnp.zeros((B, ctx), jnp.int32).at[:, :P].set(prompt[None, :])
+    cache = M.init_cache(params, enc_out, cfg, batch=B)
+    logits, cache = M.decoder_step(params, tokens0[:, :P], jnp.int32(0), cache, cfg)
+    logp_next = _masked_log_softmax(
+        logits[:, -1], jnp.int32(P), suppress_mask, suppress_until_len
+    )
+
+    state = GreedyState(
+        tokens=tokens0,
+        length=jnp.full((B,), P, jnp.int32),
+        seq_len=jnp.int32(P),
+        done=jnp.zeros((B,), bool),
+        logp_next=logp_next,
+        sum_logp=jnp.zeros((B,), jnp.float32),
+        cache=cache,
+    )
+
+    max_len = min(ctx, P + max_depth)
+
+    def cond(s: GreedyState) -> jax.Array:
+        return (~jnp.all(s.done)) & (s.seq_len < max_len)
+
+    def body(s: GreedyState) -> GreedyState:
+        tok = jnp.argmax(s.logp_next, axis=-1).astype(jnp.int32)
+        tok_logp = jnp.take_along_axis(s.logp_next, tok[:, None], axis=-1)[:, 0]
+        # finished streams keep emitting EOT into the pad region
+        tok = jnp.where(s.done, eot_id, tok)
+
+        tokens = s.tokens.at[:, s.seq_len].set(tok)
+        newly_done = tok == eot_id
+        length = jnp.where(s.done, s.length, s.length + 1)
+        sum_logp = jnp.where(s.done, s.sum_logp, s.sum_logp + tok_logp)
+        done = s.done | newly_done
+
+        logits, cache = M.decoder_step(params, tok[:, None], s.seq_len, s.cache, cfg)
+        logp_next = _masked_log_softmax(
+            logits[:, -1], s.seq_len + 1, suppress_mask, suppress_until_len
+        )
+        return GreedyState(
+            tokens=tokens,
+            length=length,
+            seq_len=s.seq_len + 1,
+            done=done,
+            logp_next=logp_next,
+            sum_logp=sum_logp,
+            cache=cache,
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+    return state.tokens, state.length, state.sum_logp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "eot_id", "batch", "max_depth", "suppress_until_len"),
+)
+def greedy_decode_jit(
+    params,
+    enc_out,
+    prompt,
+    cfg: WhisperConfig,
+    eot_id: int,
+    suppress_mask=None,
+    batch: Optional[int] = None,
+    max_depth: int = 224,
+    suppress_until_len: int = 5,
+):
+    return greedy_decode(
+        params,
+        enc_out,
+        prompt,
+        cfg,
+        eot_id,
+        suppress_mask,
+        batch,
+        max_depth,
+        suppress_until_len,
+    )

@@ -1,0 +1,272 @@
+"""Long-form transcription pipeline: windowing, per-window decode, stitching.
+
+Capability parity with the reference orchestrator (whisper-burn
+`src/transcribe.rs`):
+
+  * ~14.9 s windows: `max_waveform_samples(encoder_ctx - 10)` samples per
+    window with a 3 s overlap (src/transcribe.rs:32-34,120-123; the
+    load-bearing subtlety documented in SURVEY.md §3.6);
+  * each window's mel is clipped to (encoder_ctx - padding) frames and
+    zero-padded with `padding`=10 frames which "helps whisper determine end
+    of text" (src/transcribe.rs:170-177);
+  * decode prompt [SOT, lang, transcribe, notimestamps]
+    (src/transcribe.rs:201-203); beam=5, max_depth=100
+    (src/transcribe.rs:232-233); special tokens suppressed while seq len <= 5
+    (src/transcribe.rs:271-275);
+  * cross-window token-overlap stitching: best suffix/prefix alignment over
+    <= 40 offsets, accepted at >= 3 matches (src/transcribe.rs:76-110);
+  * `Chunk {i}: {text}` progress contract (src/transcribe.rs:68);
+  * the trailing-context tokens are computed and discarded exactly like the
+    reference (the startofprev path is disabled as a hallucination
+    workaround, src/transcribe.rs:187-201).
+
+TPU-native differences: the whole per-window compute (mel frontend, encoder,
+beam search with KV cache) is jitted on device with one compile per distinct
+window length; only final token sequences cross back to the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import N_MELS, SAMPLE_RATE, WhisperConfig
+from ..models import whisper as M
+from ..ops.audio import max_waveform_samples, prep_audio
+from ..decode import beam as dbeam
+from ..decode import greedy as dgreedy
+from ..text.tokenizer import WhisperTokenizer
+from ..utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeOptions:
+    """Decoding knobs; defaults reproduce the reference exactly."""
+
+    lang: str = "en"
+    strategy: str = "beam"  # "beam" | "greedy"
+    beam_size: int = 5  # src/transcribe.rs:232
+    max_depth: int = 100  # src/transcribe.rs:233
+    padding: int = 10  # zero-pad mel frames (src/transcribe.rs:33,170)
+    chunk_overlap_seconds: float = 3.0  # src/transcribe.rs:120
+    stitch_max_offsets: int = 40  # src/transcribe.rs:57
+    stitch_min_overlaps: int = 3  # src/transcribe.rs:57
+    suppress_until_len: int = 5  # src/transcribe.rs:271
+    timestamps: bool = False
+
+
+def find_chunk_overlap(
+    prev_tokens: Sequence[int],
+    curr_tokens: Sequence[int],
+    max_n_offsets: int,
+    min_n_overlaps: int,
+) -> Optional[Tuple[int, int]]:
+    """Best suffix(prev)/prefix(curr) token alignment (src/transcribe.rs:76-110).
+
+    Returns (prev_index, curr_index) to splice at, or None. Matching positions
+    need not be contiguous -- the reference counts all equal aligned pairs.
+    """
+    max_overlap = 0
+    max_overlap_indices = (0, 0)
+    n_offsets = min(len(prev_tokens), len(curr_tokens), max_n_offsets)
+
+    for offset in range(n_offsets):
+        prev_start = len(prev_tokens) - 1 - offset
+        matches = [
+            i
+            for i, (old, new) in enumerate(
+                zip(prev_tokens[prev_start:], curr_tokens)
+            )
+            if old == new
+        ]
+        if len(matches) > max_overlap:
+            max_overlap = len(matches)
+            curr_idx = matches[0]
+            max_overlap_indices = (prev_start + curr_idx, curr_idx)
+
+    if max_overlap >= min_n_overlaps:
+        return max_overlap_indices
+    return None
+
+
+def window_waveform(
+    waveform: np.ndarray, sample_rate: int, window_samples: int, overlap_samples: int
+):
+    """Yield (start, end) window bounds (src/transcribe.rs:114-138)."""
+    shift = max(window_samples - overlap_samples, 1)
+    n = (max(len(waveform) - 1, 0)) // shift + 1
+    for i in range(n):
+        start = i * shift
+        end = min(start + window_samples, len(waveform))
+        yield start, end
+
+
+class Transcriber:
+    """Loads once, transcribes many. Holds jitted per-shape window programs."""
+
+    def __init__(
+        self,
+        params: M.Params,
+        cfg: WhisperConfig,
+        tokenizer: WhisperTokenizer,
+        dtype=None,
+    ):
+        if dtype is not None:
+            params = jax.tree.map(
+                lambda x: x.astype(dtype) if np.issubdtype(x.dtype, np.floating) else x,
+                params,
+            )
+        self.params = jax.tree.map(jnp.asarray, params)
+        self.cfg = cfg
+        self.tok = tokenizer
+        self._suppress = jnp.asarray(tokenizer.suppress_mask())
+
+    # ------------------------------------------------------------------
+    @functools.lru_cache(maxsize=32)
+    def _window_fn(
+        self, n_samples: int, prompt_len: int, strategy: str, beam_size: int,
+        max_depth: int, padding: int, suppress_until_len: int,
+    ) -> Callable:
+        """One jitted program: waveform window -> (tokens, length).
+
+        Compiled per distinct (window length, options); the full-size window
+        dominates, so steady state reuses a single executable.
+        """
+        cfg = self.cfg
+        enc_ctx = cfg.encoder_ctx_size
+        eot = self.tok.eot
+
+        def run(params, wave, prompt, suppress):
+            mel = prep_audio(wave[None, :])  # (1, n_mels, F)
+            n_frames = mel.shape[2]
+            keep = min(n_frames, enc_ctx - padding)
+            mel = mel[:, :, :keep]
+            mel = jnp.pad(mel, ((0, 0), (0, 0), (0, padding)))  # 10 zero frames
+            enc = M.encoder_forward(params, mel, cfg)
+            if strategy == "beam":
+                toks, length, _ = dbeam.beam_search(
+                    params, enc, prompt, cfg, eot_id=eot,
+                    suppress_mask=suppress, beam_size=beam_size,
+                    max_depth=max_depth, suppress_until_len=suppress_until_len,
+                )
+                return toks, length
+            toks, lengths, _ = dgreedy.greedy_decode(
+                params, enc, prompt, cfg, eot_id=eot, suppress_mask=suppress,
+                max_depth=max_depth, suppress_until_len=suppress_until_len,
+            )
+            return toks[0], lengths[0]
+
+        return jax.jit(run)
+
+    # ------------------------------------------------------------------
+    def transcribe(
+        self,
+        waveform: np.ndarray,
+        sample_rate: int = SAMPLE_RATE,
+        options: Optional[DecodeOptions] = None,
+        on_chunk: Optional[Callable[[int, str], None]] = None,
+    ) -> Tuple[str, List[int]]:
+        """Full long-form pipeline: `waveform_to_text` parity
+        (src/transcribe.rs:23-74). Returns (text, tokens)."""
+        opt = options or DecodeOptions()
+        cfg = self.cfg
+        tok = self.tok
+
+        n_window = max_waveform_samples(cfg.encoder_ctx_size - opt.padding)
+        overlap = int(sample_rate * opt.chunk_overlap_seconds)
+        if overlap >= n_window:
+            # The reference clamps shift to 1 sample here (saturating_sub +
+            # max(1), src/transcribe.rs:122), which degenerates into one
+            # window per sample. Only reachable with absurdly small encoder
+            # contexts; clamp the overlap instead and say so.
+            log.warning(
+                "chunk overlap (%d samples) >= window (%d); clamping overlap "
+                "to half a window", overlap, n_window,
+            )
+            overlap = n_window // 2
+        prompt = jnp.asarray(
+            tok.prompt_ids(opt.lang, timestamps=opt.timestamps), jnp.int32
+        )
+
+        tokens: List[int] = []
+        text = ""
+        total_t0 = time.perf_counter()
+
+        for i, (start, end) in enumerate(
+            window_waveform(waveform, sample_rate, n_window, overlap)
+        ):
+            t0 = time.perf_counter()
+            # trailing non-special context: computed then DISCARDED, exactly
+            # like the reference (src/transcribe.rs:43-50,195-201).
+            _prev_ctx = [t for t in reversed(tokens) if not tok.is_special(t)][:5][::-1]
+
+            window = np.ascontiguousarray(waveform[start:end], dtype=np.float32)
+            if len(window) < 400:  # < n_fft: STFT impossible (the reference
+                # would panic on its assert, src/audio.rs:292; we skip).
+                log.warning("skipping %d-sample tail window (< n_fft)", len(window))
+                continue
+            fn = self._window_fn(
+                len(window), int(prompt.shape[0]), opt.strategy, opt.beam_size,
+                opt.max_depth, opt.padding, opt.suppress_until_len,
+            )
+            toks_dev, length = fn(
+                self.params, jnp.asarray(window), prompt, self._suppress
+            )
+            new_tokens = [int(t) for t in np.asarray(toks_dev)[: int(length)]]
+
+            spliced = find_chunk_overlap(
+                tokens, new_tokens, opt.stitch_max_offsets, opt.stitch_min_overlaps
+            )
+            if spliced is not None:
+                prev_index, curr_index = spliced
+                tokens = tokens[:prev_index] + new_tokens[curr_index:]
+            else:
+                tokens.extend(new_tokens)
+
+            text = tok.decode(tokens, skip_special=True)
+            dt = time.perf_counter() - t0
+            window_sec = (end - start) / sample_rate
+            log.info(
+                "chunk %d: %.1fs audio in %.2fs (%.1fx RT), %d tokens",
+                i, window_sec, dt, window_sec / dt if dt > 0 else 0.0,
+                len(new_tokens),
+            )
+            if on_chunk is not None:
+                on_chunk(i, text)
+            else:
+                print(f"Chunk {i}: {text}\n")  # src/transcribe.rs:68 contract
+
+        total = time.perf_counter() - total_t0
+        audio_sec = len(waveform) / sample_rate
+        log.info(
+            "transcribed %.1fs audio in %.2fs (%.1fx RT)",
+            audio_sec, total, audio_sec / total if total > 0 else 0.0,
+        )
+        return text, tokens
+
+
+def waveform_to_text(
+    params: M.Params,
+    cfg: WhisperConfig,
+    tokenizer: WhisperTokenizer,
+    lang: str,
+    waveform: np.ndarray,
+    sample_rate: int,
+    **kwargs,
+) -> Tuple[str, List[int]]:
+    """One-shot functional entry matching the reference signature
+    (`waveform_to_text(whisper, bpe, lang, waveform, sample_rate)`,
+    src/transcribe.rs:23-29)."""
+    opts = DecodeOptions(lang=lang, **kwargs)
+    return Transcriber(params, cfg, tokenizer).transcribe(
+        waveform, sample_rate, opts
+    )
