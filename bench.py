@@ -1,0 +1,113 @@
+"""Benchmark harness: batched multi-stream transcription throughput (xRT).
+
+Measures the BASELINE.md primary metric -- audio seconds transcribed per
+wall-clock second per chip -- on the real device, using the production path:
+log-mel frontend -> encoder -> greedy decode with KV cache, B concurrent
+streams, bf16 weights, fixed decode depth (no early EOT exit) so the work is
+deterministic and the number is a lower bound on real transcription speed
+(real decodes emit EOT long before the depth cap).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is value / 50 -- the BASELINE.json target of >=50x real-time per
+chip (set for large-v2; reported for whatever model is benched, see metric).
+
+Env knobs:
+  WHISPER_TPU_BENCH_MODEL  (default tiny.en; any preset name)
+  WHISPER_TPU_BENCH_BATCH  (default 8 streams)
+  WHISPER_TPU_BENCH_STEPS  (default 100 decode steps/window)
+  WHISPER_TPU_BENCH_REPS   (default 3 timed reps)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.expanduser("~/.cache/whisper_tpu/xla")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from whisper_tpu.config import preset
+    from whisper_tpu.models import whisper as M
+    from whisper_tpu.ops.audio import max_waveform_samples, prep_audio
+    from whisper_tpu.decode import greedy
+
+    model_name = os.environ.get("WHISPER_TPU_BENCH_MODEL", "large-v2")
+    batch = int(os.environ.get("WHISPER_TPU_BENCH_BATCH", "16"))
+    steps = int(os.environ.get("WHISPER_TPU_BENCH_STEPS", "100"))
+    reps = int(os.environ.get("WHISPER_TPU_BENCH_REPS", "3"))
+
+    import dataclasses
+
+    cfg = preset(model_name)
+    if jax.default_backend() == "tpu":
+        cfg = dataclasses.replace(cfg, attention="flash")
+    print(f"# bench: {model_name} batch={batch} steps={steps} "
+          f"device={jax.devices()[0].device_kind}", file=sys.stderr)
+
+    params = M.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    print(f"# params: {n_params/1e6:.0f}M (bf16)", file=sys.stderr)
+
+    # one window of the production pipeline, batched over streams
+    padding = 10
+    window_samples = max_waveform_samples(cfg.encoder_ctx_size - padding)
+    window_seconds = window_samples / 16000.0
+    prompt = jnp.asarray([3, 7, 11, 13], jnp.int32)  # 4-token prompt shape
+
+    def window_fn(params, wave):
+        mel = prep_audio(wave, per_sample_max=True)
+        mel = jnp.pad(mel, ((0, 0), (0, 0), (0, padding)))
+        enc = M.encoder_forward(params, mel.astype(jnp.bfloat16), cfg)
+        # eot_id=-1: no token matches, so all streams run `steps` decode
+        # iterations -- fixed work, deterministic timing.
+        toks, lengths, _ = greedy.greedy_decode(
+            params, enc, prompt, cfg, eot_id=-1, max_depth=steps
+        )
+        return lengths
+
+    fn = jax.jit(window_fn)
+
+    rng = np.random.default_rng(0)
+    wave = jnp.asarray(
+        rng.standard_normal((batch, window_samples)).astype(np.float32) * 0.1
+    )
+
+    t0 = time.perf_counter()
+    fn(params, wave).block_until_ready()
+    compile_s = time.perf_counter() - t0
+    print(f"# compile+first run: {compile_s:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn(params, wave).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    audio_sec = batch * window_seconds
+    xrt = audio_sec / best
+    tok_s = batch * steps / best
+    print(f"# window={window_seconds:.1f}s reps={times} -> "
+          f"{xrt:.1f}x RT, {tok_s:.0f} tok/s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"xrt_{model_name}_b{batch}_greedy{steps}",
+        "value": round(xrt, 2),
+        "unit": "audio_s_per_s_per_chip",
+        "vs_baseline": round(xrt / 50.0, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

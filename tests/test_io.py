@@ -122,12 +122,12 @@ def _burn_record(params, wrap_param: bool):
         pre = "cross_" if cross else ""
         if cross:
             qw, qb = blk["cross_q_w"][i], blk["cross_q_b"][i]
-            kw, vw = np.split(blk["cross_kv_w"][i], 2, axis=1)
-            kb, vb = np.split(blk["cross_kv_b"][i], 2)
+            kw, vw = blk["cross_kv_w"][i, :, 0], blk["cross_kv_w"][i, :, 1]
+            kb, vb = blk["cross_kv_b"][i]
             ow, ob = blk["cross_o_w"][i], blk["cross_o_b"][i]
         else:
-            qw, kw, vw = np.split(blk["qkv_w"][i], 3, axis=1)
-            qb, kb, vb = np.split(blk["qkv_b"][i], 3)
+            qw, kw, vw = (blk["qkv_w"][i, :, j] for j in range(3))
+            qb, kb, vb = blk["qkv_b"][i]
             ow, ob = blk["attn_o_w"][i], blk["attn_o_b"][i]
         return {
             "n_head": None,  # Burn constant -> unit

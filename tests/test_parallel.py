@@ -1,0 +1,157 @@
+"""Multi-chip sharding tests on the 8-virtual-CPU-device mesh (SURVEY.md §4
+item 6): TP/DP-sharded forward and training step must match single-device
+numerics, and the graft entry points must run."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from whisper_tpu.config import tiny_test_config
+from whisper_tpu.models import whisper as M
+from whisper_tpu.parallel import mesh as pmesh
+from whisper_tpu.parallel import sharding
+from whisper_tpu.training import train
+
+CFG = tiny_test_config(
+    n_state=64, n_head=4, n_layer=2, n_vocab=256, n_audio_ctx=32, n_text_ctx=16
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return M.init_params(jax.random.PRNGKey(0), CFG)
+
+
+def _batch(rng, b=4):
+    return train.Batch(
+        mel=rng.standard_normal((b, 80, 32)).astype(np.float32),
+        tokens=rng.integers(0, 256, (b, 16)).astype(np.int32),
+        loss_mask=np.ones((b, 16), np.float32),
+    )
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8, (
+        "conftest must provide 8 virtual CPU devices"
+    )
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        m = pmesh.make_mesh(dp=4, tp=2)
+        assert m.shape == {"dp": 4, "tp": 2}
+        m = pmesh.make_mesh(tp=2)
+        assert m.shape == {"dp": 4, "tp": 2}
+
+    def test_bad_tp_rejected(self):
+        with pytest.raises(ValueError):
+            pmesh.make_mesh(tp=3)
+
+    def test_validate_tp(self):
+        sharding.validate_tp(CFG, 2)
+        with pytest.raises(ValueError):
+            sharding.validate_tp(CFG, 8)  # 4 heads not divisible by 8
+
+
+class TestShardedForward:
+    @pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4)])
+    def test_forward_matches_single_device(self, params, dp, tp):
+        rng = np.random.default_rng(0)
+        mel = rng.standard_normal((dp, 80, 32)).astype(np.float32)
+        toks = rng.integers(0, 256, (dp, 16)).astype(np.int32)
+
+        ref = np.asarray(M.whisper_forward(
+            params, jnp.asarray(mel), jnp.asarray(toks), CFG))
+
+        mesh = pmesh.make_mesh(dp=dp, tp=tp)
+        with mesh:
+            sp = sharding.shard_params(params, mesh, CFG)
+            mel_s = jax.device_put(mel, NamedSharding(mesh, P("dp")))
+            toks_s = jax.device_put(toks, NamedSharding(mesh, P("dp")))
+            out = jax.jit(
+                lambda p, m, t: M.whisper_forward(p, m, t, CFG)
+            )(sp, mel_s, toks_s)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3)
+
+    def test_param_placement(self, params):
+        """Column/row-parallel weights actually shard over tp."""
+        mesh = pmesh.make_mesh(dp=4, tp=2)
+        sp = sharding.shard_params(params, mesh, CFG)
+        qkv = sp["encoder"]["blocks"]["qkv_w"]
+        # last axis (head dim) sharded over tp -> each shard holds half
+        shard_shapes = {s.data.shape for s in qkv.addressable_shards}
+        L, d = CFG.audio_encoder_config.n_audio_layer, CFG.n_state
+        assert shard_shapes == {(L, d, 3, d // 2)}
+        o_w = sp["encoder"]["blocks"]["attn_o_w"]
+        assert {s.data.shape for s in o_w.addressable_shards} == {(L, d // 2, d)}
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, params):
+        rng = np.random.default_rng(1)
+        batch = jax.tree.map(jnp.asarray, _batch(rng))
+        opt = train.make_optimizer(learning_rate=1e-2, total_steps=20)
+        state = train.init_train_state(params, opt)
+        step = train.make_train_step(CFG, opt)
+        losses = []
+        for _ in range(5):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]
+        assert np.isfinite(losses).all()
+
+    def test_remat_matches_no_remat(self, params):
+        rng = np.random.default_rng(2)
+        batch = jax.tree.map(jnp.asarray, _batch(rng))
+        loss1, _ = train.cross_entropy_loss(params, batch, CFG, remat=False)
+        loss2, _ = train.cross_entropy_loss(params, batch, CFG, remat=True)
+        np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+
+        g1 = jax.grad(lambda p: train.cross_entropy_loss(p, batch, CFG, False)[0])(params)
+        g2 = jax.grad(lambda p: train.cross_entropy_loss(p, batch, CFG, True)[0])(params)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_sharded_step_matches_single(self, params):
+        """The pjit'd DP+TP training step computes the same loss/params."""
+        rng = np.random.default_rng(3)
+        nb = _batch(rng, b=4)
+        opt = train.make_optimizer(total_steps=10)
+        step = train.make_train_step(CFG, opt)
+
+        # single device
+        state0 = train.init_train_state(params, opt)
+        state1, m1 = step(state0, jax.tree.map(jnp.asarray, nb))
+
+        # 4x2 mesh
+        mesh = pmesh.make_mesh(dp=4, tp=2)
+        with mesh:
+            sp = sharding.shard_params(params, mesh, CFG)
+            sstate = train.init_train_state(sp, opt)
+            sbatch = jax.tree.map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, P("dp"))), nb
+            )
+            sstate1, m2 = step(sstate, sbatch)
+
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+        # updated params agree
+        a = np.asarray(state1.params["decoder"]["tok_emb"])
+        b = np.asarray(sstate1.params["decoder"]["tok_emb"])
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)
+
+    def test_entry_compiles(self):
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape[0] == 1 and np.isfinite(np.asarray(out)).all()

@@ -102,14 +102,17 @@ class TorchWhisper:
             return y
 
         h = ln(x, "attn_ln_g", "attn_ln_b")
-        qkv = lin(h, "qkv_w", "qkv_b")
+        # (d, 3, d) fused weights -> flatten to (d, 3d) for a plain matmul
+        w = _t(blk["qkv_w"][i]).reshape(h.shape[-1], -1)
+        qkv = h @ w + _t(blk["qkv_b"][i]).reshape(-1)
         q, k, v = qkv.chunk(3, dim=-1)
         x = x + lin(_attention(q, k, v, n_head, mask), "attn_o_w", "attn_o_b")
 
         if xa is not None:
             h = ln(x, "cross_ln_g", "cross_ln_b")
             q = lin(h, "cross_q_w", "cross_q_b")
-            kv = lin(xa, "cross_kv_w", "cross_kv_b")
+            wkv = _t(blk["cross_kv_w"][i]).reshape(xa.shape[-1], -1)
+            kv = xa @ wkv + _t(blk["cross_kv_b"][i]).reshape(-1)
             ck, cv = kv.chunk(2, dim=-1)
             x = x + lin(_attention(q, ck, cv, n_head), "cross_o_w", "cross_o_b")
 

@@ -65,13 +65,14 @@ def cmd_transcribe(argv) -> int:
     import jax.numpy as jnp
 
     from .config import SAMPLE_RATE, WhisperConfig
-    from .io import checkpoint, wav
+    from .io import checkpoint, native as wav_native, wav
     from .pipeline.transcribe import DecodeOptions, Transcriber
     from .text.tokenizer import LANGUAGES, WhisperTokenizer
 
     print("Loading waveform...")  # main.rs:109 contract
     try:
-        waveform, rate = wav.load_wav(args.audio)
+        waveform, rate = wav_native.load_wav(args.audio)  # C++ fast path,
+        # pure-Python fallback (identical semantics, tested bit-exact)
     except Exception as e:
         print(f"Failed to load audio file: {e}", file=sys.stderr)
         return 1

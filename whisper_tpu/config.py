@@ -52,6 +52,10 @@ class WhisperConfig:
     audio_encoder_config: AudioEncoderConfig = AudioEncoderConfig()
     text_decoder_config: TextDecoderConfig = TextDecoderConfig()
     ln_eps: float = 1e-5
+    # attention implementation for full-sequence passes: "xla" (differentiable,
+    # GSPMD-partitionable) or "flash" (Pallas VMEM kernel; inference-only,
+    # single-device/dp-only -- the inference entry points opt in on TPU).
+    attention: str = "xla"
 
     def __post_init__(self) -> None:
         # Reference asserts encoder/decoder state sizes equal (src/model/mod.rs:27-32).

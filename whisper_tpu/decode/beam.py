@@ -99,7 +99,10 @@ def beam_search(
 
     # ---- prefill: all K lanes carry the same prompt; only lane 0 is live.
     tokens0 = jnp.zeros((K, ctx), jnp.int32).at[:, :P].set(prompt[None, :])
-    cache = M.init_cache(params, enc_out, cfg, batch=K)
+    # tight cache: longest possible sequence is P + max_depth; rounding to a
+    # lane-friendly multiple of 128 keeps the per-step cache read minimal.
+    cache_len = min(ctx, -(-(P + max_depth) // 128) * 128)
+    cache = M.init_cache(params, enc_out, cfg, batch=K, cache_len=cache_len)
     logits, cache = M.decoder_step(
         params, tokens0[:, :P], jnp.int32(0), cache, cfg
     )

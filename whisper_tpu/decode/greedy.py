@@ -53,7 +53,8 @@ def greedy_decode(
     B = batch or enc_out.shape[0]
 
     tokens0 = jnp.zeros((B, ctx), jnp.int32).at[:, :P].set(prompt[None, :])
-    cache = M.init_cache(params, enc_out, cfg, batch=B)
+    cache_len = min(ctx, -(-(P + max_depth) // 128) * 128)
+    cache = M.init_cache(params, enc_out, cfg, batch=B, cache_len=cache_len)
     logits, cache = M.decoder_step(params, tokens0[:, :P], jnp.int32(0), cache, cfg)
     logp_next = _masked_log_softmax(
         logits[:, -1], jnp.int32(P), suppress_mask, suppress_until_len

@@ -94,13 +94,13 @@ def _attn(node: Dict[str, Any], d: int, cross: bool) -> Dict[str, np.ndarray]:
     if cross:
         return {
             "cross_q_w": qw, "cross_q_b": qb,
-            "cross_kv_w": np.concatenate([kw, vw], axis=1),
-            "cross_kv_b": np.concatenate([kb, vb]),
+            "cross_kv_w": np.stack([kw, vw], axis=1),
+            "cross_kv_b": np.stack([kb, vb]),
             "cross_o_w": ow, "cross_o_b": ob,
         }
     return {
-        "qkv_w": np.concatenate([qw, kw, vw], axis=1),
-        "qkv_b": np.concatenate([qb, kb, vb]),
+        "qkv_w": np.stack([qw, kw, vw], axis=1),
+        "qkv_b": np.stack([qb, kb, vb]),
         "attn_o_w": ow, "attn_o_b": ob,
     }
 

@@ -1,0 +1,110 @@
+"""ctypes bindings for the C++ native data-loader (native/whisper_io.cpp).
+
+Loads `native/libwhisper_io.so` if present (build with `make -C native`);
+every entry point has the pure-Python implementation in `io.wav` as fallback,
+and the test suite asserts bit-identical outputs between the two.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from . import wav as _pywav
+
+_LIB_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+    "libwhisper_io.so",
+)
+
+_ERRORS = {
+    -1: "not a RIFF/WAVE file",
+    -2: "missing fmt/data chunk",
+    -3: "The audio must be single-channel.",
+    -4: "unsupported WAV format",
+    -5: "output buffer too small",
+}
+
+
+class _WioInfo(ctypes.Structure):
+    _fields_ = [
+        ("sample_rate", ctypes.c_uint32),
+        ("n_samples", ctypes.c_uint32),
+        ("bits", ctypes.c_uint16),
+        ("format", ctypes.c_uint16),
+    ]
+
+
+def _load_lib() -> Optional[ctypes.CDLL]:
+    if not os.path.exists(_LIB_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.wio_probe.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(_WioInfo)
+    ]
+    lib.wio_probe.restype = ctypes.c_int
+    lib.wio_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+    ]
+    lib.wio_decode.restype = ctypes.c_int
+    lib.wio_window.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.wio_window.restype = ctypes.c_int
+    return lib
+
+
+_LIB = _load_lib()
+
+
+def available() -> bool:
+    return _LIB is not None
+
+
+def load_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Native WAV decode; falls back to the pure-Python parser."""
+    if _LIB is None:
+        return _pywav.load_wav(path)
+    with open(path, "rb") as f:
+        data = f.read()
+    info = _WioInfo()
+    rc = _LIB.wio_probe(data, len(data), ctypes.byref(info))
+    if rc != 0:
+        raise _pywav.WavFormatError(f"{path}: {_ERRORS.get(rc, rc)}")
+    out = np.empty(info.n_samples, np.float32)
+    rc = _LIB.wio_decode(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), out.size,
+    )
+    if rc != 0:
+        raise _pywav.WavFormatError(f"{path}: {_ERRORS.get(rc, rc)}")
+    return out, int(info.sample_rate)
+
+
+def window(wave: np.ndarray, start: int, count: int) -> np.ndarray:
+    """Zero-padded window slice [start, start+count)."""
+    wave = np.ascontiguousarray(wave, np.float32)
+    out = np.empty(count, np.float32)
+    if _LIB is None:
+        end = min(start + count, len(wave))
+        n = max(end - start, 0)
+        out[:n] = wave[start : start + n]
+        out[n:] = 0.0
+        return out
+    rc = _LIB.wio_window(
+        wave.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(wave),
+        start, count,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc != 0:
+        raise ValueError(f"wio_window failed: {rc}")
+    return out

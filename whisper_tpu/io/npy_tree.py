@@ -104,14 +104,14 @@ def _load_attn(path: str, d: int, cross: bool) -> Dict[str, np.ndarray]:
         return {
             "q_w": qw,
             "q_b": qb,
-            "kv_w": np.concatenate([kw, vw], axis=1),
-            "kv_b": np.concatenate([kb, vb]),
+            "kv_w": np.stack([kw, vw], axis=1),   # (d, 2, d)
+            "kv_b": np.stack([kb, vb]),           # (2, d)
             "o_w": ow,
             "o_b": ob,
         }
     return {
-        "qkv_w": np.concatenate([qw, kw, vw], axis=1),
-        "qkv_b": np.concatenate([qb, kb, vb]),
+        "qkv_w": np.stack([qw, kw, vw], axis=1),  # (d, 3, d)
+        "qkv_b": np.stack([qb, kb, vb]),          # (3, d)
         "o_w": ow,
         "o_b": ob,
     }
@@ -277,8 +277,8 @@ def _save_ln(g, b, eps: float, path: str) -> None:
 def _save_block(blk: Dict[str, np.ndarray], i: int, path: str, n_head: int,
                 eps: float, cross: bool) -> None:
     d = blk["attn_o_w"].shape[-1]
-    qw, kw, vw = np.split(blk["qkv_w"][i], 3, axis=1)
-    qb, kb, vb = np.split(blk["qkv_b"][i], 3)
+    qw, kw, vw = blk["qkv_w"][i, :, 0], blk["qkv_w"][i, :, 1], blk["qkv_w"][i, :, 2]
+    qb, kb, vb = blk["qkv_b"][i]
     ap = os.path.join(path, "attn")
     _save_linear(qw, qb, os.path.join(ap, "query"))
     _save_linear(kw, None, os.path.join(ap, "key"))  # K: no bias
@@ -288,8 +288,8 @@ def _save_block(blk: Dict[str, np.ndarray], i: int, path: str, n_head: int,
     _save_ln(blk["attn_ln_g"][i], blk["attn_ln_b"][i], eps, os.path.join(path, "attn_ln"))
     if cross:
         cp = os.path.join(path, "cross_attn")
-        ckw, cvw = np.split(blk["cross_kv_w"][i], 2, axis=1)
-        ckb, cvb = np.split(blk["cross_kv_b"][i], 2)
+        ckw, cvw = blk["cross_kv_w"][i, :, 0], blk["cross_kv_w"][i, :, 1]
+        ckb, cvb = blk["cross_kv_b"][i]
         _save_linear(blk["cross_q_w"][i], blk["cross_q_b"][i], os.path.join(cp, "query"))
         _save_linear(ckw, None, os.path.join(cp, "key"))
         _save_linear(cvw, cvb, os.path.join(cp, "value"))

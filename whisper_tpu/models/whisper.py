@@ -12,9 +12,10 @@ TPU-first design (NOT a port of the Burn module graph):
   * Parameters are a pytree of plain arrays with all transformer blocks
     STACKED on a leading layer axis; forward passes `lax.scan` over layers so
     a 32-layer model traces once per block, not 32 times.
-  * Q/K/V projections are fused into one (d, 3d) matmul at load time (K has
+  * Q/K/V projections are fused into one (d, 3, d) matmul at load time (K has
     no bias; its bias slot is zero, so results are bit-identical). Cross
-    attention fuses K/V into (d, 2d).
+    attention fuses K/V into (d, 2, d). The projection axis stays separate so
+    TP sharding of the head axis never crosses the q|k|v boundary.
   * Convolutions run in NHC (channels-last) layout, the native TPU layout.
   * Incremental decoding uses a fixed-shape KV cache (new capability -- the
     reference recomputes the full sequence every beam step,
@@ -51,14 +52,14 @@ def init_params(key: jax.Array, cfg: WhisperConfig, dtype=jnp.float32) -> Params
         conv1_w (3, n_mels, d)  conv1_b (d,)      # NHC/HIO layout
         conv2_w (3, d, d)       conv2_b (d,)
         pos_emb (n_audio_ctx, d)
-        blocks: attn_ln_{g,b} (L,d); qkv_w (L,d,3d); qkv_b (L,3d);
+        blocks: attn_ln_{g,b} (L,d); qkv_w (L,d,3,d); qkv_b (L,3,d);
                 attn_o_w (L,d,d); attn_o_b (L,d); mlp_ln_{g,b} (L,d);
                 mlp1_w (L,d,4d); mlp1_b (L,4d); mlp2_w (L,4d,d); mlp2_b (L,d)
         ln_post_{g,b} (d,)
       decoder:
         tok_emb (V, d); pos_emb (n_text_ctx, d)
         blocks: as encoder plus cross_ln_{g,b} (L,d); cross_q_w (L,d,d);
-                cross_q_b (L,d); cross_kv_w (L,d,2d); cross_kv_b (L,2d);
+                cross_q_b (L,d); cross_kv_w (L,d,2,d); cross_kv_b (L,2,d);
                 cross_o_w (L,d,d); cross_o_b (L,d)
         ln_{g,b} (d,)
     """
@@ -74,8 +75,8 @@ def init_params(key: jax.Array, cfg: WhisperConfig, dtype=jnp.float32) -> Params
         p = {
             "attn_ln_g": jnp.ones((n_layer, d), dtype),
             "attn_ln_b": jnp.zeros((n_layer, d), dtype),
-            "qkv_w": normal(ks[0], (n_layer, d, 3 * d)),
-            "qkv_b": jnp.zeros((n_layer, 3 * d), dtype),
+            "qkv_w": normal(ks[0], (n_layer, d, 3, d)),
+            "qkv_b": jnp.zeros((n_layer, 3, d), dtype),
             "attn_o_w": normal(ks[1], (n_layer, d, d)),
             "attn_o_b": jnp.zeros((n_layer, d), dtype),
             "mlp_ln_g": jnp.ones((n_layer, d), dtype),
@@ -92,8 +93,8 @@ def init_params(key: jax.Array, cfg: WhisperConfig, dtype=jnp.float32) -> Params
                     "cross_ln_b": jnp.zeros((n_layer, d), dtype),
                     "cross_q_w": normal(ks[4], (n_layer, d, d)),
                     "cross_q_b": jnp.zeros((n_layer, d), dtype),
-                    "cross_kv_w": normal(ks[5], (n_layer, d, 2 * d)),
-                    "cross_kv_b": jnp.zeros((n_layer, 2 * d), dtype),
+                    "cross_kv_w": normal(ks[5], (n_layer, d, 2, d)),
+                    "cross_kv_b": jnp.zeros((n_layer, 2, d), dtype),
                     "cross_o_w": normal(ks[6], (n_layer, d, d)),
                     "cross_o_b": jnp.zeros((n_layer, d), dtype),
                 }
@@ -141,6 +142,28 @@ def _linear(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Ar
     if b is not None:
         y = y + b
     return y
+
+
+def _qkv_proj(x: jax.Array, w: jax.Array, b: jax.Array):
+    """Fused QKV projection: x (..., d) @ w (d, 3, d) + b (3, d) -> q, k, v.
+
+    One MXU GEMM (contraction over d, 3d output columns). The projection axis
+    is kept as a SEPARATE dim (3, d) rather than flattened (3d,) so tensor
+    parallelism can shard the trailing head axis without crossing the q|k|v
+    boundary (see whisper_tpu.parallel.sharding).
+    """
+    y = jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(x.dtype) + b
+    return y[..., 0, :], y[..., 1, :], y[..., 2, :]
+
+
+def _kv_proj(x: jax.Array, w: jax.Array, b: jax.Array):
+    """Fused KV projection: x (..., d) @ w (d, 2, d) + b (2, d) -> k, v."""
+    y = jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(x.dtype) + b
+    return y[..., 0, :], y[..., 1, :]
 
 
 def qkv_attention(
@@ -203,19 +226,30 @@ def _conv1d_nhc(x: jax.Array, w: jax.Array, b: jax.Array, stride: int) -> jax.Ar
     return y + b
 
 
-def _encoder_block(x: jax.Array, p: Dict[str, jax.Array], n_head: int, eps: float) -> jax.Array:
+def _attention(q, k, v, n_head, impl, causal=False, mask=None):
+    """Dispatch between the XLA einsum path and the Pallas flash kernel."""
+    if impl == "flash":
+        from ..ops.pallas.flash_attention import attention_bhsd
+
+        return attention_bhsd(q, k, v, n_head, causal=causal)
+    return qkv_attention(q, k, v, n_head, mask)
+
+
+def _encoder_block(x: jax.Array, p: Dict[str, jax.Array], n_head: int, eps: float,
+                   impl: str = "xla") -> jax.Array:
     """Pre-LN residual encoder block (src/model/mod.rs:298-303)."""
     h = layer_norm(x, p["attn_ln_g"], p["attn_ln_b"], eps)
-    qkv = _linear(h, p["qkv_w"], p["qkv_b"])
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    x = x + _linear(qkv_attention(q, k, v, n_head), p["attn_o_w"], p["attn_o_b"])
+    q, k, v = _qkv_proj(h, p["qkv_w"], p["qkv_b"])
+    x = x + _linear(_attention(q, k, v, n_head, impl), p["attn_o_w"], p["attn_o_b"])
     h = layer_norm(x, p["mlp_ln_g"], p["mlp_ln_b"], eps)
     h = _linear(jax.nn.gelu(_linear(h, p["mlp1_w"], p["mlp1_b"]), approximate=False),
                 p["mlp2_w"], p["mlp2_b"])
     return x + h
 
 
-def encoder_forward(params: Params, mel: jax.Array, cfg: WhisperConfig) -> jax.Array:
+def encoder_forward(
+    params: Params, mel: jax.Array, cfg: WhisperConfig, remat: bool = False
+) -> jax.Array:
     """AudioEncoder forward: mel (B, n_mels, T) -> (B, ceil(T/2), d).
 
     Parity: `AudioEncoder::forward` (src/model/mod.rs:228-260). The positional
@@ -238,9 +272,12 @@ def encoder_forward(params: Params, mel: jax.Array, cfg: WhisperConfig) -> jax.A
     x = x + enc["pos_emb"][: x.shape[1]]
 
     n_head, eps = enc_cfg.n_audio_head, cfg.ln_eps
+    block = _encoder_block
+    if remat:  # trade FLOPs for HBM under reverse-mode AD (training)
+        block = jax.checkpoint(block, static_argnums=(2, 3, 4))
 
     def body(h, p):
-        return _encoder_block(h, p, n_head, eps), None
+        return block(h, p, n_head, eps, cfg.attention), None
 
     x, _ = jax.lax.scan(body, x, enc["blocks"])
     return layer_norm(x, enc["ln_post_g"], enc["ln_post_b"], eps)
@@ -258,18 +295,18 @@ def _decoder_block(
     mask: jax.Array,
     n_head: int,
     eps: float,
+    impl: str = "xla",
 ) -> jax.Array:
     """Pre-LN residual decoder block (src/model/mod.rs:344-350)."""
     h = layer_norm(x, p["attn_ln_g"], p["attn_ln_b"], eps)
-    qkv = _linear(h, p["qkv_w"], p["qkv_b"])
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    x = x + _linear(qkv_attention(q, k, v, n_head, mask), p["attn_o_w"], p["attn_o_b"])
+    q, k, v = _qkv_proj(h, p["qkv_w"], p["qkv_b"])
+    x = x + _linear(_attention(q, k, v, n_head, impl, causal=True, mask=mask),
+                    p["attn_o_w"], p["attn_o_b"])
 
     h = layer_norm(x, p["cross_ln_g"], p["cross_ln_b"], eps)
     q = _linear(h, p["cross_q_w"], p["cross_q_b"])
-    kv = _linear(xa, p["cross_kv_w"], p["cross_kv_b"])
-    ck, cv = jnp.split(kv, 2, axis=-1)
-    x = x + _linear(qkv_attention(q, ck, cv, n_head), p["cross_o_w"], p["cross_o_b"])
+    ck, cv = _kv_proj(xa, p["cross_kv_w"], p["cross_kv_b"])
+    x = x + _linear(_attention(q, ck, cv, n_head, impl), p["cross_o_w"], p["cross_o_b"])
 
     h = layer_norm(x, p["mlp_ln_g"], p["mlp_ln_b"], eps)
     h = _linear(jax.nn.gelu(_linear(h, p["mlp1_w"], p["mlp1_b"]), approximate=False),
@@ -278,7 +315,11 @@ def _decoder_block(
 
 
 def decoder_forward(
-    params: Params, tokens: jax.Array, enc_out: jax.Array, cfg: WhisperConfig
+    params: Params,
+    tokens: jax.Array,
+    enc_out: jax.Array,
+    cfg: WhisperConfig,
+    remat: bool = False,
 ) -> jax.Array:
     """TextDecoder forward: tokens (B, S) + enc_out (B, Sa, d) -> logits (B, S, V).
 
@@ -297,9 +338,12 @@ def decoder_forward(
     x = dec["tok_emb"][tokens] + dec["pos_emb"][:seq_len]
     mask = causal_mask(seq_len, seq_len)
     n_head, eps = dec_cfg.n_text_head, cfg.ln_eps
+    block = _decoder_block
+    if remat:
+        block = jax.checkpoint(block, static_argnums=(4, 5, 6))
 
     def body(h, p):
-        return _decoder_block(h, p, enc_out, mask, n_head, eps), None
+        return block(h, p, enc_out, mask, n_head, eps, cfg.attention), None
 
     x, _ = jax.lax.scan(body, x, dec["blocks"])
     x = layer_norm(x, dec["ln_g"], dec["ln_b"], eps)
@@ -309,10 +353,15 @@ def decoder_forward(
 
 
 def whisper_forward(
-    params: Params, mel: jax.Array, tokens: jax.Array, cfg: WhisperConfig
+    params: Params,
+    mel: jax.Array,
+    tokens: jax.Array,
+    cfg: WhisperConfig,
+    remat: bool = False,
 ) -> jax.Array:
     """`Whisper::forward` (src/model/mod.rs:48-50): decoder(tokens, encoder(mel))."""
-    return decoder_forward(params, tokens, encoder_forward(params, mel, cfg), cfg)
+    enc = encoder_forward(params, mel, cfg, remat=remat)
+    return decoder_forward(params, tokens, enc, cfg, remat=remat)
 
 
 # ----------------------------------------------------------------------------
@@ -337,7 +386,11 @@ class DecoderCache(NamedTuple):
 
 
 def init_cache(
-    params: Params, enc_out: jax.Array, cfg: WhisperConfig, batch: Optional[int] = None
+    params: Params,
+    enc_out: jax.Array,
+    cfg: WhisperConfig,
+    batch: Optional[int] = None,
+    cache_len: Optional[int] = None,
 ) -> DecoderCache:
     """Allocate the self-attn cache and precompute cross-attn K/V from enc_out.
 
@@ -345,6 +398,12 @@ def init_cache(
     broadcast (the beam-search case: one window, `beam` decode lanes --
     replaces the reference's `encoder_output.repeat` per step,
     src/transcribe.rs:270).
+
+    `cache_len` caps the self-attn cache length (default n_text_ctx). Decoders
+    that know their maximum sequence length (prompt + max_depth) pass a tight
+    bound: every decode step streams the whole (L, B, C, d) k/v cache through
+    the MXU, so at large-v2 shrinking C from 448 to 128 removes ~0.8 GB of
+    dead HBM traffic per step.
     """
     dec = params["decoder"]
     dec_cfg = cfg.text_decoder_config
@@ -355,8 +414,7 @@ def init_cache(
     dtype = dec["tok_emb"].dtype
 
     def cross_kv_layer(p, xa):
-        kv = _linear(xa, p["cross_kv_w"], p["cross_kv_b"])
-        k, v = jnp.split(kv, 2, axis=-1)
+        k, v = _kv_proj(xa, p["cross_kv_w"], p["cross_kv_b"])
         return k, v
 
     # vmap over the stacked layer axis of the block params.
@@ -369,8 +427,10 @@ def init_cache(
         ck = jnp.broadcast_to(ck, (L, b, sa, d))
         cv = jnp.broadcast_to(cv, (L, b, sa, d))
 
-    self_k = jnp.zeros((L, b, dec_cfg.n_text_ctx, d), dtype)
-    self_v = jnp.zeros((L, b, dec_cfg.n_text_ctx, d), dtype)
+    c = cache_len if cache_len is not None else dec_cfg.n_text_ctx
+    c = min(c, dec_cfg.n_text_ctx)
+    self_k = jnp.zeros((L, b, c, d), dtype)
+    self_v = jnp.zeros((L, b, c, d), dtype)
     return DecoderCache(self_k, self_v, ck, cv)
 
 
@@ -429,8 +489,7 @@ def decoder_step(
     def body(h, layer):
         p, k_cache, v_cache, ck, cv = layer
         hn = layer_norm(h, p["attn_ln_g"], p["attn_ln_b"], eps)
-        qkv = _linear(hn, p["qkv_w"], p["qkv_b"])
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = _qkv_proj(hn, p["qkv_w"], p["qkv_b"])
         k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k, pos, axis=1)
         v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v, pos, axis=1)
         h = h + _linear(

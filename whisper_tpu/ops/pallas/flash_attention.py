@@ -1,0 +1,154 @@
+"""Pallas TPU attention kernel (the "native kernel" layer, SURVEY.md C27).
+
+Replaces the XLA matmul->softmax->matmul attention for full-sequence passes
+(encoder self-attention, decoder prefill, cross-attention). XLA cannot fuse
+across the two matmuls, so it round-trips the (B, H, S, S) f32 score tensor
+through HBM twice -- at large-v2 encoder shapes (B=16, H=20, S=1504) that is
+~5.4 GB of traffic per direction per layer. This kernel keeps scores in VMEM.
+
+Design (S <= ~2048, head_dim = 64 for every Whisper size):
+  * grid = (batch*heads, q blocks). Each program loads one q block
+    (block_q, hd) plus the ENTIRE K and V for that head into VMEM
+    (2 x S_pad x 64 x 2B ~= 0.4 MB at S_pad=1536) -- Whisper's fixed 1500-ctx
+    means the full-K tile always fits, so no online-softmax running rescale
+    is needed: plain rowwise softmax over a VMEM-resident f32 score tile
+    (block_q x S_pad ~= 0.8 MB).
+  * Padded key positions are masked with an iota compare against the true
+    kv_len; causal masking (decoder prefill) reuses the same compare against
+    the absolute q row index.
+  * Matmuls run on the MXU with f32 accumulation (preferred_element_type),
+    matching the XLA path's numerics to ~1e-5 (f32) / bf16 rounding.
+
+The dual (d/h)^-0.25 q/k scaling of the reference (src/model/mod.rs:503-514)
+is applied by the caller on q as a single (d/h)^-0.5 factor -- algebraically
+identical, one multiply instead of two.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30  # large-negative instead of -inf: keeps masked softmax NaN-free
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, causal: bool,
+                 block_q: int):
+    """One (q block) x (full K/V) attention tile."""
+    qi = pl.program_id(1)
+
+    q = q_ref[0].astype(jnp.float32)  # (block_q, hd)
+    k = k_ref[0]  # (s_pad, hd)
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (block_q, s_pad)
+
+    s_pad = k.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_pad), 1)
+    mask = col < kv_len
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_pad), 0)
+        mask = mask & (col <= row + qi * block_q)
+    s = jnp.where(mask, s, NEG_INF)
+
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)
+    p = (p / denom).astype(v.dtype)
+
+    o_ref[0] = jax.lax.dot_general(
+        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "block_q", "interpret")
+)
+def flash_attention(
+    q: jax.Array,  # (B, H, Sq, hd) -- pre-scaled by (hd)^-0.5
+    k: jax.Array,  # (B, H, Sk, hd)
+    v: jax.Array,  # (B, H, Sk, hd)
+    causal: bool = False,
+    block_q: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """VMEM-resident attention; returns (B, H, Sq, hd) in v.dtype."""
+    b, h, sq, hd = q.shape
+    sk = k.shape[2]
+
+    block_q = min(block_q, _round_up(sq, 8))
+    sq_pad = _round_up(sq, block_q)
+    sk_pad = _round_up(sk, 128)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0)))
+
+    bh = b * h
+    qp = qp.reshape(bh, sq_pad, hd)
+    kp = kp.reshape(bh, sk_pad, hd)
+    vp = vp.reshape(bh, sk_pad, hd)
+
+    grid = (bh, sq_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_kernel, kv_len=sk, causal=causal, block_q=block_q
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, hd), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, hd), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda bi, qi: (bi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_pad, hd), v.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * sq_pad * sk_pad * hd,
+            bytes_accessed=(qp.size + kp.size * (sq_pad // block_q) * 2
+                            + qp.size) * qp.dtype.itemsize,
+            transcendentals=bh * sq_pad * sk_pad,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+
+    return out.reshape(b, h, sq_pad, hd)[:, :, :sq]
+
+
+def attention_bhsd(
+    q: jax.Array,  # (B, S, d) unscaled
+    k: jax.Array,
+    v: jax.Array,
+    n_head: int,
+    causal: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in for models.whisper.qkv_attention on the (B, S, d) layout."""
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True  # Mosaic kernels only compile on TPU
+    b, sq, d = q.shape
+    sk = k.shape[1]
+    hd = d // n_head
+    scale = float(hd) ** -0.5  # == ((d/h)^-0.25)^2 applied once
+
+    qh = (q * scale).reshape(b, sq, n_head, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, sk, n_head, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, sk, n_head, hd).transpose(0, 2, 1, 3)
+    o = flash_attention(qh, kh, vh, causal=causal, interpret=interpret)
+    return o.transpose(0, 2, 1, 3).reshape(b, sq, d)

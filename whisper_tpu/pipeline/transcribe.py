@@ -119,7 +119,11 @@ class Transcriber:
         cfg: WhisperConfig,
         tokenizer: WhisperTokenizer,
         dtype=None,
+        attention: str = "auto",
     ):
+        if attention == "auto":
+            attention = "flash" if jax.default_backend() == "tpu" else "xla"
+        cfg = dataclasses.replace(cfg, attention=attention)
         if dtype is not None:
             params = jax.tree.map(
                 lambda x: x.astype(dtype) if np.issubdtype(x.dtype, np.floating) else x,
