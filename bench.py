@@ -56,8 +56,14 @@ def main() -> int:
           f"device={jax.devices()[0].device_kind}", file=sys.stderr)
 
     params = M.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    quant = os.environ.get("WHISPER_TPU_BENCH_QUANT", "")
+    if quant == "int8":
+        from whisper_tpu.quantize import quantize_params
+
+        params = quantize_params(params)
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
-    print(f"# params: {n_params/1e6:.0f}M (bf16)", file=sys.stderr)
+    print(f"# params: {n_params/1e6:.0f}M (bf16{'+int8' if quant else ''})",
+          file=sys.stderr)
 
     # one window of the production pipeline, batched over streams
     padding = 10
@@ -100,8 +106,9 @@ def main() -> int:
     print(f"# window={window_seconds:.1f}s reps={times} -> "
           f"{xrt:.1f}x RT, {tok_s:.0f} tok/s", file=sys.stderr)
 
+    suffix = f"_{quant}" if quant else ""
     print(json.dumps({
-        "metric": f"xrt_{model_name}_b{batch}_greedy{steps}",
+        "metric": f"xrt_{model_name}_b{batch}_greedy{steps}{suffix}",
         "value": round(xrt, 2),
         "unit": "audio_s_per_s_per_chip",
         "vs_baseline": round(xrt / 50.0, 3),

@@ -1,0 +1,188 @@
+"""OpenAI / HF `.pt` checkpoint conversion tests (reference L8 tooling
+parity: python/dump.py + convert_huggingface_model.py)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+
+from whisper_tpu.config import tiny_test_config
+from whisper_tpu.io import checkpoint, convert_pt
+from whisper_tpu.models import whisper as M
+
+CFG = tiny_test_config()
+D = CFG.n_state
+
+
+@pytest.fixture(scope="module")
+def params():
+    return jax.tree.map(np.asarray, M.init_params(jax.random.PRNGKey(9), CFG))
+
+
+def _t(x):
+    return torch.from_numpy(np.asarray(x, np.float32).copy())
+
+
+def _dims():
+    e, d = CFG.audio_encoder_config, CFG.text_decoder_config
+    return {
+        "n_mels": e.n_mels, "n_audio_ctx": e.n_audio_ctx,
+        "n_audio_state": e.n_audio_state, "n_audio_head": e.n_audio_head,
+        "n_audio_layer": e.n_audio_layer, "n_vocab": d.n_vocab,
+        "n_text_ctx": d.n_text_ctx, "n_text_state": d.n_text_state,
+        "n_text_head": d.n_text_head, "n_text_layer": d.n_text_layer,
+    }
+
+
+def _openai_sd(params):
+    """Inverse mapping: whisper_tpu pytree -> OpenAI torch state dict."""
+    sd = {}
+    enc, dec = params["encoder"], params["decoder"]
+    sd["encoder.conv1.weight"] = _t(enc["conv1_w"].transpose(2, 1, 0))
+    sd["encoder.conv1.bias"] = _t(enc["conv1_b"])
+    sd["encoder.conv2.weight"] = _t(enc["conv2_w"].transpose(2, 1, 0))
+    sd["encoder.conv2.bias"] = _t(enc["conv2_b"])
+    sd["encoder.positional_embedding"] = _t(enc["pos_emb"])
+    sd["encoder.ln_post.weight"] = _t(enc["ln_post_g"])
+    sd["encoder.ln_post.bias"] = _t(enc["ln_post_b"])
+    sd["decoder.token_embedding.weight"] = _t(dec["tok_emb"])
+    sd["decoder.positional_embedding"] = _t(dec["pos_emb"])
+    sd["decoder.ln.weight"] = _t(dec["ln_g"])
+    sd["decoder.ln.bias"] = _t(dec["ln_b"])
+
+    def put_attn(blk, i, prefix, cross):
+        if cross:
+            qw, qb = blk["cross_q_w"][i], blk["cross_q_b"][i]
+            kw, vw = blk["cross_kv_w"][i, :, 0], blk["cross_kv_w"][i, :, 1]
+            vb = blk["cross_kv_b"][i, 1]
+            ow, ob = blk["cross_o_w"][i], blk["cross_o_b"][i]
+        else:
+            qw, kw, vw = (blk["qkv_w"][i, :, j] for j in range(3))
+            qb, _, vb = blk["qkv_b"][i]
+            ow, ob = blk["attn_o_w"][i], blk["attn_o_b"][i]
+        sd[f"{prefix}.query.weight"] = _t(qw.T)
+        sd[f"{prefix}.query.bias"] = _t(qb)
+        sd[f"{prefix}.key.weight"] = _t(kw.T)
+        sd[f"{prefix}.value.weight"] = _t(vw.T)
+        sd[f"{prefix}.value.bias"] = _t(vb)
+        sd[f"{prefix}.out.weight"] = _t(ow.T)
+        sd[f"{prefix}.out.bias"] = _t(ob)
+
+    def put_block(blk, i, prefix, cross):
+        put_attn(blk, i, f"{prefix}.attn", cross=False)
+        sd[f"{prefix}.attn_ln.weight"] = _t(blk["attn_ln_g"][i])
+        sd[f"{prefix}.attn_ln.bias"] = _t(blk["attn_ln_b"][i])
+        if cross:
+            put_attn(blk, i, f"{prefix}.cross_attn", cross=True)
+            sd[f"{prefix}.cross_attn_ln.weight"] = _t(blk["cross_ln_g"][i])
+            sd[f"{prefix}.cross_attn_ln.bias"] = _t(blk["cross_ln_b"][i])
+        sd[f"{prefix}.mlp.0.weight"] = _t(blk["mlp1_w"][i].T)
+        sd[f"{prefix}.mlp.0.bias"] = _t(blk["mlp1_b"][i])
+        sd[f"{prefix}.mlp.2.weight"] = _t(blk["mlp2_w"][i].T)
+        sd[f"{prefix}.mlp.2.bias"] = _t(blk["mlp2_b"][i])
+        sd[f"{prefix}.mlp_ln.weight"] = _t(blk["mlp_ln_g"][i])
+        sd[f"{prefix}.mlp_ln.bias"] = _t(blk["mlp_ln_b"][i])
+
+    for i in range(CFG.audio_encoder_config.n_audio_layer):
+        put_block(enc["blocks"], i, f"encoder.blocks.{i}", cross=False)
+    for i in range(CFG.text_decoder_config.n_text_layer):
+        put_block(dec["blocks"], i, f"decoder.blocks.{i}", cross=True)
+    return sd
+
+
+def _hf_sd(params):
+    """Inverse mapping to the HF transformers key layout."""
+    osd = _openai_sd(params)
+    ren = {}
+    for k, v in osd.items():
+        k2 = (
+            k.replace("encoder.blocks.", "model.encoder.layers.")
+            .replace("decoder.blocks.", "model.decoder.layers.")
+            .replace(".attn.query", ".self_attn.q_proj")
+            .replace(".attn.key", ".self_attn.k_proj")
+            .replace(".attn.value", ".self_attn.v_proj")
+            .replace(".attn.out", ".self_attn.out_proj")
+            .replace(".cross_attn.query", ".encoder_attn.q_proj")
+            .replace(".cross_attn.key", ".encoder_attn.k_proj")
+            .replace(".cross_attn.value", ".encoder_attn.v_proj")
+            .replace(".cross_attn.out", ".encoder_attn.out_proj")
+            .replace(".attn_ln", ".self_attn_layer_norm")
+            .replace(".cross_attn_ln", ".encoder_attn_layer_norm")
+            .replace(".mlp.0", ".fc1")
+            .replace(".mlp.2", ".fc2")
+            .replace(".mlp_ln", ".final_layer_norm")
+            .replace("encoder.positional_embedding",
+                     "model.encoder.embed_positions.weight")
+            .replace("decoder.positional_embedding",
+                     "model.decoder.embed_positions.weight")
+            .replace("encoder.ln_post", "model.encoder.layer_norm")
+            .replace("decoder.token_embedding.weight",
+                     "model.decoder.embed_tokens.weight")
+            .replace("decoder.ln.", "model.decoder.layer_norm.")
+        )
+        if k2.startswith(("encoder.conv", "decoder.")) and not k2.startswith("model."):
+            k2 = "model." + k2
+        ren[k2] = v
+    # HF cross-attn names use self_attn replaced already; fix the
+    # cross_attn keys that went through the self_attn replacement first
+    return ren
+
+
+def _assert_tree_equal(a, b):
+    fa, fb = checkpoint.flatten_params(a), checkpoint.flatten_params(b)
+    assert set(fa) == set(fb)
+    for k in fa:
+        np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]),
+                                      err_msg=k)
+
+
+class TestOpenAI:
+    def test_state_dict_round_trip(self, params):
+        sd = _openai_sd(params)
+        loaded, cfg = convert_pt.from_openai_state_dict(_dims(), sd)
+        assert cfg.audio_encoder_config == CFG.audio_encoder_config
+        assert cfg.text_decoder_config == CFG.text_decoder_config
+        _assert_tree_equal(params, loaded)
+
+    def test_pt_file_with_dims(self, params, tmp_path):
+        path = str(tmp_path / "model.pt")
+        torch.save({"dims": _dims(), "model_state_dict": _openai_sd(params)}, path)
+        loaded, cfg = convert_pt.load_pt(path)
+        _assert_tree_equal(params, loaded)
+
+    def test_bare_state_dict_infers_dims(self, params, tmp_path):
+        path = str(tmp_path / "bare.pt")
+        torch.save(_openai_sd(params), path)
+        loaded, cfg = convert_pt.load_pt(path)
+        assert cfg.audio_encoder_config.n_audio_layer == 2
+        assert cfg.text_decoder_config.n_vocab == CFG.text_decoder_config.n_vocab
+        _assert_tree_equal(params, loaded)
+
+    def test_fp16_weights_upcast(self, params, tmp_path):
+        sd = {k: v.half() for k, v in _openai_sd(params).items()}
+        path = str(tmp_path / "half.pt")
+        torch.save({"dims": _dims(), "model_state_dict": sd}, path)
+        loaded, _ = convert_pt.load_pt(path)
+        flat = checkpoint.flatten_params(loaded)
+        assert all(v.dtype == np.float32 for v in flat.values())
+
+
+class TestHF:
+    def test_hf_state_dict(self, params, tmp_path):
+        sd = _hf_sd(params)
+        loaded, cfg = convert_pt.from_hf_state_dict(sd)
+        assert cfg.text_decoder_config.n_vocab == CFG.text_decoder_config.n_vocab
+        _assert_tree_equal(params, loaded)
+
+    def test_load_pt_detects_hf(self, params, tmp_path):
+        path = str(tmp_path / "hf.bin")
+        torch.save(_hf_sd(params), path)
+        loaded, _ = convert_pt.load_pt(path)
+        _assert_tree_equal(params, loaded)
+
+    def test_unrecognized_raises(self, tmp_path):
+        path = str(tmp_path / "junk.pt")
+        torch.save({"foo": torch.zeros(3)}, path)
+        with pytest.raises(ValueError):
+            convert_pt.load_pt(path)

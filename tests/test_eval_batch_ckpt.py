@@ -1,0 +1,165 @@
+"""Tests: WER eval harness, batched multi-stream transcription, training
+checkpoint/resume."""
+
+import os
+import wave as wave_mod
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisper_tpu.config import tiny_test_config
+from whisper_tpu.eval import wer as werlib
+from whisper_tpu.models import whisper as M
+from whisper_tpu.pipeline.batch import BatchTranscriber
+from whisper_tpu.pipeline.transcribe import DecodeOptions, Transcriber
+from whisper_tpu.text.tokenizer import WhisperTokenizer, build_test_tokenizer_json
+from whisper_tpu.training import checkpointing, train
+
+
+class TestWer:
+    def test_identical(self):
+        assert werlib.wer("hello world", "hello world") == 0.0
+
+    def test_substitution(self):
+        assert werlib.wer("the cat sat", "the dog sat") == pytest.approx(1 / 3)
+
+    def test_insert_delete(self):
+        assert werlib.wer("a b c d", "a b d") == pytest.approx(1 / 4)
+        assert werlib.wer("a b d", "a b c d") == pytest.approx(1 / 3)
+
+    def test_normalization(self):
+        assert werlib.wer("Hello, World!", "hello world") == 0.0
+        assert werlib.wer("don't stop", "dont stop") == 0.0
+
+    def test_empty_hyp(self):
+        assert werlib.wer("one two three", "") == 1.0
+
+    def test_aggregate(self):
+        r = werlib.WerResult()
+        r.add("a b", "a b")
+        r.add("a b", "a x")
+        assert r.wer == pytest.approx(1 / 4)
+        assert r.utterances == 2
+
+    def test_manifest_tsv_and_jsonl(self, tmp_path):
+        (tmp_path / "a.wav").write_bytes(b"")
+        m = tmp_path / "m.tsv"
+        m.write_text("a.wav\thello there\n")
+        items = list(werlib.iter_manifest(str(m)))
+        assert items == [(str(tmp_path / "a.wav"), "hello there")]
+        j = tmp_path / "m.jsonl"
+        j.write_text('{"audio": "a.wav", "text": "hi"}\n')
+        assert list(werlib.iter_manifest(str(j)))[0][1] == "hi"
+
+    def test_librispeech_layout(self, tmp_path):
+        d = tmp_path / "19" / "198"
+        d.mkdir(parents=True)
+        (d / "19-198.trans.txt").write_text("19-198-0000 HELLO WORLD\n")
+        with wave_mod.open(str(d / "19-198-0000.wav"), "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+            w.writeframes(np.zeros(100, np.int16).tobytes())
+        items = list(werlib.iter_librispeech(str(tmp_path)))
+        assert len(items) == 1 and items[0][1] == "HELLO WORLD"
+
+    def test_evaluate_runner(self):
+        items = [("x.wav", "a b c"), ("y.wav", "d e")]
+        res = werlib.evaluate(lambda p: "a b c" if p == "x.wav" else "d x",
+                              items)
+        assert res.words == 5 and res.errors == 1
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("batch")
+    tok_path = str(d / "tokenizer.json")
+    build_test_tokenizer_json(tok_path)
+    tok = WhisperTokenizer(tok_path)
+    cfg = tiny_test_config(n_vocab=tok.vocab_size, n_audio_ctx=64, n_text_ctx=32)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    return params, cfg, tok
+
+
+class TestBatchTranscriber:
+    def test_matches_single_stream(self, setup):
+        """Batched many-streams output == per-stream single pipeline."""
+        params, cfg, tok = setup
+        rng = np.random.default_rng(0)
+        waves = [rng.standard_normal(n).astype(np.float32)
+                 for n in (9000, 12000, 5000)]
+        opts = DecodeOptions(lang="en", strategy="greedy", max_depth=6,
+                             chunk_overlap_seconds=0.02)
+
+        bt = BatchTranscriber(params, cfg, tok, batch_size=4)
+        batched = bt.transcribe_many(waves, 16000, opts)
+
+        single = Transcriber(params, cfg, tok)
+        for wave, (btext, btoks) in zip(waves, batched):
+            stext, stoks = single.transcribe(wave, 16000, opts,
+                                             on_chunk=lambda *a: None)
+            assert btoks == stoks
+            assert btext == stext
+
+    def test_many_streams_one_batch(self, setup):
+        params, cfg, tok = setup
+        rng = np.random.default_rng(1)
+        n_window = 160 * 55 - 1  # full window for ctx 64 / padding 10
+        waves = [rng.standard_normal(n_window).astype(np.float32)
+                 for _ in range(5)]
+        bt = BatchTranscriber(params, cfg, tok, batch_size=8)
+        out = bt.transcribe_many(
+            waves, 16000,
+            DecodeOptions(lang="en", strategy="greedy", max_depth=5),
+        )
+        assert len(out) == 5
+        for text, toks in out:
+            assert toks[:4] == tok.prompt_ids("en")
+
+
+class TestTrainCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        cfg = tiny_test_config()
+        params = M.init_params(jax.random.PRNGKey(1), cfg)
+        opt = train.make_optimizer(total_steps=10)
+        state = train.init_train_state(params, opt)
+
+        rng = np.random.default_rng(0)
+        batch = train.Batch(
+            mel=jnp.asarray(rng.standard_normal((2, 80, 32)).astype(np.float32)),
+            tokens=jnp.asarray(rng.integers(0, 64, (2, 12)).astype(np.int32)),
+            loss_mask=jnp.ones((2, 12), jnp.float32),
+        )
+        step = train.make_train_step(cfg, opt)
+        state, _ = step(state, batch)
+
+        path = str(tmp_path / "ckpt")
+        checkpointing.save_train_state(path, state)
+        fresh = train.init_train_state(params, opt)
+        restored = checkpointing.restore_train_state(path, fresh)
+        assert int(restored.step) == 1
+        a = np.asarray(state.params["decoder"]["tok_emb"])
+        b = np.asarray(restored.params["decoder"]["tok_emb"])
+        np.testing.assert_array_equal(a, b)
+
+        # resume training from the restored state
+        state2, metrics = step(restored, batch)
+        assert int(state2.step) == 2
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_export_params(self, tmp_path):
+        from whisper_tpu.io import checkpoint as ckpt_io
+
+        cfg = tiny_test_config()
+        params = M.init_params(jax.random.PRNGKey(2), cfg)
+        opt = train.make_optimizer()
+        state = train.init_train_state(params, opt)
+        path = str(tmp_path / "model.safetensors")
+        checkpointing.export_params(state, cfg, path)
+        loaded, lcfg = ckpt_io.load_safetensors(path)
+        assert lcfg.audio_encoder_config == cfg.audio_encoder_config
+        np.testing.assert_array_equal(
+            np.asarray(params["decoder"]["tok_emb"]),
+            loaded["decoder"]["tok_emb"],
+        )

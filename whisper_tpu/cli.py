@@ -170,18 +170,127 @@ def cmd_convert(argv) -> int:
     return 0
 
 
+def cmd_convert_pt(argv) -> int:
+    p = argparse.ArgumentParser(
+        prog="whisper_tpu convert-pt",
+        description="Convert an OpenAI or HuggingFace Whisper .pt/.bin "
+                    "checkpoint (replaces the reference's python/dump.py + "
+                    "convert_huggingface_model.py).",
+    )
+    p.add_argument("pt_file", help="OpenAI {dims, model_state_dict} .pt or "
+                                   "HF pytorch_model.bin")
+    p.add_argument("out", help="output basename: writes <out>.safetensors + <out>.cfg")
+    p.add_argument("--dump-tree", action="store_true",
+                   help="also write the reference-format npy dump tree at <out>/")
+    args = p.parse_args(argv)
+
+    from .io import checkpoint, convert_pt, npy_tree
+
+    try:
+        params, cfg = convert_pt.load_pt(args.pt_file)
+    except Exception as e:
+        print(f"Error loading checkpoint {args.pt_file}: {e}", file=sys.stderr)
+        return 1
+    print("Saving model...")
+    checkpoint.save_safetensors(params, cfg, f"{args.out}.safetensors")
+    print("Saving config...")
+    cfg.save(f"{args.out}.cfg")
+    if args.dump_tree:
+        print("Saving npy dump tree...")
+        npy_tree.save_whisper(params, cfg, args.out)
+    print("Finished.")
+    return 0
+
+
+def cmd_eval(argv) -> int:
+    p = argparse.ArgumentParser(
+        prog="whisper_tpu eval",
+        description="WER evaluation over a local dataset (LibriSpeech layout "
+                    "or manifest file).",
+    )
+    p.add_argument("model")
+    p.add_argument("dataset", help="LibriSpeech-style directory, or a "
+                                   ".tsv/.jsonl manifest (audio<TAB>text)")
+    p.add_argument("lang", nargs="?", default="en")
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--greedy", action="store_true")
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
+    p.add_argument("-v", "--verbose", action="count", default=0)
+    args = p.parse_args(argv)
+
+    from .utils.logging import configure
+
+    configure(args.verbose)
+    _enable_compilation_cache()
+
+    import jax.numpy as jnp
+
+    from .eval import wer as werlib
+    from .io import checkpoint, native as wav_native, wav
+    from .pipeline.transcribe import DecodeOptions, Transcriber
+    from .text.tokenizer import WhisperTokenizer
+    from .config import SAMPLE_RATE
+
+    tok_path = args.tokenizer or os.path.join(
+        os.path.dirname(os.path.abspath(args.model)), "tokenizer.json"
+    )
+    tokenizer = WhisperTokenizer(tok_path)
+    params, cfg = checkpoint.load_params(args.model)
+    t = Transcriber(params, cfg, tokenizer,
+                    dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None)
+    opts = DecodeOptions(lang=args.lang,
+                         strategy="greedy" if args.greedy else "beam")
+
+    def transcribe_path(path: str) -> str:
+        waveform, rate = wav_native.load_wav(path)
+        if rate != SAMPLE_RATE:
+            waveform = wav.resample(waveform, rate, SAMPLE_RATE)
+        text, _ = t.transcribe(waveform, SAMPLE_RATE, opts,
+                               on_chunk=lambda *a: None)
+        return text
+
+    if os.path.isdir(args.dataset):
+        items = werlib.iter_librispeech(args.dataset)
+    else:
+        items = werlib.iter_manifest(args.dataset)
+
+    def progress(i, audio, ref, hyp, res):
+        print(f"[{i}] WER so far: {res.wer:.4f} ({res.errors}/{res.words})",
+              file=sys.stderr)
+
+    result = werlib.evaluate(transcribe_path, items, limit=args.limit,
+                             on_item=progress if args.verbose else None)
+    import json as _json
+
+    print(_json.dumps({
+        "wer": round(result.wer, 5),
+        "errors": result.errors,
+        "words": result.words,
+        "utterances": result.utterances,
+    }))
+    return 0
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
-        print("usage: whisper_tpu {transcribe,convert,bench} ...", file=sys.stderr)
+        print("usage: whisper_tpu {transcribe,convert,convert-pt,eval} ...",
+              file=sys.stderr)
         print("  transcribe <model> <audio.wav> <lang> <out.txt>", file=sys.stderr)
         print("  convert <dump dir>", file=sys.stderr)
+        print("  convert-pt <model.pt> <out name>", file=sys.stderr)
+        print("  eval <model> <dataset> [lang]", file=sys.stderr)
         return 0 if argv else 1
     cmd, rest = argv[0], argv[1:]
     if cmd == "transcribe":
         return cmd_transcribe(rest)
     if cmd == "convert":
         return cmd_convert(rest)
+    if cmd == "convert-pt":
+        return cmd_convert_pt(rest)
+    if cmd == "eval":
+        return cmd_eval(rest)
     print(f"unknown command: {cmd}", file=sys.stderr)
     return 1
 

@@ -1,0 +1,295 @@
+"""Convert OpenAI / HuggingFace Whisper checkpoints to whisper_tpu formats.
+
+Capability parity with the reference's offline tooling (L8):
+  * `python/dump.py` -- loads an OpenAI `.pt` (`{dims, model_state_dict}`,
+    dump.py:214-218) and re-serializes it. Here the same `.pt` maps DIRECTLY
+    into the whisper_tpu parameter pytree (no tinygrad model rebuild), and
+    can be written as a safetensors checkpoint or as the reference's own npy
+    dump tree (io.npy_tree.save_whisper) for cross-compatibility.
+  * `python/convert_huggingface_model.py` -- HF repo -> OpenAI format. Here
+    HF-format state dicts (`model.encoder.layers.N.self_attn...`) are mapped
+    directly, no intermediate conversion.
+
+Only `torch.load` (CPU) is used, for deserializing `.pt` files.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+from ..config import AudioEncoderConfig, TextDecoderConfig, WhisperConfig
+
+Params = Dict[str, Any]
+
+
+def _np(t) -> np.ndarray:
+    # torch tensor (possibly f16) -> float32 numpy
+    import torch
+
+    if isinstance(t, torch.Tensor):
+        return t.detach().cpu().to(torch.float32).numpy()
+    return np.asarray(t, np.float32)
+
+
+def _stack(blocks) -> Dict[str, np.ndarray]:
+    return {k: np.stack([b[k] for b in blocks]) for k in blocks[0]}
+
+
+# ----------------------------------------------------------------------------
+# OpenAI format (the layout the reference's dump.py consumes, dump.py:214-218)
+# ----------------------------------------------------------------------------
+
+
+def config_from_openai_dims(dims: Mapping[str, int]) -> WhisperConfig:
+    return WhisperConfig(
+        audio_encoder_config=AudioEncoderConfig(
+            n_mels=int(dims["n_mels"]),
+            n_audio_ctx=int(dims["n_audio_ctx"]),
+            n_audio_state=int(dims["n_audio_state"]),
+            n_audio_head=int(dims["n_audio_head"]),
+            n_audio_layer=int(dims["n_audio_layer"]),
+        ),
+        text_decoder_config=TextDecoderConfig(
+            n_vocab=int(dims["n_vocab"]),
+            n_text_ctx=int(dims["n_text_ctx"]),
+            n_text_state=int(dims["n_text_state"]),
+            n_text_head=int(dims["n_text_head"]),
+            n_text_layer=int(dims["n_text_layer"]),
+        ),
+    )
+
+
+def _attn_from(sd, prefix: str, d: int, cross: bool) -> Dict[str, np.ndarray]:
+    """Map {query,key,value,out} torch linears ((out,in) weights) into the
+    fused runtime layout. K has no bias (bias-free by architecture)."""
+    qw = _np(sd[f"{prefix}.query.weight"]).T
+    qb = _np(sd[f"{prefix}.query.bias"])
+    kw = _np(sd[f"{prefix}.key.weight"]).T
+    vw = _np(sd[f"{prefix}.value.weight"]).T
+    vb = _np(sd[f"{prefix}.value.bias"])
+    ow = _np(sd[f"{prefix}.out.weight"]).T
+    ob = _np(sd[f"{prefix}.out.bias"])
+    kb = np.zeros((d,), np.float32)
+    if cross:
+        return {
+            "cross_q_w": qw, "cross_q_b": qb,
+            "cross_kv_w": np.stack([kw, vw], axis=1),
+            "cross_kv_b": np.stack([kb, vb]),
+            "cross_o_w": ow, "cross_o_b": ob,
+        }
+    return {
+        "qkv_w": np.stack([qw, kw, vw], axis=1),
+        "qkv_b": np.stack([qb, kb, vb]),
+        "attn_o_w": ow, "attn_o_b": ob,
+    }
+
+
+def _block_from_openai(sd, prefix: str, d: int, cross: bool) -> Dict[str, np.ndarray]:
+    blk = dict(_attn_from(sd, f"{prefix}.attn", d, cross=False))
+    blk["attn_ln_g"] = _np(sd[f"{prefix}.attn_ln.weight"])
+    blk["attn_ln_b"] = _np(sd[f"{prefix}.attn_ln.bias"])
+    if cross:
+        blk.update(_attn_from(sd, f"{prefix}.cross_attn", d, cross=True))
+        blk["cross_ln_g"] = _np(sd[f"{prefix}.cross_attn_ln.weight"])
+        blk["cross_ln_b"] = _np(sd[f"{prefix}.cross_attn_ln.bias"])
+    # OpenAI MLP is a Sequential: mlp.0 = Linear(d,4d), mlp.2 = Linear(4d,d)
+    blk["mlp1_w"] = _np(sd[f"{prefix}.mlp.0.weight"]).T
+    blk["mlp1_b"] = _np(sd[f"{prefix}.mlp.0.bias"])
+    blk["mlp2_w"] = _np(sd[f"{prefix}.mlp.2.weight"]).T
+    blk["mlp2_b"] = _np(sd[f"{prefix}.mlp.2.bias"])
+    blk["mlp_ln_g"] = _np(sd[f"{prefix}.mlp_ln.weight"])
+    blk["mlp_ln_b"] = _np(sd[f"{prefix}.mlp_ln.bias"])
+    return blk
+
+
+def from_openai_state_dict(
+    dims: Mapping[str, int], sd: Mapping[str, Any]
+) -> Tuple[Params, WhisperConfig]:
+    cfg = config_from_openai_dims(dims)
+    d = cfg.n_state
+    L_e = cfg.audio_encoder_config.n_audio_layer
+    L_d = cfg.text_decoder_config.n_text_layer
+
+    params: Params = {
+        "encoder": {
+            # torch conv (out, in, k) -> NHC/HIO (k, in, out)
+            "conv1_w": _np(sd["encoder.conv1.weight"]).transpose(2, 1, 0),
+            "conv1_b": _np(sd["encoder.conv1.bias"]),
+            "conv2_w": _np(sd["encoder.conv2.weight"]).transpose(2, 1, 0),
+            "conv2_b": _np(sd["encoder.conv2.bias"]),
+            "pos_emb": _np(sd["encoder.positional_embedding"]),
+            "blocks": _stack([
+                _block_from_openai(sd, f"encoder.blocks.{i}", d, cross=False)
+                for i in range(L_e)
+            ]),
+            "ln_post_g": _np(sd["encoder.ln_post.weight"]),
+            "ln_post_b": _np(sd["encoder.ln_post.bias"]),
+        },
+        "decoder": {
+            "tok_emb": _np(sd["decoder.token_embedding.weight"]),
+            "pos_emb": _np(sd["decoder.positional_embedding"]),
+            "blocks": _stack([
+                _block_from_openai(sd, f"decoder.blocks.{i}", d, cross=True)
+                for i in range(L_d)
+            ]),
+            "ln_g": _np(sd["decoder.ln.weight"]),
+            "ln_b": _np(sd["decoder.ln.bias"]),
+        },
+    }
+    return params, cfg
+
+
+# ----------------------------------------------------------------------------
+# HuggingFace transformers format (WhisperForConditionalGeneration)
+# ----------------------------------------------------------------------------
+
+
+def _hf_attn(sd, prefix: str, d: int, cross: bool) -> Dict[str, np.ndarray]:
+    qw = _np(sd[f"{prefix}.q_proj.weight"]).T
+    qb = _np(sd[f"{prefix}.q_proj.bias"])
+    kw = _np(sd[f"{prefix}.k_proj.weight"]).T
+    vw = _np(sd[f"{prefix}.v_proj.weight"]).T
+    vb = _np(sd[f"{prefix}.v_proj.bias"])
+    ow = _np(sd[f"{prefix}.out_proj.weight"]).T
+    ob = _np(sd[f"{prefix}.out_proj.bias"])
+    kb = np.zeros((d,), np.float32)
+    if cross:
+        return {
+            "cross_q_w": qw, "cross_q_b": qb,
+            "cross_kv_w": np.stack([kw, vw], axis=1),
+            "cross_kv_b": np.stack([kb, vb]),
+            "cross_o_w": ow, "cross_o_b": ob,
+        }
+    return {
+        "qkv_w": np.stack([qw, kw, vw], axis=1),
+        "qkv_b": np.stack([qb, kb, vb]),
+        "attn_o_w": ow, "attn_o_b": ob,
+    }
+
+
+def _block_from_hf(sd, prefix: str, d: int, cross: bool) -> Dict[str, np.ndarray]:
+    blk = dict(_hf_attn(sd, f"{prefix}.self_attn", d, cross=False))
+    blk["attn_ln_g"] = _np(sd[f"{prefix}.self_attn_layer_norm.weight"])
+    blk["attn_ln_b"] = _np(sd[f"{prefix}.self_attn_layer_norm.bias"])
+    if cross:
+        blk.update(_hf_attn(sd, f"{prefix}.encoder_attn", d, cross=True))
+        blk["cross_ln_g"] = _np(sd[f"{prefix}.encoder_attn_layer_norm.weight"])
+        blk["cross_ln_b"] = _np(sd[f"{prefix}.encoder_attn_layer_norm.bias"])
+    blk["mlp1_w"] = _np(sd[f"{prefix}.fc1.weight"]).T
+    blk["mlp1_b"] = _np(sd[f"{prefix}.fc1.bias"])
+    blk["mlp2_w"] = _np(sd[f"{prefix}.fc2.weight"]).T
+    blk["mlp2_b"] = _np(sd[f"{prefix}.fc2.bias"])
+    blk["mlp_ln_g"] = _np(sd[f"{prefix}.final_layer_norm.weight"])
+    blk["mlp_ln_b"] = _np(sd[f"{prefix}.final_layer_norm.bias"])
+    return blk
+
+
+def from_hf_state_dict(sd: Mapping[str, Any]) -> Tuple[Params, WhisperConfig]:
+    """Map a transformers WhisperForConditionalGeneration state dict.
+
+    Shapes/config are inferred from the tensors (the HF config is not
+    needed): heads default to d//64, the universal Whisper head width.
+    """
+    pre = "model." if any(k.startswith("model.") for k in sd) else ""
+
+    enc_pos = _np(sd[f"{pre}encoder.embed_positions.weight"])
+    dec_pos = _np(sd[f"{pre}decoder.embed_positions.weight"])
+    tok_emb = _np(sd[f"{pre}decoder.embed_tokens.weight"])
+    conv1_w = _np(sd[f"{pre}encoder.conv1.weight"])
+    d = conv1_w.shape[0]
+    n_mels = conv1_w.shape[1]
+
+    def n_layers(part: str) -> int:
+        n = 0
+        while f"{pre}{part}.layers.{n}.self_attn.q_proj.weight" in sd:
+            n += 1
+        return n
+
+    L_e, L_d = n_layers("encoder"), n_layers("decoder")
+    n_head = max(1, d // 64)
+
+    cfg = WhisperConfig(
+        audio_encoder_config=AudioEncoderConfig(
+            n_mels=n_mels, n_audio_ctx=enc_pos.shape[0], n_audio_state=d,
+            n_audio_head=n_head, n_audio_layer=L_e,
+        ),
+        text_decoder_config=TextDecoderConfig(
+            n_vocab=tok_emb.shape[0], n_text_ctx=dec_pos.shape[0],
+            n_text_state=d, n_text_head=n_head, n_text_layer=L_d,
+        ),
+    )
+
+    params: Params = {
+        "encoder": {
+            "conv1_w": conv1_w.transpose(2, 1, 0),
+            "conv1_b": _np(sd[f"{pre}encoder.conv1.bias"]),
+            "conv2_w": _np(sd[f"{pre}encoder.conv2.weight"]).transpose(2, 1, 0),
+            "conv2_b": _np(sd[f"{pre}encoder.conv2.bias"]),
+            "pos_emb": enc_pos,
+            "blocks": _stack([
+                _block_from_hf(sd, f"{pre}encoder.layers.{i}", d, cross=False)
+                for i in range(L_e)
+            ]),
+            "ln_post_g": _np(sd[f"{pre}encoder.layer_norm.weight"]),
+            "ln_post_b": _np(sd[f"{pre}encoder.layer_norm.bias"]),
+        },
+        "decoder": {
+            "tok_emb": tok_emb,
+            "pos_emb": dec_pos,
+            "blocks": _stack([
+                _block_from_hf(sd, f"{pre}decoder.layers.{i}", d, cross=True)
+                for i in range(L_d)
+            ]),
+            "ln_g": _np(sd[f"{pre}decoder.layer_norm.weight"]),
+            "ln_b": _np(sd[f"{pre}decoder.layer_norm.bias"]),
+        },
+    }
+    return params, cfg
+
+
+# ----------------------------------------------------------------------------
+# File-level entry
+# ----------------------------------------------------------------------------
+
+
+def load_pt(path: str) -> Tuple[Params, WhisperConfig]:
+    """Load an OpenAI (`{dims, model_state_dict}`) or HF-format `.pt`/`.bin`."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model_state_dict" in obj and "dims" in obj:
+        dims = obj["dims"]
+        if not isinstance(dims, Mapping):  # ModelDimensions dataclass
+            dims = vars(dims)
+        return from_openai_state_dict(dims, obj["model_state_dict"])
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    if isinstance(obj, dict):
+        keys = list(obj)
+        if any(".self_attn." in k for k in keys):
+            return from_hf_state_dict(obj)
+        if any(k.startswith("encoder.blocks.") for k in keys):
+            # bare OpenAI state dict: infer dims from shapes
+            d = _np(obj["encoder.conv1.weight"]).shape[0]
+            dims = {
+                "n_mels": _np(obj["encoder.conv1.weight"]).shape[1],
+                "n_audio_ctx": _np(obj["encoder.positional_embedding"]).shape[0],
+                "n_audio_state": d,
+                "n_audio_head": max(1, d // 64),
+                "n_audio_layer": sum(
+                    1 for k in keys
+                    if k.startswith("encoder.blocks.") and k.endswith(".attn_ln.weight")
+                ),
+                "n_vocab": _np(obj["decoder.token_embedding.weight"]).shape[0],
+                "n_text_ctx": _np(obj["decoder.positional_embedding"]).shape[0],
+                "n_text_state": d,
+                "n_text_head": max(1, d // 64),
+                "n_text_layer": sum(
+                    1 for k in keys
+                    if k.startswith("decoder.blocks.") and k.endswith(".attn_ln.weight")
+                ),
+            }
+            return from_openai_state_dict(dims, obj)
+    raise ValueError(f"{path}: unrecognized checkpoint structure")

@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import WhisperConfig
+from ..quantize import QTensor
 
 Params = Dict[str, Any]
 
@@ -135,16 +136,28 @@ def layer_norm(x: jax.Array, g: jax.Array, b: jax.Array, eps: float) -> jax.Arra
     return (y * g + b).astype(x.dtype)
 
 
-def _linear(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
-    y = jax.lax.dot_general(
+def _matmul(x: jax.Array, w) -> jax.Array:
+    """x (..., d) @ w (d, ...); w may be an int8 QTensor (weight-only quant:
+    the int8->bf16 convert fuses into the XLA GEMM, so HBM traffic is int8)."""
+    if isinstance(w, QTensor):
+        y = jax.lax.dot_general(
+            x, w.q.astype(x.dtype), (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (y * w.scale).astype(x.dtype)
+    return jax.lax.dot_general(
         x, w, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(x.dtype)
+
+
+def _linear(x: jax.Array, w, b: Optional[jax.Array] = None) -> jax.Array:
+    y = _matmul(x, w)
     if b is not None:
         y = y + b
     return y
 
 
-def _qkv_proj(x: jax.Array, w: jax.Array, b: jax.Array):
+def _qkv_proj(x: jax.Array, w, b: jax.Array):
     """Fused QKV projection: x (..., d) @ w (d, 3, d) + b (3, d) -> q, k, v.
 
     One MXU GEMM (contraction over d, 3d output columns). The projection axis
@@ -152,17 +165,13 @@ def _qkv_proj(x: jax.Array, w: jax.Array, b: jax.Array):
     parallelism can shard the trailing head axis without crossing the q|k|v
     boundary (see whisper_tpu.parallel.sharding).
     """
-    y = jax.lax.dot_general(
-        x, w, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(x.dtype) + b
+    y = _matmul(x, w) + b
     return y[..., 0, :], y[..., 1, :], y[..., 2, :]
 
 
-def _kv_proj(x: jax.Array, w: jax.Array, b: jax.Array):
+def _kv_proj(x: jax.Array, w, b: jax.Array):
     """Fused KV projection: x (..., d) @ w (d, 2, d) + b (2, d) -> k, v."""
-    y = jax.lax.dot_general(
-        x, w, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(x.dtype) + b
+    y = _matmul(x, w) + b
     return y[..., 0, :], y[..., 1, :]
 
 

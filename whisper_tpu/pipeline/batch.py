@@ -1,0 +1,152 @@
+"""Batched multi-stream transcription (BASELINE config 5: "8+ concurrent
+audios per chip").
+
+New capability beyond the reference (single stream, batch-1 everywhere except
+beam lanes). Strategy: every stream is windowed exactly like the single-stream
+pipeline (same ~14.9 s windows / overlap / zero-pad semantics, so results
+match `Transcriber.transcribe` stream-for-stream); all FULL-length windows
+across all streams are packed into fixed-size batches and run through one
+jitted mel->encoder->greedy program; odd-length tail windows fall back to the
+per-shape single path. Host-side stitching reassembles each stream.
+
+Scaling: with a ("dp", tp=1) mesh, place the batch with `batch_pspec()` and
+the same program data-parallelizes across chips.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SAMPLE_RATE, WhisperConfig
+from ..models import whisper as M
+from ..ops.audio import max_waveform_samples, prep_audio
+from ..decode import greedy as dgreedy
+from ..text.tokenizer import WhisperTokenizer
+from ..utils.logging import get_logger
+from .transcribe import DecodeOptions, Transcriber, find_chunk_overlap, window_waveform
+
+log = get_logger(__name__)
+
+
+class BatchTranscriber(Transcriber):
+    """Transcriber with a many-streams entry point (greedy decoding)."""
+
+    def __init__(self, *args, batch_size: int = 8, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.batch_size = batch_size
+
+    @functools.lru_cache(maxsize=8)
+    def _batch_window_fn(self, n_samples: int, prompt_len: int, max_depth: int,
+                         padding: int, suppress_until_len: int):
+        cfg = self.cfg
+        enc_ctx = cfg.encoder_ctx_size
+        eot = self.tok.eot
+
+        def run(params, waves, prompt, suppress):  # waves (B, n_samples)
+            mel = prep_audio(waves, per_sample_max=True)
+            keep = min(mel.shape[2], enc_ctx - padding)
+            mel = jnp.pad(mel[:, :, :keep], ((0, 0), (0, 0), (0, padding)))
+            enc = M.encoder_forward(params, mel, cfg)
+            toks, lengths, _ = dgreedy.greedy_decode(
+                params, enc, prompt, cfg, eot_id=eot, suppress_mask=suppress,
+                max_depth=max_depth, suppress_until_len=suppress_until_len,
+            )
+            return toks, lengths
+
+        return jax.jit(run)
+
+    def transcribe_many(
+        self,
+        waveforms: Sequence[np.ndarray],
+        sample_rate: int = SAMPLE_RATE,
+        options: Optional[DecodeOptions] = None,
+    ) -> List[Tuple[str, List[int]]]:
+        """Transcribe N independent audio streams; returns [(text, tokens)].
+
+        Windowing/stitching semantics are identical to `transcribe`
+        (per-sample mel max keeps batched numerics equal to singleton runs).
+        """
+        opt = options or DecodeOptions()
+        cfg, tok = self.cfg, self.tok
+        n_window = max_waveform_samples(cfg.encoder_ctx_size - opt.padding)
+        overlap = int(sample_rate * opt.chunk_overlap_seconds)
+        if overlap >= n_window:
+            overlap = n_window // 2
+        prompt = jnp.asarray(
+            tok.prompt_ids(opt.lang, timestamps=opt.timestamps), jnp.int32
+        )
+
+        # 1. collect windows: full-size ones go to the batch queue
+        full: List[Tuple[int, int, np.ndarray]] = []  # (stream, window_idx, wave)
+        tail: List[Tuple[int, int, np.ndarray]] = []
+        n_windows = [0] * len(waveforms)
+        for s, wave in enumerate(waveforms):
+            wave = np.asarray(wave, np.float32)
+            for w, (start, end) in enumerate(
+                window_waveform(wave, sample_rate, n_window, overlap)
+            ):
+                chunk = np.ascontiguousarray(wave[start:end])
+                n_windows[s] = w + 1
+                if len(chunk) == n_window:
+                    full.append((s, w, chunk))
+                elif len(chunk) >= 400:
+                    tail.append((s, w, chunk))
+
+        results: dict = {}
+
+        # 2. run full windows in fixed-size batches (pad the last batch by
+        #    repeating row 0; padded rows are discarded)
+        B = self.batch_size
+        fn = self._batch_window_fn(
+            n_window, int(prompt.shape[0]), opt.max_depth, opt.padding,
+            opt.suppress_until_len,
+        )
+        for i in range(0, len(full), B):
+            group = full[i : i + B]
+            waves = np.stack([g[2] for g in group])
+            if len(group) < B:
+                waves = np.concatenate(
+                    [waves, np.repeat(waves[:1], B - len(group), axis=0)]
+                )
+            toks, lengths = fn(self.params, jnp.asarray(waves), prompt,
+                               self._suppress)
+            toks, lengths = np.asarray(toks), np.asarray(lengths)
+            for j, (s, w, _) in enumerate(group):
+                results[(s, w)] = [int(t) for t in toks[j, : lengths[j]]]
+            log.info("batch %d-%d/%d windows done", i, i + len(group), len(full))
+
+        # 3. tail windows, one at a time through the single-window path
+        for s, w, chunk in tail:
+            sfn = self._window_fn(
+                len(chunk), int(prompt.shape[0]), "greedy", 1,
+                opt.max_depth, opt.padding, opt.suppress_until_len,
+            )
+            toks_dev, length = sfn(self.params, jnp.asarray(chunk), prompt,
+                                   self._suppress)
+            results[(s, w)] = [int(t) for t in np.asarray(toks_dev)[: int(length)]]
+
+        # 4. per-stream stitching (src/transcribe.rs:56-63 semantics)
+        out: List[Tuple[str, List[int]]] = []
+        for s in range(len(waveforms)):
+            tokens: List[int] = []
+            for w in range(n_windows[s]):
+                new_tokens = results.get((s, w))
+                if new_tokens is None:
+                    continue  # skipped (<400 sample) tail
+                spliced = find_chunk_overlap(
+                    tokens, new_tokens, opt.stitch_max_offsets,
+                    opt.stitch_min_overlaps,
+                )
+                if spliced is not None:
+                    pi, ci = spliced
+                    tokens = tokens[:pi] + new_tokens[ci:]
+                else:
+                    tokens.extend(new_tokens)
+            out.append((tok.decode(tokens, skip_special=True), tokens))
+        return out

@@ -124,6 +124,12 @@ class Transcriber:
         if attention == "auto":
             attention = "flash" if jax.default_backend() == "tpu" else "xla"
         cfg = dataclasses.replace(cfg, attention=attention)
+        if tokenizer.vocab_size != cfg.text_decoder_config.n_vocab:
+            raise ValueError(
+                f"tokenizer vocab size {tokenizer.vocab_size} does not match "
+                f"model n_vocab {cfg.text_decoder_config.n_vocab} -- wrong "
+                "tokenizer.json for this checkpoint?"
+            )
         if dtype is not None:
             params = jax.tree.map(
                 lambda x: x.astype(dtype) if np.issubdtype(x.dtype, np.floating) else x,
