@@ -89,15 +89,18 @@ def main() -> int:
         rng.standard_normal((batch, window_samples)).astype(np.float32) * 0.1
     )
 
+    # NOTE: np.asarray (device->host fetch) rather than block_until_ready --
+    # on the axon tunnel backend block_until_ready can return before the
+    # computation finishes, silently under-measuring.
     t0 = time.perf_counter()
-    fn(params, wave).block_until_ready()
+    np.asarray(fn(params, wave))
     compile_s = time.perf_counter() - t0
     print(f"# compile+first run: {compile_s:.1f}s", file=sys.stderr)
 
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        fn(params, wave).block_until_ready()
+        np.asarray(fn(params, wave))
         times.append(time.perf_counter() - t0)
     best = min(times)
     audio_sec = batch * window_seconds

@@ -235,3 +235,28 @@ class TestGreedy:
             assert list(np.asarray(toks_b)[i, : int(len_b[i])]) == list(
                 np.asarray(toks_1)[0, : int(len_1[0])]
             )
+
+
+class TestBatchedBeam:
+    def test_matches_unbatched(self, params):
+        """vmapped beam over W windows == W independent searches."""
+        rng = np.random.default_rng(21)
+        mels = rng.standard_normal(
+            (3, 80, CFG.audio_encoder_config.n_audio_ctx)
+        ).astype(np.float32)
+        encs = M.encoder_forward(params, jnp.asarray(mels), CFG)
+        prompt = jnp.asarray([3, 9, 11, 4], jnp.int32)
+
+        toks_b, len_b, logp_b = dbeam.beam_search_batched_jit(
+            params, encs, prompt, CFG, eot_id=EOT,
+            suppress_mask=_suppress_mask(), beam_size=3, max_depth=10,
+        )
+        for w in range(3):
+            toks_1, len_1, logp_1 = dbeam.beam_search_jit(
+                params, encs[w : w + 1], prompt, CFG, eot_id=EOT,
+                suppress_mask=_suppress_mask(), beam_size=3, max_depth=10,
+            )
+            assert list(np.asarray(toks_b)[w, : int(len_b[w])]) == list(
+                np.asarray(toks_1)[: int(len_1)]
+            )
+            np.testing.assert_allclose(float(logp_b[w]), float(logp_1), atol=1e-5)

@@ -163,3 +163,20 @@ class TestTrainCheckpoint:
             np.asarray(params["decoder"]["tok_emb"]),
             loaded["decoder"]["tok_emb"],
         )
+
+
+class TestBatchBeam:
+    def test_batched_beam_matches_single(self, setup):
+        """Batched BEAM transcription == per-stream beam pipeline."""
+        params, cfg, tok = setup
+        rng = np.random.default_rng(5)
+        waves = [rng.standard_normal(n).astype(np.float32) for n in (8799, 8799)]
+        opts = DecodeOptions(lang="en", strategy="beam", beam_size=3,
+                             max_depth=6, chunk_overlap_seconds=0.02)
+        bt = BatchTranscriber(params, cfg, tok, batch_size=2)
+        batched = bt.transcribe_many(waves, 16000, opts)
+        single = Transcriber(params, cfg, tok)
+        for wave, (btext, btoks) in zip(waves, batched):
+            stext, stoks = single.transcribe(wave, 16000, opts,
+                                             on_chunk=lambda *a: None)
+            assert btoks == stoks

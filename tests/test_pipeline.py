@@ -150,3 +150,33 @@ class TestTranscriber:
             on_chunk=lambda *a: None,
         )
         assert isinstance(text, str)
+
+
+class TestDeterminismAndNumerics:
+    """SURVEY.md §5: deterministic-order tests + nan debugging in place of the
+    reference's (absent) sanitizers."""
+
+    def test_transcribe_deterministic(self, setup):
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        wave = np.random.default_rng(7).standard_normal(6000).astype(np.float32)
+        opts = DecodeOptions(lang="en", beam_size=2, max_depth=5,
+                             chunk_overlap_seconds=0.01)
+        _, toks1 = t.transcribe(wave, 16000, opts, on_chunk=lambda *a: None)
+        _, toks2 = t.transcribe(wave, 16000, opts, on_chunk=lambda *a: None)
+        assert toks1 == toks2
+
+    def test_debug_nans_context(self, setup):
+        import jax
+        import jax.numpy as jnp
+
+        from whisper_tpu.utils.debug import assert_all_finite, debug_nans
+
+        params, cfg, tok = setup
+        assert_all_finite(params, "params")
+        with pytest.raises(FloatingPointError):
+            assert_all_finite({"x": jnp.asarray([1.0, float("nan")])})
+        with debug_nans():
+            with pytest.raises(FloatingPointError):
+                jnp.asarray(0.0) / jnp.asarray(0.0)
+        assert jax.config.jax_debug_nans is False

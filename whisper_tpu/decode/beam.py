@@ -245,3 +245,50 @@ def beam_search_jit(
         max_depth,
         suppress_until_len,
     )
+
+
+def beam_search_batched(
+    params,
+    enc_out: jax.Array,  # (W, Sa, d) -- W independent windows
+    prompt: jax.Array,
+    cfg: WhisperConfig,
+    eot_id: int,
+    suppress_mask: Optional[jax.Array] = None,
+    beam_size: int = 5,
+    max_depth: int = 100,
+    suppress_until_len: int = 5,
+):
+    """Beam-search W windows in one compiled program via `vmap`.
+
+    JAX's while_loop batching rule freezes lanes whose stop condition has
+    fired (per-lane select on the carry), so each window stops expanding at
+    its own EOT while the batch runs until the slowest window finishes --
+    beam-quality decoding at multi-stream throughput (the reference is
+    strictly one window at a time, src/transcribe.rs:42-71).
+
+    Returns (tokens (W, n_text_ctx), lengths (W,), log_probs (W,)).
+    """
+
+    def one(enc):
+        return beam_search(
+            params, enc[None], prompt, cfg, eot_id, suppress_mask,
+            beam_size, max_depth, suppress_until_len,
+        )
+
+    return jax.vmap(one)(enc_out)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "eot_id", "beam_size", "max_depth",
+                     "suppress_until_len"),
+)
+def beam_search_batched_jit(
+    params, enc_out, prompt, cfg: WhisperConfig, eot_id: int,
+    suppress_mask=None, beam_size: int = 5, max_depth: int = 100,
+    suppress_until_len: int = 5,
+):
+    return beam_search_batched(
+        params, enc_out, prompt, cfg, eot_id, suppress_mask, beam_size,
+        max_depth, suppress_until_len,
+    )

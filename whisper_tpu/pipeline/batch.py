@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..config import SAMPLE_RATE, WhisperConfig
 from ..models import whisper as M
 from ..ops.audio import max_waveform_samples, prep_audio
+from ..decode import beam as dbeam
 from ..decode import greedy as dgreedy
 from ..text.tokenizer import WhisperTokenizer
 from ..utils.logging import get_logger
@@ -35,15 +36,16 @@ log = get_logger(__name__)
 
 
 class BatchTranscriber(Transcriber):
-    """Transcriber with a many-streams entry point (greedy decoding)."""
+    """Transcriber with a many-streams entry point (greedy or vmapped beam)."""
 
     def __init__(self, *args, batch_size: int = 8, **kwargs):
         super().__init__(*args, **kwargs)
         self.batch_size = batch_size
 
     @functools.lru_cache(maxsize=8)
-    def _batch_window_fn(self, n_samples: int, prompt_len: int, max_depth: int,
-                         padding: int, suppress_until_len: int):
+    def _batch_window_fn(self, n_samples: int, prompt_len: int, strategy: str,
+                         beam_size: int, max_depth: int, padding: int,
+                         suppress_until_len: int):
         cfg = self.cfg
         enc_ctx = cfg.encoder_ctx_size
         eot = self.tok.eot
@@ -53,10 +55,20 @@ class BatchTranscriber(Transcriber):
             keep = min(mel.shape[2], enc_ctx - padding)
             mel = jnp.pad(mel[:, :, :keep], ((0, 0), (0, 0), (0, padding)))
             enc = M.encoder_forward(params, mel, cfg)
-            toks, lengths, _ = dgreedy.greedy_decode(
-                params, enc, prompt, cfg, eot_id=eot, suppress_mask=suppress,
-                max_depth=max_depth, suppress_until_len=suppress_until_len,
-            )
+            if strategy == "beam":
+                # vmapped beam: B windows x beam_size lanes in one program
+                toks, lengths, _ = dbeam.beam_search_batched(
+                    params, enc, prompt, cfg, eot_id=eot,
+                    suppress_mask=suppress, beam_size=beam_size,
+                    max_depth=max_depth,
+                    suppress_until_len=suppress_until_len,
+                )
+            else:
+                toks, lengths, _ = dgreedy.greedy_decode(
+                    params, enc, prompt, cfg, eot_id=eot,
+                    suppress_mask=suppress, max_depth=max_depth,
+                    suppress_until_len=suppress_until_len,
+                )
             return toks, lengths
 
         return jax.jit(run)
@@ -104,8 +116,8 @@ class BatchTranscriber(Transcriber):
         #    repeating row 0; padded rows are discarded)
         B = self.batch_size
         fn = self._batch_window_fn(
-            n_window, int(prompt.shape[0]), opt.max_depth, opt.padding,
-            opt.suppress_until_len,
+            n_window, int(prompt.shape[0]), opt.strategy, opt.beam_size,
+            opt.max_depth, opt.padding, opt.suppress_until_len,
         )
         for i in range(0, len(full), B):
             group = full[i : i + B]
@@ -124,7 +136,7 @@ class BatchTranscriber(Transcriber):
         # 3. tail windows, one at a time through the single-window path
         for s, w, chunk in tail:
             sfn = self._window_fn(
-                len(chunk), int(prompt.shape[0]), "greedy", 1,
+                len(chunk), int(prompt.shape[0]), opt.strategy, opt.beam_size,
                 opt.max_depth, opt.padding, opt.suppress_until_len,
             )
             toks_dev, length = sfn(self.params, jnp.asarray(chunk), prompt,
