@@ -12,8 +12,8 @@ vs_baseline is value / 50 -- the BASELINE.json target of >=50x real-time per
 chip (set for large-v2; reported for whatever model is benched, see metric).
 
 Env knobs:
-  WHISPER_TPU_BENCH_MODEL  (default tiny.en; any preset name)
-  WHISPER_TPU_BENCH_BATCH  (default 8 streams)
+  WHISPER_TPU_BENCH_MODEL  (default large-v2; any preset name)
+  WHISPER_TPU_BENCH_BATCH  (default 24 streams)
   WHISPER_TPU_BENCH_STEPS  (default 100 decode steps/window)
   WHISPER_TPU_BENCH_REPS   (default 3 timed reps)
 """
@@ -43,7 +43,7 @@ def main() -> int:
     from whisper_tpu.decode import greedy
 
     model_name = os.environ.get("WHISPER_TPU_BENCH_MODEL", "large-v2")
-    batch = int(os.environ.get("WHISPER_TPU_BENCH_BATCH", "16"))
+    batch = int(os.environ.get("WHISPER_TPU_BENCH_BATCH", "24"))
     steps = int(os.environ.get("WHISPER_TPU_BENCH_STEPS", "100"))
     reps = int(os.environ.get("WHISPER_TPU_BENCH_REPS", "3"))
 

@@ -39,7 +39,9 @@ def transcriber():
         params, cfg = checkpoint.load_params(CKPT)
     tok_path = os.path.join(os.path.dirname(os.path.abspath(CKPT)),
                             "tokenizer.json")
-    return Transcriber(params, cfg, WhisperTokenizer(tok_path))
+    # token-exact parity mode: exact-f32 matmuls (the reference computes f32)
+    return Transcriber(params, cfg, WhisperTokenizer(tok_path),
+                       matmul_precision="highest")
 
 
 @pytest.fixture(scope="module")

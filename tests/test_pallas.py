@@ -84,3 +84,64 @@ class TestFusedLogMel:
 
         out = prep_audio_fused(jnp.zeros((1, 4000)), interpret=True)
         np.testing.assert_allclose(np.asarray(out), -1.5, atol=1e-5)
+
+
+class TestDecodeAttention:
+    def test_matches_xla_cached_attention(self, rng):
+        from whisper_tpu.models.whisper import _cached_attention
+        from whisper_tpu.ops.pallas.decode_attention import decode_attention
+
+        B, H, C, HD = 3, 4, 32, 64
+        D = H * HD
+        q = jnp.asarray(rng.standard_normal((B, 1, D)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((B, C, D)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((B, C, D)).astype(np.float32))
+        for pos in (0, 5, C - 1):
+            ref = _cached_attention(q, k, v, jnp.asarray([pos]), H, impl="xla")
+            out = decode_attention(
+                q[:, 0] * (HD ** -0.5), k, v, jnp.int32(pos), H, interpret=True
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref[:, 0]), atol=2e-5
+            )
+
+    def test_unaligned_kv_len(self, rng):
+        """C not a multiple of the sublane tile (e.g. 750 cross keys)."""
+        from whisper_tpu.models.whisper import _cached_attention
+        from whisper_tpu.ops.pallas.decode_attention import decode_attention
+
+        B, H, C, HD = 2, 2, 30, 64
+        D = H * HD
+        q = jnp.asarray(rng.standard_normal((B, 1, D)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((B, C, D)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((B, C, D)).astype(np.float32))
+        ref = _cached_attention(q, k, v, jnp.asarray([C - 1]), H, impl="xla")
+        out = decode_attention(
+            q[:, 0] * (HD ** -0.5), k, v, jnp.int32(C - 1), H, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref[:, 0]),
+                                   atol=2e-5)
+
+    def test_full_decoder_step_flash_vs_xla(self, rng):
+        """decoder_step with impl=flash (interpret) == impl=xla, S=1."""
+        import dataclasses
+
+        from whisper_tpu.config import tiny_test_config
+        from whisper_tpu.models import whisper as M
+
+        cfg = tiny_test_config(n_state=128, n_head=2, n_vocab=64)
+        cfgf = dataclasses.replace(cfg, attention="flash")
+        params = M.init_params(jax.random.PRNGKey(0), cfg)
+        enc = jnp.asarray(rng.standard_normal((1, 16, 128)).astype(np.float32))
+        toks = jnp.asarray(rng.integers(0, 64, (1, 4)).astype(np.int32))
+
+        cache_x = M.init_cache(params, enc, cfg)
+        lx, cache_x = M.decoder_step(params, toks, jnp.int32(0), cache_x, cfg)
+        cache_f = M.init_cache(params, enc, cfgf)
+        lf, cache_f = M.decoder_step(params, toks, jnp.int32(0), cache_f, cfgf)
+        np.testing.assert_allclose(np.asarray(lx), np.asarray(lf), atol=2e-4)
+
+        one = jnp.asarray([[7]], jnp.int32)
+        lx, _ = M.decoder_step(params, one, jnp.int32(4), cache_x, cfg)
+        lf, _ = M.decoder_step(params, one, jnp.int32(4), cache_f, cfgf)
+        np.testing.assert_allclose(np.asarray(lx), np.asarray(lf), atol=2e-4)

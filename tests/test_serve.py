@@ -1,0 +1,110 @@
+"""HTTP serving tests: batching worker + endpoint round trip."""
+
+import io
+import json
+import threading
+import urllib.request
+import wave as wave_mod
+
+import numpy as np
+import pytest
+
+import jax
+
+from whisper_tpu.config import tiny_test_config
+from whisper_tpu.models import whisper as M
+from whisper_tpu.pipeline.batch import BatchTranscriber
+from whisper_tpu import serve as serve_mod
+from whisper_tpu.text.tokenizer import WhisperTokenizer, build_test_tokenizer_json
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    d = tmp_path_factory.mktemp("srv")
+    tok_path = str(d / "tokenizer.json")
+    build_test_tokenizer_json(tok_path)
+    tok = WhisperTokenizer(tok_path)
+    cfg = tiny_test_config(n_vocab=tok.vocab_size, n_audio_ctx=64, n_text_ctx=32)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+
+    t = BatchTranscriber(params, cfg, tok, batch_size=4)
+    worker = serve_mod.BatchingWorker(t, max_batch=4, max_wait_s=0.05)
+    worker.start()
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), serve_mod.make_handler(worker, 16000)
+    )
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_port}", worker
+    httpd.shutdown()
+
+
+def _wav_bytes(n=4000, seed=0, rate=16000):
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            (np.random.default_rng(seed).standard_normal(n) * 3000)
+            .astype(np.int16).tobytes()
+        )
+    return buf.getvalue()
+
+
+def _post(url, path, body):
+    req = urllib.request.Request(url + path, data=body, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+class TestServer:
+    def test_healthz(self, server):
+        url, _ = server
+        with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+            assert r.status == 200
+            assert json.loads(r.read())["status"] == "ok"
+
+    def test_transcribe_roundtrip(self, server):
+        url, _ = server
+        status, obj = _post(url, "/transcribe?lang=en&greedy=1", _wav_bytes())
+        assert status == 200
+        assert "text" in obj and isinstance(obj["tokens"], list)
+
+    def test_concurrent_requests_batched(self, server):
+        url, worker = server
+        results = [None] * 4
+
+        def call(i):
+            results[i] = _post(
+                url, "/transcribe?lang=en&greedy=1", _wav_bytes(seed=i)
+            )
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(r[0] == 200 for r in results)
+
+    def test_bad_audio_rejected(self, server):
+        url, _ = server
+        status, obj = _post(url, "/transcribe?lang=en", b"this is not a wav")
+        assert status == 400 and "error" in obj
+
+    def test_unknown_path(self, server):
+        url, _ = server
+        status, obj = _post(url, "/nope", b"")
+        assert status == 404
+
+    def test_resample_on_the_fly(self, server):
+        url, _ = server
+        status, obj = _post(
+            url, "/transcribe?lang=en&greedy=1", _wav_bytes(rate=22050)
+        )
+        assert status == 200

@@ -202,6 +202,79 @@ def cmd_convert_pt(argv) -> int:
     return 0
 
 
+def cmd_transcribe_many(argv) -> int:
+    p = argparse.ArgumentParser(
+        prog="whisper_tpu transcribe-many",
+        description="Batched multi-stream transcription: N WAVs through one "
+                    "chip concurrently (new capability beyond the reference).",
+    )
+    p.add_argument("model")
+    p.add_argument("lang")
+    p.add_argument("out_dir", help="one <stem>.txt per input is written here")
+    p.add_argument("wavs", nargs="+", help="16 kHz mono WAV files")
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--greedy", action="store_true")
+    p.add_argument("--beam-size", type=int, default=5)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--resample", action="store_true")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
+    p.add_argument("-v", "--verbose", action="count", default=0)
+    args = p.parse_args(argv)
+
+    from .utils.logging import configure
+
+    configure(args.verbose)
+    _enable_compilation_cache()
+
+    import jax.numpy as jnp
+
+    from .config import SAMPLE_RATE
+    from .io import checkpoint, native as wav_native, wav
+    from .pipeline.batch import BatchTranscriber
+    from .pipeline.transcribe import DecodeOptions
+    from .text.tokenizer import WhisperTokenizer
+
+    tok_path = args.tokenizer or os.path.join(
+        os.path.dirname(os.path.abspath(args.model)), "tokenizer.json"
+    )
+    tokenizer = WhisperTokenizer(tok_path)
+    params, cfg = checkpoint.load_params(args.model)
+    bt = BatchTranscriber(
+        params, cfg, tokenizer, batch_size=args.batch_size,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
+    )
+
+    waves = []
+    for path in args.wavs:
+        w, rate = wav_native.load_wav(path)
+        if rate != SAMPLE_RATE:
+            if not args.resample:
+                print(f"{path}: sample rate must be 16k (got {rate}); "
+                      "pass --resample.", file=sys.stderr)
+                return 1
+            w = wav.resample(w, rate, SAMPLE_RATE)
+        waves.append(w)
+
+    t0 = time.perf_counter()
+    results = bt.transcribe_many(
+        waves, SAMPLE_RATE,
+        DecodeOptions(lang=args.lang,
+                      strategy="greedy" if args.greedy else "beam",
+                      beam_size=args.beam_size),
+    )
+    dt = time.perf_counter() - t0
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    for path, (text, _toks) in zip(args.wavs, results):
+        stem = os.path.splitext(os.path.basename(path))[0]
+        with open(os.path.join(args.out_dir, stem + ".txt"), "w") as f:
+            f.write(text)
+    audio_sec = sum(len(w) for w in waves) / SAMPLE_RATE
+    print(f"Transcribed {len(waves)} files ({audio_sec:.0f}s audio) "
+          f"in {dt:.1f}s ({audio_sec/dt:.1f}x RT).")
+    return 0
+
+
 def cmd_eval(argv) -> int:
     p = argparse.ArgumentParser(
         prog="whisper_tpu eval",
@@ -281,10 +354,13 @@ def main(argv=None) -> int:
         print("  convert <dump dir>", file=sys.stderr)
         print("  convert-pt <model.pt> <out name>", file=sys.stderr)
         print("  eval <model> <dataset> [lang]", file=sys.stderr)
+        print("  transcribe-many <model> <lang> <out dir> <wav...>", file=sys.stderr)
         return 0 if argv else 1
     cmd, rest = argv[0], argv[1:]
     if cmd == "transcribe":
         return cmd_transcribe(rest)
+    if cmd == "transcribe-many":
+        return cmd_transcribe_many(rest)
     if cmd == "convert":
         return cmd_convert(rest)
     if cmd == "convert-pt":

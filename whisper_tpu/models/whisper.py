@@ -410,9 +410,12 @@ def init_cache(
 
     `cache_len` caps the self-attn cache length (default n_text_ctx). Decoders
     that know their maximum sequence length (prompt + max_depth) pass a tight
-    bound: every decode step streams the whole (L, B, C, d) k/v cache through
-    the MXU, so at large-v2 shrinking C from 448 to 128 removes ~0.8 GB of
-    dead HBM traffic per step.
+    bound: every decode step streams the whole k/v cache, so at large-v2
+    shrinking C from 448 to 128 removes ~0.8 GB of dead HBM traffic per step.
+
+    Caches are flat (L, B, C, d) -- the layout the Pallas single-query
+    decode-attention kernel consumes directly with no per-step relayout
+    (see ops/pallas/decode_attention.py).
     """
     dec = params["decoder"]
     dec_cfg = cfg.text_decoder_config
@@ -444,32 +447,48 @@ def init_cache(
 
 
 def _cached_attention(
-    q: jax.Array,  # (B, S, d) -- S query positions starting at `pos`
-    k_cache: jax.Array,  # (B, C, d)
-    v_cache: jax.Array,  # (B, C, d)
-    pos: jax.Array,  # scalar int: index of first query position
+    q: jax.Array,  # (B, S, d) -- S query positions
+    k_cache: jax.Array,  # (B, C, d) flat cache
+    v_cache: jax.Array,
+    last_visible: jax.Array,  # (S,) highest visible key index per query
     n_head: int,
+    impl: str,
 ) -> jax.Array:
-    """Self-attention of S new queries against the full fixed-size cache.
+    """Attention of S new queries against the fixed-size flat cache.
 
-    Key j is visible to query (pos + i) iff j <= pos + i; invalid (future /
-    unwritten) cache slots are masked to -inf before the f32 softmax.
+    Key c is visible to query i iff c <= last_visible[i]; unwritten cache
+    slots are masked before the f32 softmax. For the steady-state S=1 case
+    with impl="flash", dispatches to the Pallas single-query kernel: the XLA
+    einsum lowers to B*H one-row GEMMs whose launch overhead dominates the
+    whole decode step (see ops/pallas/decode_attention.py). Returns (B, S, d).
     """
     b, s, d = q.shape
     c = k_cache.shape[1]
     hd = d // n_head
-    scale = (d / n_head) ** -0.25
+    scale = float(hd) ** -0.5  # == ((d/h)^-0.25)^2 applied once to q
+
+    if s == 1 and impl == "flash":
+        from ..ops.pallas.decode_attention import decode_attention
+
+        pos = jnp.max(last_visible)
+        out = decode_attention(
+            (q[:, 0] * scale).astype(q.dtype), k_cache, v_cache, pos, n_head
+        )
+        return out[:, None, :]
 
     qh = (q * scale).reshape(b, s, n_head, hd)
-    kh = (k_cache * scale).reshape(b, c, n_head, hd)
+    kh = k_cache.reshape(b, c, n_head, hd)
     vh = v_cache.reshape(b, c, n_head, hd)
-
-    scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32)
-    j = jnp.arange(c)[None, :]
-    i = pos + jnp.arange(s)[:, None]
-    scores = jnp.where((j > i)[None, None], NEG_INF, scores)
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
+    )
+    jcol = jnp.arange(c)[None, :]
+    vis = jnp.reshape(last_visible, (-1, 1))  # (S, 1) broadcast
+    scores = jnp.where((jcol > vis)[None, None], NEG_INF, scores)
     w = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", w, vh, preferred_element_type=jnp.float32)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", w, vh, preferred_element_type=jnp.float32
+    )
     return out.astype(v_cache.dtype).reshape(b, s, d)
 
 
@@ -495,23 +514,26 @@ def decoder_step(
         dec["pos_emb"], pos, s, axis=0
     )
 
+    impl = cfg.attention
+    sa = cache.cross_k.shape[2]
+    causal_vis = pos + jnp.arange(s)  # (S,) last visible self key per query
+    cross_vis = jnp.full((s,), sa - 1)  # cross: all encoder keys visible
+
     def body(h, layer):
         p, k_cache, v_cache, ck, cv = layer
         hn = layer_norm(h, p["attn_ln_g"], p["attn_ln_b"], eps)
         q, k, v = _qkv_proj(hn, p["qkv_w"], p["qkv_b"])
         k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k, pos, axis=1)
         v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v, pos, axis=1)
-        h = h + _linear(
-            _cached_attention(q, k_cache, v_cache, pos, n_head),
-            p["attn_o_w"],
-            p["attn_o_b"],
+        attn = _cached_attention(
+            q, k_cache, v_cache, causal_vis, n_head, impl
         )
+        h = h + _linear(attn, p["attn_o_w"], p["attn_o_b"])
 
         hn = layer_norm(h, p["cross_ln_g"], p["cross_ln_b"], eps)
         q = _linear(hn, p["cross_q_w"], p["cross_q_b"])
-        h = h + _linear(
-            qkv_attention(q, ck, cv, n_head), p["cross_o_w"], p["cross_o_b"]
-        )
+        cross = _cached_attention(q, ck, cv, cross_vis, n_head, impl)
+        h = h + _linear(cross, p["cross_o_w"], p["cross_o_b"])
 
         hn = layer_norm(h, p["mlp_ln_g"], p["mlp_ln_b"], eps)
         hn = _linear(

@@ -1,0 +1,148 @@
+"""Pallas single-query ("decode-step") attention kernel.
+
+Why it exists: during autoregressive decoding the XLA attention path lowers
+`einsum('bqhd,bkhd->bhqk')` with q_len=1 into B*H batched GEMMs with ONE row
+each -- at large-v2 b16 that is 320 M=1 matmuls per einsum per layer, and
+per-GEMM launch overhead dominates: ablation measured ~6.8 ms/step of the
+13.4 ms decode step in the attention einsums alone, versus ~0.4 ms of actual
+cache traffic.
+
+Design (one grid step per batch element; caches stay in their natural flat
+(C, D) layout -- no per-step relayout):
+
+    t     = K (C, D) * q (1, D)            VPU broadcast-multiply
+    s     = t @ E (D, Hp)                  MXU: E is the block-diagonal ones
+                                           matrix E[h*hd + d, h] = 1, so each
+                                           column sums one head's lanes --
+                                           a (C x D)x(D x Hp) GEMM with C rows,
+                                           not B*H one-row GEMMs
+    w     = softmax over C (mask c > pos)  VPU
+    w_exp = w @ E^T (C, D)                 MXU: broadcast head weights back
+                                           to that head's lanes
+    o     = sum_c V * w_exp                VPU multiply + sublane reduction
+
+A first version used a (batch, head) grid with per-head (C, hd) tiles; its
+20480 tiny grid iterations per decode step were SLOWER than XLA (89x vs 154x
+real-time end to end) -- grid steps are cheap but not free. This version runs
+B grid steps per layer.
+
+Serves both causal self-attention over the KV cache (pos = current position)
+and cross-attention over encoder keys (pos = Sa - 1, i.e. everything visible).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=8)
+def _head_sum_matrix(d: int, n_head: int) -> np.ndarray:
+    """(D, Hp) block-diagonal ones: column h sums lanes [h*hd, (h+1)*hd)."""
+    hd = d // n_head
+    hp = _round_up(n_head, 128)
+    e = np.zeros((d, hp), np.float32)
+    for h in range(n_head):
+        e[h * hd : (h + 1) * hd, h] = 1.0
+    return e
+
+
+def _decode_attn_kernel(pos_ref, q_ref, k_ref, v_ref, e_ref, o_ref):
+    q = q_ref[0].astype(jnp.float32)  # (1, D)
+    k = k_ref[0].astype(jnp.float32)  # (C, D)
+    v = v_ref[0].astype(jnp.float32)
+    e = e_ref[:]  # (D, Hp)
+    c = k.shape[0]
+
+    t = k * q  # (C, D) f32
+    # Score reduction via the MXU at ~f32 accuracy WITHOUT Precision.HIGHEST
+    # (Mosaic supports only DEFAULT/HIGHEST, and HIGHEST's 6 passes on the
+    # 750-key cross tile cost more than the rest of the decode step):
+    # E is exactly bf16-representable (0/1), so splitting t into bf16
+    # hi + lo parts and summing two DEFAULT GEMMs reproduces the f32 result
+    # to ~1e-5 relative -- the classic two-pass split. A plain DEFAULT dot
+    # bf16-rounds the scores (0.1+ logit error on hardware), enough to flip
+    # near-tie tokens.
+    t_hi = t.astype(jnp.bfloat16)
+    t_lo = (t - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    e_b = e.astype(jnp.bfloat16)
+    dims = (((1,), (0,)), ((), ()))
+    s = jax.lax.dot_general(
+        t_hi, e_b, dims, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(
+        t_lo, e_b, dims, preferred_element_type=jnp.float32
+    )  # (C, Hp)
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
+    s = jnp.where(idx > pos_ref[0], NEG_INF, s)
+
+    m = jnp.max(s, axis=0, keepdims=True)
+    p = jnp.exp(s - m)
+    w = p / jnp.sum(p, axis=0, keepdims=True)  # (C, Hp)
+
+    # E is block-diagonal 0/1: each w_exp element is a plain copy of one w
+    # element (no accumulation), so default MXU precision is exact here up to
+    # a single bf16 round of w -- negligible against the softmax output.
+    w_exp = jax.lax.dot_general(
+        w, e, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (C, D)
+    o = jnp.sum(v * w_exp, axis=0, keepdims=True)  # (1, D)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
+def decode_attention(
+    q: jax.Array,  # (B, D) single query, PRE-SCALED by head_dim^-0.5
+    k_cache: jax.Array,  # (B, C, D)
+    v_cache: jax.Array,  # (B, C, D)
+    pos: jax.Array,  # scalar i32: highest visible cache row (inclusive)
+    n_head: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns (B, D) attention output in v_cache.dtype."""
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    b, c, d = k_cache.shape
+
+    e = jnp.asarray(_head_sum_matrix(d, n_head))
+    pos_arr = jnp.asarray([pos], jnp.int32)
+    q3 = q[:, None, :]  # (B, 1, D)
+
+    out = pl.pallas_call(
+        _decode_attn_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, e.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1, d), v_cache.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * c * d * (2 + 2 * e.shape[1] // 128),
+            bytes_accessed=2 * b * c * d * k_cache.dtype.itemsize,
+            transcendentals=b * c * e.shape[1],
+        ),
+        interpret=interpret,
+    )(pos_arr, q3, k_cache, v_cache, e)
+
+    return out[:, 0, :]

@@ -120,10 +120,16 @@ class Transcriber:
         tokenizer: WhisperTokenizer,
         dtype=None,
         attention: str = "auto",
+        matmul_precision: Optional[str] = None,
     ):
+        """`matmul_precision`: None (device default: single-pass bf16 MXU for
+        f32 on TPU, ~0.2 logit deviation vs exact f32) or "highest"/"float32"
+        for the token-exact parity mode (slower; used by the golden E2E gate).
+        """
         if attention == "auto":
             attention = "flash" if jax.default_backend() == "tpu" else "xla"
         cfg = dataclasses.replace(cfg, attention=attention)
+        self._matmul_precision = matmul_precision
         if tokenizer.vocab_size != cfg.text_decoder_config.n_vocab:
             raise ValueError(
                 f"tokenizer vocab size {tokenizer.vocab_size} does not match "
@@ -228,9 +234,16 @@ class Transcriber:
                 len(window), int(prompt.shape[0]), opt.strategy, opt.beam_size,
                 opt.max_depth, opt.padding, opt.suppress_until_len,
             )
-            toks_dev, length = fn(
-                self.params, jnp.asarray(window), prompt, self._suppress
+            import contextlib
+
+            prec_ctx = (
+                jax.default_matmul_precision(self._matmul_precision)
+                if self._matmul_precision else contextlib.nullcontext()
             )
+            with prec_ctx:
+                toks_dev, length = fn(
+                    self.params, jnp.asarray(window), prompt, self._suppress
+                )
             new_tokens = [int(t) for t in np.asarray(toks_dev)[: int(length)]]
 
             spliced = find_chunk_overlap(

@@ -1,0 +1,199 @@
+"""Minimal batching HTTP transcription server (stdlib-only).
+
+Production-serving entry point (new capability beyond the reference, which is
+CLI-only): POST a WAV body to /transcribe?lang=en and get JSON back. Requests
+arriving within the batching window are packed into one BatchTranscriber call
+so concurrent clients share the chip-efficient batched path.
+
+    python -m whisper_tpu.serve <model> [--port 8000] [--batch-size 8] ...
+
+Endpoints:
+  POST /transcribe?lang=en[&greedy=1]   body: WAV bytes -> {"text", "tokens"}
+  GET  /healthz                          -> {"status": "ok", ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import queue
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+
+class _Request:
+    def __init__(self, wave: np.ndarray, lang: str, greedy: bool):
+        self.wave = wave
+        self.lang = lang
+        self.greedy = greedy
+        self.done = threading.Event()
+        self.result: Optional[tuple] = None
+        self.error: Optional[str] = None
+
+
+class BatchingWorker(threading.Thread):
+    """Packs concurrent requests with identical options into one batched call."""
+
+    def __init__(self, transcriber, max_batch: int = 8,
+                 max_wait_s: float = 0.05):
+        super().__init__(daemon=True)
+        self.t = transcriber
+        self.q: "queue.Queue[_Request]" = queue.Queue()
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_s
+        self.processed = 0
+
+    def run(self) -> None:
+        from .pipeline.transcribe import DecodeOptions
+
+        while True:
+            req = self.q.get()
+            batch: List[_Request] = [req]
+            deadline = time.monotonic() + self.max_wait_s
+            while len(batch) < self.max_batch:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self.q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                # only batch requests with identical decode options
+                if (nxt.lang, nxt.greedy) == (req.lang, req.greedy):
+                    batch.append(nxt)
+                else:
+                    self.q.put(nxt)
+                    break
+            try:
+                opts = DecodeOptions(
+                    lang=req.lang,
+                    strategy="greedy" if req.greedy else "beam",
+                )
+                results = self.t.transcribe_many(
+                    [r.wave for r in batch], options=opts
+                )
+                for r, (text, tokens) in zip(batch, results):
+                    r.result = (text, tokens)
+            except Exception as e:  # surface errors to every waiter
+                for r in batch:
+                    r.error = str(e)
+            finally:
+                self.processed += len(batch)
+                for r in batch:
+                    r.done.set()
+
+
+def make_handler(worker: BatchingWorker, sample_rate: int):
+    from .io import wav as wavmod
+
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # quiet default logging
+            pass
+
+        def do_GET(self):
+            if urlparse(self.path).path == "/healthz":
+                self._json(200, {"status": "ok",
+                                 "processed": worker.processed})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            parsed = urlparse(self.path)
+            if parsed.path != "/transcribe":
+                self._json(404, {"error": "not found"})
+                return
+            params = parse_qs(parsed.query)
+            lang = params.get("lang", ["en"])[0]
+            greedy = params.get("greedy", ["0"])[0] in ("1", "true")
+            length = int(self.headers.get("Content-Length", 0))
+            data = self.rfile.read(length)
+            try:
+                import tempfile
+
+                # parse WAV from memory via the pure-python parser
+                with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+                    f.write(data)
+                    f.flush()
+                    wave, rate = wavmod.load_wav(f.name)
+                if rate != sample_rate:
+                    wave = wavmod.resample(wave, rate, sample_rate)
+            except Exception as e:
+                self._json(400, {"error": f"bad audio: {e}"})
+                return
+
+            req = _Request(wave, lang, greedy)
+            worker.q.put(req)
+            req.done.wait()
+            if req.error is not None:
+                self._json(500, {"error": req.error})
+            else:
+                text, tokens = req.result
+                self._json(200, {"text": text, "tokens": tokens})
+
+    return Handler
+
+
+def serve(model: str, host: str = "127.0.0.1", port: int = 8000,
+          tokenizer: Optional[str] = None, batch_size: int = 8,
+          max_wait_s: float = 0.05, dtype: str = "bfloat16",
+          ready_event: Optional[threading.Event] = None):
+    import jax.numpy as jnp
+
+    from .config import SAMPLE_RATE
+    from .io import checkpoint
+    from .pipeline.batch import BatchTranscriber
+    from .text.tokenizer import WhisperTokenizer
+
+    tok_path = tokenizer or os.path.join(
+        os.path.dirname(os.path.abspath(model)), "tokenizer.json"
+    )
+    params, cfg = checkpoint.load_params(model)
+    t = BatchTranscriber(
+        params, cfg, WhisperTokenizer(tok_path), batch_size=batch_size,
+        dtype=jnp.bfloat16 if dtype == "bfloat16" else None,
+    )
+    worker = BatchingWorker(t, max_batch=batch_size, max_wait_s=max_wait_s)
+    worker.start()
+
+    server = ThreadingHTTPServer((host, port), make_handler(worker, SAMPLE_RATE))
+    print(f"whisper_tpu serving {model} on http://{host}:{server.server_port}")
+    if ready_event is not None:
+        ready_event.set()
+    server.serve_forever()
+    return server
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="whisper_tpu.serve")
+    p.add_argument("model")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--max-wait-ms", type=float, default=50.0)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="bfloat16")
+    args = p.parse_args(argv)
+    serve(args.model, args.host, args.port, args.tokenizer, args.batch_size,
+          args.max_wait_ms / 1000.0, args.dtype)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
