@@ -56,6 +56,7 @@ def main() -> int:
           f"device={jax.devices()[0].device_kind}", file=sys.stderr)
 
     params = M.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    kv_quant = os.environ.get("WHISPER_TPU_BENCH_KV", "") == "int8"
     quant = os.environ.get("WHISPER_TPU_BENCH_QUANT", "")
     if quant == "int8":
         from whisper_tpu.quantize import quantize_params
@@ -78,7 +79,8 @@ def main() -> int:
         # eot_id=-1: no token matches, so all streams run `steps` decode
         # iterations -- fixed work, deterministic timing.
         toks, lengths, _ = greedy.greedy_decode(
-            params, enc, prompt, cfg, eot_id=-1, max_depth=steps
+            params, enc, prompt, cfg, eot_id=-1, max_depth=steps,
+            kv_quant=kv_quant,
         )
         return lengths
 
@@ -109,7 +111,7 @@ def main() -> int:
     print(f"# window={window_seconds:.1f}s reps={times} -> "
           f"{xrt:.1f}x RT, {tok_s:.0f} tok/s", file=sys.stderr)
 
-    suffix = f"_{quant}" if quant else ""
+    suffix = (f"_{quant}" if quant else "") + ("_kv8" if kv_quant else "")
     print(json.dumps({
         "metric": f"xrt_{model_name}_b{batch}_greedy{steps}{suffix}",
         "value": round(xrt, 2),

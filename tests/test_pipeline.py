@@ -180,3 +180,22 @@ class TestDeterminismAndNumerics:
             with pytest.raises(FloatingPointError):
                 jnp.asarray(0.0) / jnp.asarray(0.0)
         assert jax.config.jax_debug_nans is False
+
+
+class TestLanguageDetection:
+    def test_returns_valid_distribution(self, setup):
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        wave = np.random.default_rng(9).standard_normal(5000).astype(np.float32)
+        code, dist = t.detect_language(wave)
+        from whisper_tpu.text.tokenizer import LANGUAGES
+
+        assert code in LANGUAGES
+        assert abs(sum(dist.values()) - 1.0) < 1e-5
+        assert max(dist, key=dist.get) == code
+
+    def test_too_short_raises(self, setup):
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        with pytest.raises(ValueError):
+            t.detect_language(np.zeros(100, np.float32))

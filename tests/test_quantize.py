@@ -84,3 +84,49 @@ class TestQuantizedModel:
     def test_quantize_encoder_flag(self, params):
         qp = quantize.quantize_params(params, quantize_encoder=True)
         assert isinstance(qp["encoder"]["blocks"]["mlp1_w"], quantize.QTensor)
+
+
+class TestKVQuant:
+    def test_cross_kv_quantized_close(self, params, rng):
+        """int8 cross-KV decode ~= bf16 path (XLA fallback, CPU)."""
+        enc = jnp.asarray(rng.standard_normal((1, 16, 64)).astype(np.float32))
+        toks = jnp.asarray(rng.integers(0, 128, (1, 6)).astype(np.int32))
+        cache = M.init_cache(params, enc, CFG)
+        cache_q = M.init_cache(params, enc, CFG, kv_quant=True)
+        assert cache_q.cross_k.q.dtype == jnp.int8
+        ref, _ = M.decoder_step(params, toks, jnp.int32(0), cache, CFG)
+        out, _ = M.decoder_step(params, toks, jnp.int32(0), cache_q, CFG)
+        ref, out = np.asarray(ref), np.asarray(out)
+        assert np.abs(out - ref).max() / np.abs(ref).max() < 0.05
+
+    def test_greedy_kv_quant_runs(self, params, rng):
+        mel = jnp.asarray(rng.standard_normal((1, 80, 32)).astype(np.float32))
+        enc = M.encoder_forward(params, mel, CFG)
+        toks, lengths, _ = greedy.greedy_decode_jit(
+            params, enc, jnp.asarray([1, 2, 3], jnp.int32), CFG,
+            eot_id=5, max_depth=6, kv_quant=True,
+        )
+        assert int(lengths[0]) >= 3
+
+    def test_flash_kernel_kv_quant_matches_xla(self, rng):
+        """int8 K/V through the Pallas kernel == dequantized XLA path."""
+        import dataclasses
+
+        from whisper_tpu.config import tiny_test_config
+        from whisper_tpu.models import whisper as M2
+
+        cfg = tiny_test_config(n_state=128, n_head=2, n_vocab=64)
+        cfgf = dataclasses.replace(cfg, attention="flash")
+        params = M2.init_params(jax.random.PRNGKey(1), cfg)
+        enc = jnp.asarray(rng.standard_normal((1, 16, 128)).astype(np.float32))
+        toks = jnp.asarray(rng.integers(0, 64, (1, 4)).astype(np.int32))
+        one = jnp.asarray([[9]], jnp.int32)
+
+        cx = M2.init_cache(params, enc, cfg, kv_quant=True)
+        _, cx = M2.decoder_step(params, toks, jnp.int32(0), cx, cfg)
+        lx, _ = M2.decoder_step(params, one, jnp.int32(4), cx, cfg)
+
+        cf = M2.init_cache(params, enc, cfgf, kv_quant=True)
+        _, cf = M2.decoder_step(params, toks, jnp.int32(0), cf, cfgf)
+        lf, _ = M2.decoder_step(params, one, jnp.int32(4), cf, cfgf)
+        np.testing.assert_allclose(np.asarray(lx), np.asarray(lf), atol=3e-4)

@@ -84,6 +84,7 @@ def beam_search(
     beam_size: int = 5,
     max_depth: int = 100,
     suppress_until_len: int = 5,
+    kv_quant: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run beam search; returns (tokens (n_text_ctx,), length, log_prob).
 
@@ -102,7 +103,8 @@ def beam_search(
     # tight cache: longest possible sequence is P + max_depth; rounding to a
     # lane-friendly multiple of 128 keeps the per-step cache read minimal.
     cache_len = min(ctx, -(-(P + max_depth) // 128) * 128)
-    cache = M.init_cache(params, enc_out, cfg, batch=K, cache_len=cache_len)
+    cache = M.init_cache(params, enc_out, cfg, batch=K, cache_len=cache_len,
+                         kv_quant=kv_quant)
     logits, cache = M.decoder_step(
         params, tokens0[:, :P], jnp.int32(0), cache, cfg
     )
@@ -257,6 +259,7 @@ def beam_search_batched(
     beam_size: int = 5,
     max_depth: int = 100,
     suppress_until_len: int = 5,
+    kv_quant: bool = False,
 ):
     """Beam-search W windows in one compiled program via `vmap`.
 
@@ -272,7 +275,7 @@ def beam_search_batched(
     def one(enc):
         return beam_search(
             params, enc[None], prompt, cfg, eot_id, suppress_mask,
-            beam_size, max_depth, suppress_until_len,
+            beam_size, max_depth, suppress_until_len, kv_quant,
         )
 
     return jax.vmap(one)(enc_out)

@@ -41,6 +41,7 @@ def greedy_decode(
     batch: Optional[int] = None,
     max_depth: int = 224,
     suppress_until_len: int = 5,
+    kv_quant: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Greedy decode; returns (tokens (B, n_text_ctx), lengths (B,), sum_logp).
 
@@ -54,7 +55,8 @@ def greedy_decode(
 
     tokens0 = jnp.zeros((B, ctx), jnp.int32).at[:, :P].set(prompt[None, :])
     cache_len = min(ctx, -(-(P + max_depth) // 128) * 128)
-    cache = M.init_cache(params, enc_out, cfg, batch=B, cache_len=cache_len)
+    cache = M.init_cache(params, enc_out, cfg, batch=B, cache_len=cache_len,
+                         kv_quant=kv_quant)
     logits, cache = M.decoder_step(params, tokens0[:, :P], jnp.int32(0), cache, cfg)
     logp_next = _masked_log_softmax(
         logits[:, -1], jnp.int32(P), suppress_mask, suppress_until_len
@@ -107,7 +109,8 @@ def greedy_decode(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "eot_id", "batch", "max_depth", "suppress_until_len"),
+    static_argnames=("cfg", "eot_id", "batch", "max_depth",
+                     "suppress_until_len", "kv_quant"),
 )
 def greedy_decode_jit(
     params,
@@ -119,6 +122,7 @@ def greedy_decode_jit(
     batch: Optional[int] = None,
     max_depth: int = 224,
     suppress_until_len: int = 5,
+    kv_quant: bool = False,
 ):
     return greedy_decode(
         params,
@@ -130,4 +134,5 @@ def greedy_decode_jit(
         batch,
         max_depth,
         suppress_until_len,
+        kv_quant,
     )

@@ -400,6 +400,7 @@ def init_cache(
     cfg: WhisperConfig,
     batch: Optional[int] = None,
     cache_len: Optional[int] = None,
+    kv_quant: bool = False,
 ) -> DecoderCache:
     """Allocate the self-attn cache and precompute cross-attn K/V from enc_out.
 
@@ -439,6 +440,25 @@ def init_cache(
         ck = jnp.broadcast_to(ck, (L, b, sa, d))
         cv = jnp.broadcast_to(cv, (L, b, sa, d))
 
+    if kv_quant:
+        # int8 cross-KV (opt-in): the cross cache is the largest per-step HBM
+        # stream at large batch (~3 GB/step at large-v2 b24 in bf16). One
+        # scale per (layer, channel); K's scale folds into the query and V's
+        # applies once to the attention output, so dequantization is free in
+        # the decode path (see _cached_attention / decode_attention).
+        from ..quantize import QTensor
+
+        def q8(x):
+            absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2))
+            scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)  # (L, d)
+            qv = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / scale[:, None, None, :]),
+                -127, 127,
+            ).astype(jnp.int8)
+            return QTensor(qv, scale.astype(jnp.float32))
+
+        ck, cv = q8(ck), q8(cv)
+
     c = cache_len if cache_len is not None else dec_cfg.n_text_ctx
     c = min(c, dec_cfg.n_text_ctx)
     self_k = jnp.zeros((L, b, c, d), dtype)
@@ -462,19 +482,37 @@ def _cached_attention(
     einsum lowers to B*H one-row GEMMs whose launch overhead dominates the
     whole decode step (see ops/pallas/decode_attention.py). Returns (B, S, d).
     """
+    from ..quantize import QTensor
+
     b, s, d = q.shape
-    c = k_cache.shape[1]
     hd = d // n_head
     scale = float(hd) ** -0.5  # == ((d/h)^-0.25)^2 applied once to q
+
+    # int8 cross-KV: K's per-channel scale folds into the query; V's scale
+    # multiplies the (linear-in-V) attention output.
+    k_scale = v_scale = None
+    if isinstance(k_cache, QTensor):
+        k_cache, k_scale = k_cache.q, k_cache.scale
+    if isinstance(v_cache, QTensor):
+        v_cache, v_scale = v_cache.q, v_cache.scale
+    c = k_cache.shape[1]
 
     if s == 1 and impl == "flash":
         from ..ops.pallas.decode_attention import decode_attention
 
         pos = jnp.max(last_visible)
-        out = decode_attention(
-            (q[:, 0] * scale).astype(q.dtype), k_cache, v_cache, pos, n_head
-        )
+        q1 = q[:, 0].astype(jnp.float32) * scale
+        if k_scale is not None:
+            q1 = q1 * k_scale
+        out = decode_attention(q1.astype(q.dtype), k_cache, v_cache, pos, n_head)
+        if v_scale is not None:
+            out = (out.astype(jnp.float32) * v_scale).astype(q.dtype)
         return out[:, None, :]
+
+    if k_scale is not None:
+        k_cache = (k_cache.astype(jnp.float32) * k_scale).astype(q.dtype)
+    if v_scale is not None:
+        v_cache = (v_cache.astype(jnp.float32) * v_scale).astype(q.dtype)
 
     qh = (q * scale).reshape(b, s, n_head, hd)
     kh = k_cache.reshape(b, c, n_head, hd)
@@ -515,7 +553,8 @@ def decoder_step(
     )
 
     impl = cfg.attention
-    sa = cache.cross_k.shape[2]
+    ck_arr = cache.cross_k.q if hasattr(cache.cross_k, "q") else cache.cross_k
+    sa = ck_arr.shape[2]
     causal_vis = pos + jnp.arange(s)  # (S,) last visible self key per query
     cross_vis = jnp.full((s,), sa - 1)  # cross: all encoder keys visible
 

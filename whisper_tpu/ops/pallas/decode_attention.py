@@ -136,7 +136,10 @@ def decode_attention(
         ],
         out_specs=pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 1, d), v_cache.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, 1, d),
+            q.dtype if v_cache.dtype == jnp.int8 else v_cache.dtype,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * c * d * (2 + 2 * e.shape[1] // 128),
             bytes_accessed=2 * b * c * d * k_cache.dtype.itemsize,

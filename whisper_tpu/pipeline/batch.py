@@ -45,7 +45,7 @@ class BatchTranscriber(Transcriber):
     @functools.lru_cache(maxsize=8)
     def _batch_window_fn(self, n_samples: int, prompt_len: int, strategy: str,
                          beam_size: int, max_depth: int, padding: int,
-                         suppress_until_len: int):
+                         suppress_until_len: int, kv_quant: bool = False):
         cfg = self.cfg
         enc_ctx = cfg.encoder_ctx_size
         eot = self.tok.eot
@@ -62,12 +62,14 @@ class BatchTranscriber(Transcriber):
                     suppress_mask=suppress, beam_size=beam_size,
                     max_depth=max_depth,
                     suppress_until_len=suppress_until_len,
+                    kv_quant=kv_quant,
                 )
             else:
                 toks, lengths, _ = dgreedy.greedy_decode(
                     params, enc, prompt, cfg, eot_id=eot,
                     suppress_mask=suppress, max_depth=max_depth,
                     suppress_until_len=suppress_until_len,
+                    kv_quant=kv_quant,
                 )
             return toks, lengths
 
@@ -117,7 +119,7 @@ class BatchTranscriber(Transcriber):
         B = self.batch_size
         fn = self._batch_window_fn(
             n_window, int(prompt.shape[0]), opt.strategy, opt.beam_size,
-            opt.max_depth, opt.padding, opt.suppress_until_len,
+            opt.max_depth, opt.padding, opt.suppress_until_len, opt.kv_quant,
         )
         for i in range(0, len(full), B):
             group = full[i : i + B]
@@ -138,6 +140,7 @@ class BatchTranscriber(Transcriber):
             sfn = self._window_fn(
                 len(chunk), int(prompt.shape[0]), opt.strategy, opt.beam_size,
                 opt.max_depth, opt.padding, opt.suppress_until_len,
+                opt.kv_quant,
             )
             toks_dev, length = sfn(self.params, jnp.asarray(chunk), prompt,
                                    self._suppress)

