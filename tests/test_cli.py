@@ -1,0 +1,131 @@
+"""In-process CLI regression tests covering the reference command contracts
+(SURVEY.md L7) and the new subcommands."""
+
+import os
+import wave as wave_mod
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+
+from whisper_tpu import cli
+from whisper_tpu.config import tiny_test_config
+from whisper_tpu.io import npy_tree
+from whisper_tpu.models import whisper as M
+from whisper_tpu.text.tokenizer import WhisperTokenizer, build_test_tokenizer_json
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory, monkeypatch_module=None):
+    d = tmp_path_factory.mktemp("cli")
+    build_test_tokenizer_json(str(d / "tokenizer.json"))
+    tok = WhisperTokenizer(str(d / "tokenizer.json"))
+    cfg = tiny_test_config(n_vocab=tok.vocab_size, n_audio_ctx=64, n_text_ctx=32)
+    params = jax.tree.map(np.asarray, M.init_params(jax.random.PRNGKey(0), cfg))
+    npy_tree.save_whisper(params, cfg, str(d / "dump"))
+
+    with wave_mod.open(str(d / "audio.wav"), "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+        w.writeframes(
+            (np.random.default_rng(0).standard_normal(6000) * 3000)
+            .astype(np.int16).tobytes()
+        )
+    return d, params, cfg, tok
+
+
+@pytest.fixture(autouse=True)
+def _chdir(workdir, monkeypatch):
+    monkeypatch.chdir(workdir[0])
+
+
+class TestConvert:
+    def test_convert_writes_safetensors_and_cfg(self, workdir, capsys):
+        assert cli.main(["convert", "dump"]) == 0
+        out = capsys.readouterr().out
+        # reference convert CLI message contract (src/bin/convert/main.rs)
+        assert "Saving model..." in out and "Finished." in out
+        assert os.path.exists("dump.safetensors")
+        assert os.path.exists("dump.cfg")
+
+    def test_convert_missing_dir(self, capsys):
+        assert cli.main(["convert", "no_such_dir"]) == 1
+
+
+class TestTranscribe:
+    def test_reference_contract(self, workdir, capsys):
+        rc = cli.main([
+            "transcribe", "dump", "audio.wav", "en", "out.txt",
+            "--greedy", "--max-depth", "5", "--dtype", "float32",
+        ])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "Loading waveform..." in out  # main.rs:109
+        assert "Loading model..." in out  # main.rs:134
+        assert "Transcription finished." in out  # main.rs:159
+        assert os.path.exists("out.txt")
+
+    def test_invalid_language(self, workdir, capsys):
+        rc = cli.main(["transcribe", "dump", "audio.wav", "xx", "o.txt"])
+        assert rc == 1
+        assert "Invalid language abbreviation: xx" in capsys.readouterr().err
+
+    def test_wrong_sample_rate_rejected(self, workdir, tmp_path):
+        with wave_mod.open("sr22.wav", "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(22050)
+            w.writeframes(np.zeros(4000, np.int16).tobytes())
+        rc = cli.main(["transcribe", "dump", "sr22.wav", "en", "o.txt"])
+        assert rc == 1
+
+    def test_missing_model(self, workdir):
+        rc = cli.main(["transcribe", "nope", "audio.wav", "en", "o.txt"])
+        assert rc == 1
+
+
+class TestConvertPt:
+    def test_openai_pt(self, workdir, capsys):
+        d, params, cfg, tok = workdir
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import test_convert_pt as tc
+
+        old_cfg = tc.CFG
+        tc.CFG = cfg
+        try:
+            torch.save(
+                {"dims": tc._dims(), "model_state_dict": tc._openai_sd(params)},
+                "openai.pt",
+            )
+        finally:
+            tc.CFG = old_cfg
+        assert cli.main(["convert-pt", "openai.pt", "fromopenai"]) == 0
+        assert os.path.exists("fromopenai.safetensors")
+        assert os.path.exists("fromopenai.cfg")
+
+    def test_bad_pt(self, workdir):
+        with open("junk.pt", "wb") as f:
+            f.write(b"junk")
+        assert cli.main(["convert-pt", "junk.pt", "x"]) == 1
+
+
+class TestEval:
+    def test_manifest_eval(self, workdir, capsys):
+        with open("manifest.tsv", "w") as f:
+            f.write("audio.wav\thello world\n")
+        rc = cli.main(["eval", "dump", "manifest.tsv", "en", "--greedy",
+                       "--dtype", "float32"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        import json
+
+        result = json.loads(out.strip().splitlines()[-1])
+        assert set(result) >= {"wer", "errors", "words", "utterances"}
+        assert result["utterances"] == 1
+
+
+class TestHelp:
+    def test_usage(self, capsys):
+        assert cli.main([]) == 1
+        assert cli.main(["--help"]) == 0
+        assert cli.main(["bogus-cmd"]) == 1
