@@ -129,3 +129,20 @@ class TestHelp:
         assert cli.main([]) == 1
         assert cli.main(["--help"]) == 0
         assert cli.main(["bogus-cmd"]) == 1
+
+
+class TestParallelWindows:
+    def test_parallel_windows_matches_sequential(self, workdir):
+        # long enough for 2+ windows at the tiny config (window = 8799 samples)
+        with wave_mod.open("long.wav", "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+            w.writeframes(
+                (np.random.default_rng(3).standard_normal(20000) * 3000)
+                .astype(np.int16).tobytes()
+            )
+        args = ["dump", "long.wav", "en", "seq.txt", "--greedy",
+                "--max-depth", "5", "--dtype", "float32"]
+        assert cli.main(["transcribe"] + args) == 0
+        args[3] = "par.txt"
+        assert cli.main(["transcribe"] + args + ["--parallel-windows"]) == 0
+        assert open("seq.txt").read() == open("par.txt").read()

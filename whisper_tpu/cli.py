@@ -54,6 +54,13 @@ def cmd_transcribe(argv) -> int:
     p.add_argument("--resample", action="store_true",
                    help="resample input to 16 kHz instead of rejecting it")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    p.add_argument("--parallel-windows", action="store_true",
+                   help="decode all ~15s windows of the file as one batch "
+                        "(identical output: windows are independent, the "
+                        "reference discards cross-window context; several "
+                        "times faster on long audio)")
+    p.add_argument("--kv-quant", action="store_true",
+                   help="int8 cross-KV cache (faster decode, tiny accuracy cost)")
     p.add_argument("-v", "--verbose", action="count", default=0)
     args = p.parse_args(argv)
 
@@ -122,15 +129,22 @@ def cmd_transcribe(argv) -> int:
         return 1
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
-    t = Transcriber(params, cfg, tokenizer, dtype=dtype)
     opts = DecodeOptions(
         lang=args.lang,
         strategy="greedy" if args.greedy else "beam",
         beam_size=args.beam_size,
         max_depth=args.max_depth,
+        kv_quant=args.kv_quant,
     )
     t0 = time.perf_counter()
-    text, _tokens = t.transcribe(waveform, rate, opts)
+    if args.parallel_windows:
+        from .pipeline.batch import BatchTranscriber
+
+        bt = BatchTranscriber(params, cfg, tokenizer, dtype=dtype)
+        (text, _tokens), = bt.transcribe_many([waveform], rate, opts)
+    else:
+        t = Transcriber(params, cfg, tokenizer, dtype=dtype)
+        text, _tokens = t.transcribe(waveform, rate, opts)
     dt = time.perf_counter() - t0
 
     with open(args.out, "w") as f:
