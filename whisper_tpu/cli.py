@@ -78,8 +78,8 @@ def cmd_transcribe(argv) -> int:
 
     print("Loading waveform...")  # main.rs:109 contract
     try:
-        waveform, rate = wav_native.load_wav(args.audio)  # C++ fast path,
-        # pure-Python fallback (identical semantics, tested bit-exact)
+        # C++ fast path (WAV + FLAC), pure-Python WAV fallback
+        waveform, rate = wav_native.load_audio(args.audio)
     except Exception as e:
         print(f"Failed to load audio file: {e}", file=sys.stderr)
         return 1
@@ -260,7 +260,7 @@ def cmd_transcribe_many(argv) -> int:
 
     waves = []
     for path in args.wavs:
-        w, rate = wav_native.load_wav(path)
+        w, rate = wav_native.load_audio(path)
         if rate != SAMPLE_RATE:
             if not args.resample:
                 print(f"{path}: sample rate must be 16k (got {rate}); "
@@ -330,7 +330,7 @@ def cmd_eval(argv) -> int:
                          strategy="greedy" if args.greedy else "beam")
 
     def transcribe_path(path: str) -> str:
-        waveform, rate = wav_native.load_wav(path)
+        waveform, rate = wav_native.load_audio(path)  # WAV or FLAC
         if rate != SAMPLE_RATE:
             waveform = wav.resample(waveform, rate, SAMPLE_RATE)
         text, _ = t.transcribe(waveform, SAMPLE_RATE, opts,

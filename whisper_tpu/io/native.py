@@ -108,3 +108,76 @@ def window(wave: np.ndarray, start: int, count: int) -> np.ndarray:
     if rc != 0:
         raise ValueError(f"wio_window failed: {rc}")
     return out
+
+
+# ----------------------------------------------------------------------------
+# FLAC (LibriSpeech's format; no libFLAC/ffmpeg in this environment --
+# decoded by native/flac_decoder.cpp)
+# ----------------------------------------------------------------------------
+
+
+class _FlacInfo(ctypes.Structure):
+    _fields_ = [
+        ("sample_rate", ctypes.c_uint32),
+        ("n_channels", ctypes.c_uint32),
+        ("bits_per_sample", ctypes.c_uint32),
+        ("total_samples", ctypes.c_uint64),
+    ]
+
+
+def _bind_flac(lib: ctypes.CDLL) -> None:
+    lib.flac_probe.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(_FlacInfo)
+    ]
+    lib.flac_probe.restype = ctypes.c_int
+    lib.flac_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ]
+    lib.flac_decode.restype = ctypes.c_int64
+
+
+if _LIB is not None:
+    try:
+        _bind_flac(_LIB)
+    except AttributeError:  # old .so without the FLAC symbols
+        pass
+
+
+def flac_available() -> bool:
+    return _LIB is not None and hasattr(_LIB, "flac_decode")
+
+
+def load_flac(path: str) -> Tuple[np.ndarray, int]:
+    """Decode a FLAC file -> (float32 samples in [-1, 1], sample_rate).
+
+    Stereo is averaged to mono; normalization matches the WAV loader
+    (/(2^(bits-1) - 1), reference main.rs:44-52 semantics).
+    """
+    if not flac_available():
+        raise _pywav.WavFormatError(
+            "FLAC support requires native/libwhisper_io.so (make -C native)"
+        )
+    with open(path, "rb") as f:
+        data = f.read()
+    info = _FlacInfo()
+    rc = _LIB.flac_probe(data, len(data), ctypes.byref(info))
+    if rc != 0:
+        raise _pywav.WavFormatError(f"{path}: FLAC probe failed ({rc})")
+    cap = int(info.total_samples) if info.total_samples else len(data) * 8
+    out = np.empty(cap, np.int32)
+    n = _LIB.flac_decode(
+        data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.size,
+    )
+    if n < 0:
+        raise _pywav.WavFormatError(f"{path}: FLAC decode failed ({n})")
+    denom = float(2 ** (info.bits_per_sample - 1) - 1)
+    return (out[:n].astype(np.float32) / denom), int(info.sample_rate)
+
+
+def load_audio(path: str) -> Tuple[np.ndarray, int]:
+    """Dispatch by extension: .flac via the native decoder, else WAV."""
+    if path.lower().endswith(".flac"):
+        return load_flac(path)
+    return load_wav(path)
