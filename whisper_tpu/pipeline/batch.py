@@ -42,10 +42,13 @@ class BatchTranscriber(Transcriber):
         super().__init__(*args, **kwargs)
         self.batch_size = batch_size
 
-    @functools.lru_cache(maxsize=8)
     def _batch_window_fn(self, n_samples: int, prompt_len: int, strategy: str,
                          beam_size: int, max_depth: int, padding: int,
                          suppress_until_len: int, kv_quant: bool = False):
+        key = ("batch", n_samples, prompt_len, strategy, beam_size, max_depth,
+               padding, suppress_until_len, kv_quant)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
         cfg = self.cfg
         enc_ctx = cfg.encoder_ctx_size
         eot = self.tok.eot
@@ -73,7 +76,9 @@ class BatchTranscriber(Transcriber):
                 )
             return toks, lengths
 
-        return jax.jit(run)
+        fn = jax.jit(run)
+        self._fn_cache[key] = fn
+        return fn
 
     def transcribe_many(
         self,

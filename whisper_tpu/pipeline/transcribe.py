@@ -146,9 +146,12 @@ class Transcriber:
         self.cfg = cfg
         self.tok = tokenizer
         self._suppress = jnp.asarray(tokenizer.suppress_mask())
+        # per-instance jit cache (a functools.lru_cache on the method would
+        # key on `self` at class level and pin every Transcriber forever --
+        # a real leak under the serving daemon)
+        self._fn_cache: dict = {}
 
     # ------------------------------------------------------------------
-    @functools.lru_cache(maxsize=32)
     def _window_fn(
         self, n_samples: int, prompt_len: int, strategy: str, beam_size: int,
         max_depth: int, padding: int, suppress_until_len: int,
@@ -159,6 +162,10 @@ class Transcriber:
         Compiled per distinct (window length, options); the full-size window
         dominates, so steady state reuses a single executable.
         """
+        key = ("window", n_samples, prompt_len, strategy, beam_size,
+               max_depth, padding, suppress_until_len, kv_quant)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
         cfg = self.cfg
         enc_ctx = cfg.encoder_ctx_size
         eot = self.tok.eot
@@ -185,7 +192,9 @@ class Transcriber:
             )
             return toks[0], lengths[0]
 
-        return jax.jit(run)
+        fn = jax.jit(run)
+        self._fn_cache[key] = fn
+        return fn
 
     # ------------------------------------------------------------------
     def detect_language(self, waveform: np.ndarray,
