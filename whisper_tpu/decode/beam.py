@@ -223,6 +223,7 @@ def beam_search(
         "beam_size",
         "max_depth",
         "suppress_until_len",
+        "kv_quant",
     ),
 )
 def beam_search_jit(
@@ -235,6 +236,7 @@ def beam_search_jit(
     beam_size: int = 5,
     max_depth: int = 100,
     suppress_until_len: int = 5,
+    kv_quant: bool = False,
 ):
     return beam_search(
         params,
@@ -246,6 +248,7 @@ def beam_search_jit(
         beam_size,
         max_depth,
         suppress_until_len,
+        kv_quant,
     )
 
 
@@ -284,14 +287,14 @@ def beam_search_batched(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "eot_id", "beam_size", "max_depth",
-                     "suppress_until_len"),
+                     "suppress_until_len", "kv_quant"),
 )
 def beam_search_batched_jit(
     params, enc_out, prompt, cfg: WhisperConfig, eot_id: int,
     suppress_mask=None, beam_size: int = 5, max_depth: int = 100,
-    suppress_until_len: int = 5,
+    suppress_until_len: int = 5, kv_quant: bool = False,
 ):
     return beam_search_batched(
         params, enc_out, prompt, cfg, eot_id, suppress_mask, beam_size,
-        max_depth, suppress_until_len,
+        max_depth, suppress_until_len, kv_quant,
     )

@@ -9,8 +9,10 @@ across all streams are packed into fixed-size batches and run through one
 jitted mel->encoder->greedy program; odd-length tail windows fall back to the
 per-shape single path. Host-side stitching reassembles each stream.
 
-Scaling: with a ("dp", tp=1) mesh, place the batch with `batch_pspec()` and
-the same program data-parallelizes across chips.
+Scaling: construct with `mesh=make_mesh(dp=N)` and the window batches are
+dp-sharded (`batch_pspec()`), so the same jitted program data-parallelizes
+across chips; tp>1 additionally shards heads/MLP per the Megatron rules
+(tests/test_parallel.py asserts token equality vs the meshless path).
 """
 
 from __future__ import annotations
@@ -40,7 +42,22 @@ class BatchTranscriber(Transcriber):
 
     def __init__(self, *args, batch_size: int = 8, **kwargs):
         super().__init__(*args, **kwargs)
+        if self.mesh is not None:
+            dp = self.mesh.shape.get("dp", 1)
+            if batch_size % dp != 0:
+                rounded = -(-batch_size // dp) * dp
+                log.info(
+                    "batch_size %d rounded up to %d (multiple of dp=%d)",
+                    batch_size, rounded, dp,
+                )
+                batch_size = rounded
         self.batch_size = batch_size
+
+    def _place_batch(self, waves: np.ndarray) -> jax.Array:
+        """Put a (B, n) window batch on device, dp-sharded when meshed."""
+        if self._batch_sharding is not None:
+            return jax.device_put(waves, self._batch_sharding)
+        return jnp.asarray(waves)
 
     def _batch_window_fn(self, n_samples: int, prompt_len: int, strategy: str,
                          beam_size: int, max_depth: int, padding: int,
@@ -133,7 +150,7 @@ class BatchTranscriber(Transcriber):
                 waves = np.concatenate(
                     [waves, np.repeat(waves[:1], B - len(group), axis=0)]
                 )
-            toks, lengths = fn(self.params, jnp.asarray(waves), prompt,
+            toks, lengths = fn(self.params, self._place_batch(waves), prompt,
                                self._suppress)
             toks, lengths = np.asarray(toks), np.asarray(lengths)
             for j, (s, w, _) in enumerate(group):

@@ -122,10 +122,16 @@ class Transcriber:
         dtype=None,
         attention: str = "auto",
         matmul_precision: Optional[str] = None,
+        mesh=None,
     ):
         """`matmul_precision`: None (device default: single-pass bf16 MXU for
         f32 on TPU, ~0.2 logit deviation vs exact f32) or "highest"/"float32"
         for the token-exact parity mode (slower; used by the golden E2E gate).
+
+        `mesh`: optional `jax.sharding.Mesh` with ("dp", "tp") axes. Params
+        are placed with the Megatron TP rules (replicated over dp); batched
+        inputs (BatchTranscriber) are sharded over dp, so one jitted program
+        data-parallelizes windows across chips with XLA-inserted collectives.
         """
         if attention == "auto":
             attention = "flash" if jax.default_backend() == "tpu" else "xla"
@@ -142,7 +148,22 @@ class Transcriber:
                 lambda x: x.astype(dtype) if np.issubdtype(x.dtype, np.floating) else x,
                 params,
             )
-        self.params = jax.tree.map(jnp.asarray, params)
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from ..parallel import sharding as psharding
+
+            psharding.validate_tp(cfg, mesh.shape.get("tp", 1))
+            self.params = psharding.shard_params(
+                jax.tree.map(jnp.asarray, params), mesh, cfg
+            )
+            self._batch_sharding = NamedSharding(
+                mesh, psharding.batch_pspec()
+            )
+        else:
+            self.params = jax.tree.map(jnp.asarray, params)
         self.cfg = cfg
         self.tok = tokenizer
         self._suppress = jnp.asarray(tokenizer.suppress_mask())

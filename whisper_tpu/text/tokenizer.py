@@ -16,7 +16,6 @@ host loop per window.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import List, Optional, Sequence
 
@@ -139,13 +138,17 @@ class WhisperTokenizer:
         return self._required(SpecialToken.language(code))
 
     # -- suppress mask ------------------------------------------------------
-    @functools.lru_cache(maxsize=1)
     def suppress_mask(self) -> np.ndarray:
         """(vocab,) f32 mask: -inf at special tokens, 0 elsewhere.
 
         Matches `special_tokens_maskout` (src/transcribe.rs:243-251) but
-        computed in one batched decode sweep.
+        computed in one batched decode sweep. Cached per instance (an
+        lru_cache on the method would key on `self` at class level and pin
+        the tokenizer alive -- the leak class fixed for Transcriber).
         """
+        cached = getattr(self, "_suppress_mask_cache", None)
+        if cached is not None:
+            return cached
         v = self.vocab_size
         decoded = self._tok.decode_batch(
             [[i] for i in range(v)], skip_special_tokens=True
@@ -154,6 +157,7 @@ class WhisperTokenizer:
         for i, s in enumerate(decoded):
             if s == "":
                 mask[i] = -np.inf
+        self._suppress_mask_cache = mask
         return mask
 
     def prompt_ids(self, lang: str, task: str = "transcribe",
