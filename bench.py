@@ -11,11 +11,24 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is value / 50 -- the BASELINE.json target of >=50x real-time per
 chip (set for large-v2; reported for whatever model is benched, see metric).
 
+The default configuration is int8 weights + int8 cross-KV cache -- the
+fastest config that clears the quantization token-agreement gate
+(tests/test_quantize.py::TestAgreementGate and `whisper_tpu quant-check`:
+token-identical greedy AND beam decode vs bf16, see docs/PERFORMANCE.md).
+
 Env knobs:
   WHISPER_TPU_BENCH_MODEL  (default large-v2; any preset name)
   WHISPER_TPU_BENCH_BATCH  (default 24 streams)
   WHISPER_TPU_BENCH_STEPS  (default 100 decode steps/window)
   WHISPER_TPU_BENCH_REPS   (default 3 timed reps)
+  WHISPER_TPU_BENCH_QUANT  (int8 | none; default int8 weight-only)
+  WHISPER_TPU_BENCH_KV     (int8 | none; default int8 cross-KV)
+  WHISPER_TPU_BENCH_BEAM   (beam width; default 5, 0 disables the beam run)
+  WHISPER_TPU_BENCH_BEAM_BATCH (windows in the beam run; default batch//3)
+
+The JSON line's primary metric is the greedy multi-stream xRT; the reference
+decode config (beam=5, src/transcribe.rs:232-233) is measured too and
+reported in the same line under "beam".
 """
 
 from __future__ import annotations
@@ -56,8 +69,9 @@ def main() -> int:
           f"device={jax.devices()[0].device_kind}", file=sys.stderr)
 
     params = M.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    kv_quant = os.environ.get("WHISPER_TPU_BENCH_KV", "") == "int8"
-    quant = os.environ.get("WHISPER_TPU_BENCH_QUANT", "")
+    kv_quant = os.environ.get("WHISPER_TPU_BENCH_KV", "int8") == "int8"
+    quant = os.environ.get("WHISPER_TPU_BENCH_QUANT", "int8")
+    quant = "" if quant in ("none", "bf16", "0") else quant
     if quant == "int8":
         from whisper_tpu.quantize import quantize_params
 
@@ -66,58 +80,88 @@ def main() -> int:
     print(f"# params: {n_params/1e6:.0f}M (bf16{'+int8' if quant else ''})",
           file=sys.stderr)
 
+    from whisper_tpu.decode import beam as dbeam
+
     # one window of the production pipeline, batched over streams
     padding = 10
     window_samples = max_waveform_samples(cfg.encoder_ctx_size - padding)
     window_seconds = window_samples / 16000.0
     prompt = jnp.asarray([3, 7, 11, 13], jnp.int32)  # 4-token prompt shape
 
-    def window_fn(params, wave):
-        mel = prep_audio(wave, per_sample_max=True)
-        mel = jnp.pad(mel, ((0, 0), (0, 0), (0, padding)))
-        enc = M.encoder_forward(params, mel.astype(jnp.bfloat16), cfg)
-        # eot_id=-1: no token matches, so all streams run `steps` decode
-        # iterations -- fixed work, deterministic timing.
-        toks, lengths, _ = greedy.greedy_decode(
-            params, enc, prompt, cfg, eot_id=-1, max_depth=steps,
-            kv_quant=kv_quant,
-        )
-        return lengths
-
-    fn = jax.jit(window_fn)
+    def make_window_fn(strategy, beam_size=5):
+        def window_fn(params, wave):
+            mel = prep_audio(wave, per_sample_max=True)
+            mel = jnp.pad(mel, ((0, 0), (0, 0), (0, padding)))
+            enc = M.encoder_forward(params, mel.astype(jnp.bfloat16), cfg)
+            # eot_id=-1: no token matches, so all streams run `steps` decode
+            # iterations -- fixed work, deterministic timing.
+            if strategy == "beam":
+                toks, lengths, _ = dbeam.beam_search_batched(
+                    params, enc, prompt, cfg, eot_id=-1, beam_size=beam_size,
+                    max_depth=steps, kv_quant=kv_quant,
+                )
+            else:
+                toks, lengths, _ = greedy.greedy_decode(
+                    params, enc, prompt, cfg, eot_id=-1, max_depth=steps,
+                    kv_quant=kv_quant,
+                )
+            return lengths
+        return window_fn
 
     rng = np.random.default_rng(0)
-    wave = jnp.asarray(
-        rng.standard_normal((batch, window_samples)).astype(np.float32) * 0.1
-    )
 
-    # NOTE: np.asarray (device->host fetch) rather than block_until_ready --
-    # on the axon tunnel backend block_until_ready can return before the
-    # computation finishes, silently under-measuring.
-    t0 = time.perf_counter()
-    np.asarray(fn(params, wave))
-    compile_s = time.perf_counter() - t0
-    print(f"# compile+first run: {compile_s:.1f}s", file=sys.stderr)
+    def run_config(strategy, b, beam_size=5):
+        """Compile + time one (strategy, batch) config; returns (xrt, tok/s).
 
-    times = []
-    for _ in range(reps):
+        NOTE: np.asarray (device->host fetch) rather than block_until_ready
+        -- on the axon tunnel backend block_until_ready can return before
+        the computation finishes, silently under-measuring.
+        """
+        fn = jax.jit(make_window_fn(strategy, beam_size))
+        wave = jnp.asarray(
+            rng.standard_normal((b, window_samples)).astype(np.float32) * 0.1
+        )
         t0 = time.perf_counter()
         np.asarray(fn(params, wave))
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    audio_sec = batch * window_seconds
-    xrt = audio_sec / best
-    tok_s = batch * steps / best
-    print(f"# window={window_seconds:.1f}s reps={times} -> "
-          f"{xrt:.1f}x RT, {tok_s:.0f} tok/s", file=sys.stderr)
+        compile_s = time.perf_counter() - t0
+        print(f"# {strategy} b{b}: compile+first run {compile_s:.1f}s",
+              file=sys.stderr)
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(fn(params, wave))
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        xrt = b * window_seconds / best
+        tok_s = b * steps / best
+        print(f"# {strategy} window={window_seconds:.1f}s reps={times} -> "
+              f"{xrt:.1f}x RT, {tok_s:.0f} tok/s", file=sys.stderr)
+        return xrt, tok_s
+
+    xrt, tok_s = run_config("greedy", batch)
 
     suffix = (f"_{quant}" if quant else "") + ("_kv8" if kv_quant else "")
-    print(json.dumps({
+    record = {
         "metric": f"xrt_{model_name}_b{batch}_greedy{steps}{suffix}",
         "value": round(xrt, 2),
         "unit": "audio_s_per_s_per_chip",
         "vs_baseline": round(xrt / 50.0, 3),
-    }))
+    }
+
+    beam_size = int(os.environ.get("WHISPER_TPU_BENCH_BEAM", "5"))
+    if beam_size > 1:
+        beam_batch = int(
+            os.environ.get("WHISPER_TPU_BENCH_BEAM_BATCH", str(max(batch // 3, 1)))
+        )
+        beam_xrt, _ = run_config("beam", beam_batch, beam_size)
+        record["beam"] = {
+            "metric": (f"xrt_{model_name}_b{beam_batch}_beam{beam_size}_"
+                       f"{steps}{suffix}"),
+            "value": round(beam_xrt, 2),
+            "vs_baseline": round(beam_xrt / 50.0, 3),
+        }
+
+    print(json.dumps(record))
     return 0
 
 

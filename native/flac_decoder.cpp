@@ -280,6 +280,7 @@ int64_t flac_decode(const uint8_t* data, int64_t len, int32_t* out,
     }
     br.read_bits(8);  // CRC-8 (unvalidated)
 
+    if (ch_code > 10) return FLAC_UNSUPPORTED;  // reserved assignments 11-15
     int frame_ch = (ch_code < 8) ? (int)ch_code + 1 : 2;
     if (frame_ch != nch) return FLAC_BAD_FRAME;
 

@@ -126,9 +126,11 @@ int wio_decode(const uint8_t* data, int64_t len, float* out, int64_t out_cap) {
       break;
     }
     case 32: {
-      const double inv = 1.0 / 2147483647.0;
+      // f32 division like the 16-bit case: the divisor 2147483647 rounds to
+      // 2^31 in float32, matching the reference's `s as f32 / max` f32
+      // semantics and the Python fallback bit for bit.
       const int32_t* s = (const int32_t*)body;
-      for (int64_t i = 0; i < n; ++i) out[i] = (float)(s[i] * inv);
+      for (int64_t i = 0; i < n; ++i) out[i] = (float)s[i] / 2147483647.0f;
       break;
     }
     case 24: {

@@ -43,6 +43,38 @@ class TestNativeWav:
         assert ra == rb
         np.testing.assert_array_equal(a, b)
 
+    @pytest.mark.parametrize("bits", [8, 24, 32])
+    def test_bit_exact_other_depths(self, tmp_path, rng, bits):
+        """8/24/32-bit PCM: native == Python fallback, bit for bit (both
+        divide in f32 like the reference's `s as f32 / max`)."""
+        n = 3000
+        if bits == 8:
+            body = rng.integers(0, 256, n).astype(np.uint8).tobytes()
+        elif bits == 24:
+            vals = rng.integers(-(2**23), 2**23, n).astype(np.int32)
+            b = np.zeros((n, 3), np.uint8)
+            b[:, 0] = vals & 0xFF
+            b[:, 1] = (vals >> 8) & 0xFF
+            b[:, 2] = (vals >> 16) & 0xFF
+            body = b.tobytes()
+        else:
+            body = rng.integers(-(2**31), 2**31, n, dtype=np.int64).astype(
+                np.int32).tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, 16000, 16000 * bits // 8,
+                          bits // 8, bits)
+        riff = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        riff += b"data" + struct.pack("<I", len(body)) + body
+        path = tmp_path / f"d{bits}.wav"
+        path.write_bytes(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+
+        a, ra = native.load_wav(str(path))
+        b_, rb = pywav.load_wav(str(path))
+        assert ra == rb == 16000
+        np.testing.assert_array_equal(a, b_)
+        # /(2^(b-1)-1) normalization admits slightly >1 magnitudes (e.g.
+        # -128/127); the reference does the same (main.rs:44-52)
+        assert np.abs(a).max() <= 128.0 / 127.0 + 1e-6
+
     def test_reference_sample_bit_exact(self):
         a, ra = native.load_wav("/root/reference/audio.wav")
         b, rb = pywav.load_wav("/root/reference/audio.wav")

@@ -122,6 +122,53 @@ class TestDecodeAttention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref[:, 0]),
                                    atol=2e-5)
 
+    def test_per_row_pos(self, rng):
+        """pos may differ per batch row (needed under vmap batching)."""
+        from whisper_tpu.models.whisper import _cached_attention
+        from whisper_tpu.ops.pallas.decode_attention import decode_attention
+
+        B, H, C, HD = 3, 2, 16, 64
+        D = H * HD
+        q = jnp.asarray(rng.standard_normal((B, 1, D)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((B, C, D)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((B, C, D)).astype(np.float32))
+        pos = jnp.asarray([0, 5, C - 1], jnp.int32)
+        out = decode_attention(q[:, 0] * (HD ** -0.5), k, v, pos, H,
+                               interpret=True)
+        for i in range(B):
+            ref = _cached_attention(
+                q[i : i + 1], k[i : i + 1], v[i : i + 1],
+                jnp.asarray([int(pos[i])]), H, impl="xla",
+            )
+            np.testing.assert_allclose(
+                np.asarray(out[i]), np.asarray(ref[0, 0]), atol=2e-5
+            )
+
+    def test_vmap_flattens_into_grid(self, rng):
+        """vmap over windows == flattened call (the batched-beam TPU path;
+        pallas's default batching rule cannot lower the SMEM pos block)."""
+        from whisper_tpu.ops.pallas.decode_attention import decode_attention
+
+        W, B, H, C, HD = 2, 3, 2, 16, 64
+        D = H * HD
+        q = jnp.asarray(rng.standard_normal((W, B, D)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((W, B, C, D)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((W, B, C, D)).astype(np.float32))
+        pos = jnp.asarray([3, C - 1], jnp.int32)  # one scalar per window
+
+        out = jax.vmap(
+            lambda qq, kk, vv, pp: decode_attention(qq, kk, vv, pp, H,
+                                                    interpret=True)
+        )(q, k, v, pos)
+
+        flat = decode_attention(
+            q.reshape(W * B, D), k.reshape(W * B, C, D),
+            v.reshape(W * B, C, D),
+            jnp.repeat(pos, B), H, interpret=True,
+        ).reshape(W, B, D)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(flat),
+                                   atol=1e-6)
+
     def test_full_decoder_step_flash_vs_xla(self, rng):
         """decoder_step with impl=flash (interpret) == impl=xla, S=1."""
         import dataclasses

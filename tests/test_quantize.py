@@ -86,6 +86,44 @@ class TestQuantizedModel:
         assert isinstance(qp["encoder"]["blocks"]["mlp1_w"], quantize.QTensor)
 
 
+class TestAgreementGate:
+    """The quantized-config token-agreement gate (VERDICT r1 item 3): the
+    int8-weights + int8-cross-KV configuration must decode the same tokens
+    as bf16 on fixed synthetic inputs before it can be the bench default."""
+
+    def test_int8_kv8_gate_passes(self, params, qparams):
+        from whisper_tpu.eval import agreement
+
+        cfg = tiny_test_config(
+            n_state=64, n_head=2, n_vocab=128, n_audio_ctx=64, n_text_ctx=32
+        )
+        p = M.init_params(jax.random.PRNGKey(2), cfg)
+        qp = quantize.quantize_params(p)
+        report = agreement.decode_agreement(
+            p, qp, cfg, eot_id=5, prompt=[1, 2, 3], max_depth=10,
+            n_windows=6, beam_size=3, kv_quant_test=True,
+        )
+        agreement.gate(report, min_token_match=0.99)
+        assert report["greedy"]["n_windows"] == 6
+        assert report["max_logit_delta_rel"] < 0.05
+
+    def test_gate_fails_on_wrong_params(self, params):
+        """Sanity: the gate actually rejects a genuinely different model."""
+        from whisper_tpu.eval import agreement
+
+        cfg = tiny_test_config(
+            n_state=64, n_head=2, n_vocab=128, n_audio_ctx=64, n_text_ctx=32
+        )
+        p1 = M.init_params(jax.random.PRNGKey(2), cfg)
+        p2 = M.init_params(jax.random.PRNGKey(9), cfg)
+        report = agreement.decode_agreement(
+            p1, p2, cfg, eot_id=5, prompt=[1, 2, 3], max_depth=10,
+            n_windows=4, strategies=("greedy",),
+        )
+        with pytest.raises(AssertionError):
+            agreement.gate(report)
+
+
 class TestKVQuant:
     def test_cross_kv_quantized_close(self, params, rng):
         """int8 cross-KV decode ~= bf16 path (XLA fallback, CPU)."""

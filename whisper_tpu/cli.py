@@ -359,6 +359,73 @@ def cmd_eval(argv) -> int:
     return 0
 
 
+def cmd_quant_check(argv) -> int:
+    p = argparse.ArgumentParser(
+        prog="whisper_tpu quant-check",
+        description="Quantization agreement gate: decode with int8 weights "
+                    "(+ optional int8 cross-KV) vs the bf16 reference path "
+                    "on fixed synthetic inputs; fails unless tokens match.",
+    )
+    p.add_argument("model", help="checkpoint (.safetensors/.cfg, npy dir, "
+                                 "or .mpk.gz)")
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--kv", choices=["int8", "none"], default="int8",
+                   help="also quantize the cross-attention KV cache")
+    p.add_argument("--windows", type=int, default=8)
+    p.add_argument("--max-depth", type=int, default=32)
+    p.add_argument("--min-token-match", type=float, default=0.99)
+    p.add_argument("-v", "--verbose", action="count", default=0)
+    args = p.parse_args(argv)
+
+    from .utils.logging import configure
+
+    configure(args.verbose)
+    _enable_compilation_cache()
+
+    import json as _json
+
+    import jax.numpy as jnp
+
+    from .eval import agreement
+    from .io import checkpoint
+    from .quantize import quantize_params
+    from .text.tokenizer import WhisperTokenizer
+
+    params, cfg = checkpoint.load_params(args.model)
+    import jax
+
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if np.issubdtype(x.dtype, np.floating) else x, params)
+    tok_path = args.tokenizer or os.path.join(
+        os.path.dirname(os.path.abspath(args.model)), "tokenizer.json"
+    )
+    if os.path.exists(tok_path):
+        tok = WhisperTokenizer(tok_path)
+        prompt = tok.prompt_ids("en")
+        suppress = tok.suppress_mask()
+        eot = tok.eot
+    else:  # no tokenizer next to the weights: structural ids still gate
+        print(f"# no tokenizer at {tok_path}; using synthetic prompt",
+              file=sys.stderr)
+        v = cfg.text_decoder_config.n_vocab
+        prompt, suppress, eot = [v - 8, v - 7, v - 6, v - 5], None, v - 1
+
+    report = agreement.decode_agreement(
+        params, quantize_params(params), cfg, eot_id=eot, prompt=prompt,
+        suppress_mask=suppress, max_depth=args.max_depth,
+        n_windows=args.windows, kv_quant_test=args.kv == "int8",
+    )
+    print(_json.dumps(report))
+    try:
+        agreement.gate(report, min_token_match=args.min_token_match)
+    except AssertionError as e:
+        print(f"FAIL: {e}", file=sys.stderr)
+        return 1
+    print("PASS", file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
@@ -369,6 +436,7 @@ def main(argv=None) -> int:
         print("  convert-pt <model.pt> <out name>", file=sys.stderr)
         print("  eval <model> <dataset> [lang]", file=sys.stderr)
         print("  transcribe-many <model> <lang> <out dir> <wav...>", file=sys.stderr)
+        print("  quant-check <model>", file=sys.stderr)
         return 0 if argv else 1
     cmd, rest = argv[0], argv[1:]
     if cmd == "transcribe":
@@ -381,6 +449,8 @@ def main(argv=None) -> int:
         return cmd_convert_pt(rest)
     if cmd == "eval":
         return cmd_eval(rest)
+    if cmd == "quant-check":
+        return cmd_quant_check(rest)
     print(f"unknown command: {cmd}", file=sys.stderr)
     return 1
 

@@ -1,1 +1,1 @@
-from . import wer
+from . import agreement, wer

@@ -165,11 +165,17 @@ def load_flac(path: str) -> Tuple[np.ndarray, int]:
     if rc != 0:
         raise _pywav.WavFormatError(f"{path}: FLAC probe failed ({rc})")
     cap = int(info.total_samples) if info.total_samples else len(data) * 8
-    out = np.empty(cap, np.int32)
-    n = _LIB.flac_decode(
-        data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        out.size,
-    )
+    while True:
+        out = np.empty(cap, np.int32)
+        n = _LIB.flac_decode(
+            data, len(data),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), out.size,
+        )
+        if n != -5:  # FLAC_BUFFER_SMALL: only when total_samples is unknown
+            break
+        # highly compressible streams (constant/silence frames) can exceed
+        # 8 samples per encoded byte; grow geometrically and retry
+        cap *= 4
     if n < 0:
         raise _pywav.WavFormatError(f"{path}: FLAC decode failed ({n})")
     denom = float(2 ** (info.bits_per_sample - 1) - 1)

@@ -81,8 +81,11 @@ def load_wav(path: str) -> Tuple[np.ndarray, int]:
             ints = np.frombuffer(samples, dtype=np.uint8).astype(np.float32) - 128.0
         else:
             raise WavFormatError(f"unsupported PCM bit depth: {bits}")
-        # Reference normalization: / (2^(bits-1) - 1) (main.rs:44,50)
-        wave = (ints / float(2 ** (bits - 1) - 1)).astype(np.float32)
+        # Reference normalization: / (2^(bits-1) - 1) (main.rs:44,50).
+        # Divide IN f32 like the reference's `s as f32 / max` (for 32-bit the
+        # divisor rounds to 2^31 in f32) -- bit-identical to the native
+        # loader and the Rust semantics, no f64 double rounding.
+        wave = ints / np.float32(2 ** (bits - 1) - 1)
     else:
         raise WavFormatError(f"unsupported WAV format code: {audio_format}")
 

@@ -59,6 +59,9 @@ def _head_sum_matrix(d: int, n_head: int) -> np.ndarray:
 
 
 def _decode_attn_kernel(pos_ref, q_ref, k_ref, v_ref, e_ref, o_ref):
+    # pos_ref: the whole (B,) array in SMEM (Mosaic cannot block rank-1 SMEM
+    # below the tile size); this row's visibility is pos_ref[program_id].
+    pos = pos_ref[pl.program_id(0)]
     q = q_ref[0].astype(jnp.float32)  # (1, D)
     k = k_ref[0].astype(jnp.float32)  # (C, D)
     v = v_ref[0].astype(jnp.float32)
@@ -85,7 +88,7 @@ def _decode_attn_kernel(pos_ref, q_ref, k_ref, v_ref, e_ref, o_ref):
     )  # (C, Hp)
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
-    s = jnp.where(idx > pos_ref[0], NEG_INF, s)
+    s = jnp.where(idx > pos, NEG_INF, s)
 
     m = jnp.max(s, axis=0, keepdims=True)
     p = jnp.exp(s - m)
@@ -102,22 +105,13 @@ def _decode_attn_kernel(pos_ref, q_ref, k_ref, v_ref, e_ref, o_ref):
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
-def decode_attention(
-    q: jax.Array,  # (B, D) single query, PRE-SCALED by head_dim^-0.5
-    k_cache: jax.Array,  # (B, C, D)
-    v_cache: jax.Array,  # (B, C, D)
-    pos: jax.Array,  # scalar i32: highest visible cache row (inclusive)
-    n_head: int,
-    interpret: bool = False,
-) -> jax.Array:
-    """Returns (B, D) attention output in v_cache.dtype."""
+def _decode_attention_call(q, k_cache, v_cache, pos, n_head, interpret):
+    """One pallas_call over a (B,) grid; pos is (B,) per-row visibility."""
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
     b, c, d = k_cache.shape
 
     e = jnp.asarray(_head_sum_matrix(d, n_head))
-    pos_arr = jnp.asarray([pos], jnp.int32)
     q3 = q[:, None, :]  # (B, 1, D)
 
     out = pl.pallas_call(
@@ -146,6 +140,72 @@ def decode_attention(
             transcendentals=b * c * e.shape[1],
         ),
         interpret=interpret,
-    )(pos_arr, q3, k_cache, v_cache, e)
+    )(pos.astype(jnp.int32), q3, k_cache, v_cache, e)
 
     return out[:, 0, :]
+
+
+@functools.lru_cache(maxsize=8)
+def _make_decode_attention(n_head: int, interpret: bool):
+    """Build the (n_head, interpret)-specialized kernel entry with a custom
+    vmap rule.
+
+    Why custom vmap: `beam_search_batched` vmaps the whole decode program
+    over independent windows. Pallas's default batching rule prepends a grid
+    axis and turns the (B,) SMEM pos argument into a (W, B) block that Mosaic
+    refuses to lower. Batching here is trivial instead: a (W, B, ...) call IS
+    a (W*B, ...) call -- rows are independent -- so the rule flattens the
+    vmapped axis into the kernel grid (one launch, no relayout; reshapes of
+    leading axes are free).
+    """
+
+    @jax.custom_batching.custom_vmap
+    def attn(q, k_cache, v_cache, pos):
+        b = k_cache.shape[0]
+        pos_rows = jnp.broadcast_to(
+            jnp.asarray(pos, jnp.int32).reshape(-1), (b,)
+        )
+        return _decode_attention_call(
+            q, k_cache, v_cache, pos_rows, n_head, interpret
+        )
+
+    @attn.def_vmap
+    def _attn_vmap(axis_size, in_batched, q, k_cache, v_cache, pos):
+        qb, kb, vb, pb = in_batched
+
+        def bcast(x, batched):
+            x = jnp.asarray(x)
+            return x if batched else jnp.broadcast_to(
+                x[None], (axis_size,) + x.shape
+            )
+
+        q = bcast(q, qb)  # (W, B, D)
+        k_cache = bcast(k_cache, kb)  # (W, B, C, D)
+        v_cache = bcast(v_cache, vb)
+        w, b = q.shape[0], q.shape[1]
+        pos = jnp.asarray(pos, jnp.int32)
+        if not pb:
+            pos = jnp.broadcast_to(pos.reshape(-1)[None], (w, b))
+        elif pos.ndim == 1:  # batched scalar: one pos per window
+            pos = jnp.broadcast_to(pos[:, None], (w, b))
+        out = attn(
+            q.reshape(w * b, -1),
+            k_cache.reshape((w * b,) + k_cache.shape[2:]),
+            v_cache.reshape((w * b,) + v_cache.shape[2:]),
+            pos.reshape(w * b),
+        )
+        return out.reshape(w, b, -1), True
+
+    return attn
+
+
+def decode_attention(
+    q: jax.Array,  # (B, D) single query, PRE-SCALED by head_dim^-0.5
+    k_cache: jax.Array,  # (B, C, D)
+    v_cache: jax.Array,  # (B, C, D)
+    pos: jax.Array,  # i32 scalar or (B,): highest visible cache row (incl.)
+    n_head: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns (B, D) attention output in v_cache.dtype. vmap-safe."""
+    return _make_decode_attention(n_head, interpret)(q, k_cache, v_cache, pos)
