@@ -52,6 +52,19 @@ class TestConvert:
     def test_convert_missing_dir(self, capsys):
         assert cli.main(["convert", "no_such_dir"]) == 1
 
+    def test_convert_mpk_round_trips(self, workdir):
+        """--mpk writes the reference's .mpk.gz (convert main.rs:17-19)."""
+        from whisper_tpu.io import mpk
+
+        assert cli.main(["convert", "dump", "--mpk", "--out", "m"]) == 0
+        assert os.path.exists("m.mpk.gz") and os.path.exists("m.cfg")
+        _, params, cfg, _ = workdir
+        loaded, lcfg = mpk.load_whisper_record("m.mpk.gz", cfg)
+        got = loaded["decoder"]["tok_emb"]
+        np.testing.assert_allclose(
+            got, np.asarray(params["decoder"]["tok_emb"], np.float32),
+            atol=1e-7)
+
 
 class TestTranscribe:
     def test_reference_contract(self, workdir, capsys):

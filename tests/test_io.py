@@ -201,6 +201,42 @@ class TestMpkRecord:
         assert cfg.audio_encoder_config.n_audio_layer == CFG.audio_encoder_config.n_audio_layer
         assert cfg.text_decoder_config.n_vocab == CFG.text_decoder_config.n_vocab
 
+    def test_writer_reader_round_trip(self, params, tmp_path):
+        """save_whisper_record -> load_whisper_record == identity (C24:
+        the reference convert CLI's .mpk.gz write side)."""
+        path = str(tmp_path / "model.mpk.gz")
+        mpk.save_whisper_record(params, CFG, path)
+        loaded, cfg = mpk.load_whisper_record(path, CFG)
+        _assert_cfg_equal(cfg, CFG)
+        _assert_tree_equal(params, loaded)
+
+    def test_writer_emits_causal_mask_param(self, params, tmp_path):
+        """The Burn TextDecoder record stores the precomputed causal mask
+        as a Param (src/model/mod.rs:125); the Rust loader needs it."""
+        path = str(tmp_path / "model.mpk.gz")
+        mpk.save_whisper_record(params, CFG, path)
+        with gzip.open(path, "rb") as f:
+            root = msgpack.unpackb(f.read(), raw=False)
+        node = root["item"]["decoder"]["mask"]
+        assert set(node) == {"id", "param"}
+        ctx = CFG.text_decoder_config.n_text_ctx
+        mask = np.asarray(node["param"]["value"], np.float32).reshape(
+            node["param"]["shape"])
+        assert mask.shape == (ctx, ctx)
+        expect = mpk.causal_mask(ctx)
+        np.testing.assert_array_equal(mask, expect)
+        assert np.isneginf(mask[0, 1]) and mask[1, 0] == 0.0
+
+    def test_writer_key_has_no_bias(self, params, tmp_path):
+        path = str(tmp_path / "model.mpk.gz")
+        mpk.save_whisper_record(params, CFG, path)
+        with gzip.open(path, "rb") as f:
+            root = msgpack.unpackb(f.read(), raw=False)
+        blk = root["item"]["decoder"]["blocks"][0]
+        assert blk["attn"]["key"]["bias"] is None  # src/model/mod.rs:402-404
+        assert blk["attn"]["query"]["bias"] is not None
+        assert blk["attn"]["n_head"] is None  # constant, lives in .cfg
+
 
 class TestWav:
     def _write_wav(self, path, samples_i16, rate=16000):

@@ -166,6 +166,9 @@ def cmd_convert(argv) -> int:
     p.add_argument("dump_dir", help="npy dump directory (python/dump.py output)")
     p.add_argument("--out", default=None,
                    help="output basename (default: <dump_dir>)")
+    p.add_argument("--mpk", action="store_true",
+                   help="also write the reference's Burn <name>.mpk.gz "
+                        "record (convert main.rs:17-19 output)")
     args = p.parse_args(argv)
 
     from .io import checkpoint, npy_tree
@@ -178,6 +181,10 @@ def cmd_convert(argv) -> int:
         return 1
     print("Saving model...")  # convert main.rs:44 contract
     checkpoint.save_safetensors(params, cfg, f"{name}.safetensors")
+    if args.mpk:
+        from .io import mpk
+
+        mpk.save_whisper_record(params, cfg, f"{name}.mpk.gz")
     print("Saving config...")  # convert main.rs:50 contract
     cfg.save(f"{name}.cfg")
     print("Finished.")  # convert main.rs:56 contract
