@@ -32,10 +32,72 @@ class TestWer:
 
     def test_normalization(self):
         assert werlib.wer("Hello, World!", "hello world") == 0.0
-        assert werlib.wer("don't stop", "dont stop") == 0.0
+        # the English normalizer expands contractions on BOTH sides
+        assert werlib.wer("don't stop", "do not stop") == 0.0
+        # basic (language-agnostic) mode strips the apostrophe instead
+        r = werlib.WerResult(english=False)
+        assert r.add("don't stop", "dont stop").wer == 0.0
 
     def test_empty_hyp(self):
         assert werlib.wer("one two three", "") == 1.0
+
+
+class TestEnglishNormalizer:
+    """The OpenAI-style English normalization pipeline (eval/normalizer.py):
+    the preprocessing behind published Whisper WER numbers (BASELINE.md
+    accuracy target comparability)."""
+
+    @pytest.fixture(scope="class")
+    def norm(self):
+        from whisper_tpu.eval.normalizer import EnglishTextNormalizer
+
+        return EnglishTextNormalizer()
+
+    @pytest.mark.parametrize("src,expect", [
+        # contractions and titles
+        ("I won't go", "i will not go"),
+        ("they're here, we've left", "they are here we have left"),
+        ("Mr. Smith met Dr. Jones", "mister smith met doctor jones"),
+        ("let's can't don't", "let us can not do not"),
+        # bracketed asides and fillers dropped
+        ("hello [noise] world (laughs)", "hello world"),
+        ("um hello uh world", "hello world"),
+        # numbers
+        ("one hundred and twenty three", "123"),
+        ("twenty one", "21"),
+        ("nineteen sixty four", "1964"),
+        ("three point one four", "3.14"),
+        ("seven percent", "7%"),
+        ("minus five degrees", "-5 degrees"),
+        ("the twentieth century", "the 20th century"),
+        ("chapter first", "chapter 1st"),
+        ("two thousand and five", "2005"),
+        ("five million people", "5000000 people"),
+        ("double oh seven", "007"),
+        # currency
+        ("five dollars", "$5"),
+        ("it cost one dollar and fifty cents", "it cost $1.50"),
+        # spelling
+        ("the colour of the theatre", "the color of the theater"),
+        ("he travelled to the centre", "he traveled to the center"),
+        ("she must recognise the flavour", "she must recognize the flavor"),
+        # commas in digits, stray punctuation
+        ("1,000 years.", "1000 years"),
+        ("hello!!! world???", "hello world"),
+    ])
+    def test_pipeline(self, norm, src, expect):
+        assert norm(src) == expect
+
+    def test_applied_symmetrically_zero_wer(self):
+        ref = "Mr. Brown paid one hundred and twenty dollars, didn't he?"
+        hyp = "mister brown paid $120 did not he"
+        assert werlib.wer(ref, hyp) == 0.0
+
+    def test_basic_normalizer_mode(self):
+        from whisper_tpu.eval.normalizer import BasicTextNormalizer
+
+        b = BasicTextNormalizer()
+        assert b("Hello, [noise] World!") == "hello world"
 
     def test_aggregate(self):
         r = werlib.WerResult()

@@ -310,6 +310,9 @@ def cmd_eval(argv) -> int:
     p.add_argument("--greedy", action="store_true")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
+    p.add_argument("--basic-normalizer", action="store_true",
+                   help="language-agnostic normalization instead of the "
+                        "OpenAI-style English rules")
     p.add_argument("-v", "--verbose", action="count", default=0)
     args = p.parse_args(argv)
 
@@ -354,7 +357,8 @@ def cmd_eval(argv) -> int:
               file=sys.stderr)
 
     result = werlib.evaluate(transcribe_path, items, limit=args.limit,
-                             on_item=progress if args.verbose else None)
+                             on_item=progress if args.verbose else None,
+                             english=not args.basic_normalizer)
     import json as _json
 
     print(_json.dumps({

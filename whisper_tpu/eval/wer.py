@@ -17,11 +17,24 @@ import string
 from typing import Iterable, List, Optional, Sequence, Tuple
 
 
-def normalize_text(text: str) -> str:
-    """Basic English normalization for WER: lowercase, strip punctuation,
-    collapse whitespace. (A light-weight stand-in for the OpenAI English
-    normalizer; applied identically to hypothesis and reference, which is
-    what matters for WER deltas.)"""
+_english_normalizer = None
+
+
+def normalize_text(text: str, english: bool = True) -> str:
+    """Normalize text for WER.
+
+    english=True (default) applies the OpenAI-style English pipeline
+    (eval/normalizer.py: contractions, titles, spelled-out numbers ->
+    digits, British -> American spellings) -- the preprocessing behind every
+    published Whisper WER number. english=False keeps the language-agnostic
+    basic rules (lowercase + strip punctuation)."""
+    global _english_normalizer
+    if english:
+        if _english_normalizer is None:
+            from .normalizer import EnglishTextNormalizer
+
+            _english_normalizer = EnglishTextNormalizer()
+        return _english_normalizer(text)
     text = text.lower()
     text = re.sub(r"[^\w\s']", " ", text)
     text = text.replace("'", "")
@@ -50,14 +63,15 @@ class WerResult:
     errors: int = 0
     words: int = 0
     utterances: int = 0
+    english: bool = True  # OpenAI-style English normalization
 
     @property
     def wer(self) -> float:
         return self.errors / self.words if self.words else 0.0
 
     def add(self, ref_text: str, hyp_text: str) -> "WerResult":
-        ref = normalize_text(ref_text).split()
-        hyp = normalize_text(hyp_text).split()
+        ref = normalize_text(ref_text, english=self.english).split()
+        hyp = normalize_text(hyp_text, english=self.english).split()
         self.errors += edit_distance(ref, hyp)
         self.words += len(ref)
         self.utterances += 1
@@ -117,9 +131,10 @@ def evaluate(
     items: Iterable[Tuple[str, str]],
     limit: Optional[int] = None,
     on_item=None,
+    english: bool = True,
 ) -> WerResult:
     """Run WER over (audio, reference) pairs with any transcription callable."""
-    result = WerResult()
+    result = WerResult(english=english)
     for i, (audio, ref_text) in enumerate(items):
         if limit is not None and i >= limit:
             break
