@@ -58,34 +58,6 @@ class TestFlashAttention:
         )
 
 
-class TestFusedLogMel:
-    @pytest.mark.parametrize("n", [4000, 8000])
-    def test_matches_xla_prep_audio(self, rng, n):
-        from whisper_tpu.ops.audio import prep_audio
-        from whisper_tpu.ops.pallas.logmel import prep_audio_fused
-
-        x = jnp.asarray(rng.standard_normal((1, n)).astype(np.float32) * 0.1)
-        ref = prep_audio(x)
-        out = prep_audio_fused(x, interpret=True)
-        assert out.shape == ref.shape
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
-
-    def test_batched_per_sample_max(self, rng):
-        from whisper_tpu.ops.audio import prep_audio
-        from whisper_tpu.ops.pallas.logmel import prep_audio_fused
-
-        x = jnp.asarray(rng.standard_normal((3, 4800)).astype(np.float32))
-        ref = prep_audio(x, per_sample_max=True)
-        out = prep_audio_fused(x, per_sample_max=True, interpret=True)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
-
-    def test_silence(self):
-        from whisper_tpu.ops.pallas.logmel import prep_audio_fused
-
-        out = prep_audio_fused(jnp.zeros((1, 4000)), interpret=True)
-        np.testing.assert_allclose(np.asarray(out), -1.5, atol=1e-5)
-
-
 class TestDecodeAttention:
     def test_matches_xla_cached_attention(self, rng):
         from whisper_tpu.models.whisper import _cached_attention
