@@ -199,3 +199,70 @@ class TestLanguageDetection:
         t = Transcriber(params, cfg, tok)
         with pytest.raises(ValueError):
             t.detect_language(np.zeros(100, np.float32))
+
+
+class TestTimestamps:
+    """Timestamped decoding (new capability; the reference always decodes
+    with <|notimestamps|>, src/transcribe.rs:203)."""
+
+    @pytest.fixture(scope="class")
+    def full_tok(self, tmp_path_factory):
+        from whisper_tpu.text.tokenizer import (
+            WhisperTokenizer, build_full_scale_tokenizer_json,
+        )
+
+        path = str(tmp_path_factory.mktemp("ts") / "tokenizer.json")
+        build_full_scale_tokenizer_json(path)
+        return WhisperTokenizer(path)
+
+    def test_tokenizer_timestamp_helpers(self, full_tok):
+        t = full_tok
+        assert t.timestamp_begin == 50364
+        assert t.is_timestamp(50364) and t.is_timestamp(51864)
+        assert not t.is_timestamp(50363) and not t.is_timestamp(100)
+        assert t.timestamp_seconds(50364) == 0.0
+        assert t.timestamp_seconds(50364 + 150) == pytest.approx(3.0)
+
+    def test_segments_from_tokens(self, full_tok):
+        from whisper_tpu.pipeline.segments import segments_from_tokens
+
+        t = full_tok
+        w = [100]  # a base token ("w100 ")
+        ts = lambda s: t.timestamp_begin + int(round(s / 0.02))
+        tokens = ([t.sot, ts(0.0)] + w + [ts(1.5), ts(1.5)] + w + w
+                  + [ts(4.0), t.eot])
+        segs = segments_from_tokens(tokens, t, offset_s=10.0)
+        assert len(segs) == 2
+        assert segs[0].start == pytest.approx(10.0)
+        assert segs[0].end == pytest.approx(11.5)
+        assert segs[1].start == pytest.approx(11.5)
+        assert segs[1].end == pytest.approx(14.0)
+        assert segs[0].text.strip() and segs[1].text.strip()
+
+    def test_unclosed_segment_bounded_by_window(self, full_tok):
+        from whisper_tpu.pipeline.segments import segments_from_tokens
+
+        t = full_tok
+        w = [200]
+        tokens = [t.timestamp_begin + 50] + w  # open at 1.0 s, never closed
+        segs = segments_from_tokens(tokens, t, offset_s=0.0, window_s=14.9)
+        assert len(segs) == 1
+        assert segs[0].start == pytest.approx(1.0)
+        assert segs[0].end == pytest.approx(14.9)
+
+    def test_prompt_omits_notimestamps(self, full_tok):
+        assert full_tok.no_timestamps not in full_tok.prompt_ids(
+            "en", timestamps=True)
+
+    def test_end_to_end_with_timestamps(self, setup):
+        """transcribe_with_timestamps runs the full pipeline (random tiny
+        model: segments may be empty, but the path must execute)."""
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        wave = np.random.default_rng(3).standard_normal(9000).astype(np.float32)
+        text, segs = t.transcribe_with_timestamps(
+            wave, 16000,
+            DecodeOptions(lang="en", strategy="greedy", max_depth=6,
+                          chunk_overlap_seconds=0.02),
+        )
+        assert isinstance(text, str) and isinstance(segs, list)

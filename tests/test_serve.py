@@ -108,3 +108,47 @@ class TestServer:
             url, "/transcribe?lang=en&greedy=1", _wav_bytes(rate=22050)
         )
         assert status == 200
+
+
+class TestRobustness:
+    """Adversarial-input hardening (VERDICT r1 item 9): size limit, empty
+    body, in-memory parse (no tempfile), bounded queue."""
+
+    @pytest.fixture(scope="class")
+    def small_server(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("srv2")
+        tok_path = str(d / "tokenizer.json")
+        build_test_tokenizer_json(tok_path)
+        tok = WhisperTokenizer(tok_path)
+        cfg = tiny_test_config(n_vocab=tok.vocab_size, n_audio_ctx=64,
+                               n_text_ctx=32)
+        params = M.init_params(jax.random.PRNGKey(0), cfg)
+        t = BatchTranscriber(params, cfg, tok, batch_size=2)
+        worker = serve_mod.BatchingWorker(t, max_batch=2, max_wait_s=0.01)
+        worker.start()
+        from http.server import ThreadingHTTPServer
+
+        httpd = ThreadingHTTPServer(
+            ("127.0.0.1", 0),
+            serve_mod.make_handler(worker, 16000, max_body_bytes=5000,
+                                   request_timeout_s=60.0),
+        )
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        yield f"http://127.0.0.1:{httpd.server_port}"
+        httpd.shutdown()
+
+    def test_oversized_body_413(self, small_server):
+        status, obj = _post(small_server, "/transcribe?lang=en",
+                            b"\x00" * 10000)
+        assert status == 413 and "error" in obj
+
+    def test_empty_body_400(self, small_server):
+        status, obj = _post(small_server, "/transcribe?lang=en", b"")
+        assert status == 400
+
+    def test_at_limit_parses(self, small_server):
+        body = _wav_bytes(n=2000)
+        assert len(body) <= 5000
+        status, obj = _post(small_server, "/transcribe?lang=en&greedy=1",
+                            body)
+        assert status == 200

@@ -31,7 +31,11 @@ def load_wav(path: str) -> Tuple[np.ndarray, int]:
     """
     with open(path, "rb") as f:
         data = f.read()
+    return decode_wav(data, path)
 
+
+def decode_wav(data: bytes, path: str = "<memory>") -> Tuple[np.ndarray, int]:
+    """Parse WAV bytes in memory -> (float32 samples, sample_rate)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise WavFormatError(f"{path}: not a RIFF/WAVE file")
 

@@ -1,0 +1,75 @@
+"""Timestamped segment extraction from decoded token sequences.
+
+New capability: the reference always decodes with <|notimestamps|> and never
+interprets timestamp tokens at runtime (the prompt construction at
+src/transcribe.rs:203; the 1501-token timestamp vocabulary is documented at
+src/token.rs:317-321 but unused). With `DecodeOptions(timestamps=True)` the
+prompt omits <|notimestamps|>, the model is free to emit <|x.xx|> tokens,
+and this module turns them into [{start, end, text}] segments.
+
+Parsing follows the vocabulary's semantics: a timestamp token opens a
+segment (its time = window offset + x.xx), the next timestamp token closes
+it; consecutive timestamps (close immediately followed by the next open) are
+the standard Whisper emission pattern. Text before the first timestamp or
+after an unclosed one becomes a segment bounded by the window edges.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence
+
+from ..text.tokenizer import WhisperTokenizer
+
+
+@dataclasses.dataclass
+class Segment:
+    start: float  # seconds, absolute (window offset included)
+    end: float
+    text: str
+    tokens: List[int]
+
+
+def segments_from_tokens(
+    tokens: Sequence[int],
+    tok: WhisperTokenizer,
+    offset_s: float = 0.0,
+    window_s: float = 30.0,
+) -> List[Segment]:
+    """Split a decoded (single-window) token sequence at timestamp tokens.
+
+    Non-timestamp special tokens (prompt, EOT) are skipped. Returns [] when
+    the sequence carries no text.
+    """
+    segments: List[Segment] = []
+    cur_tokens: List[int] = []
+    cur_start = offset_s
+
+    def flush(end_s: float) -> None:
+        nonlocal cur_tokens, cur_start
+        if cur_tokens:
+            text = tok.decode(cur_tokens, skip_special=True)
+            if text.strip():
+                segments.append(
+                    Segment(cur_start, end_s, text, list(cur_tokens))
+                )
+        cur_tokens = []
+
+    open_segment = False
+    for t in tokens:
+        t = int(t)
+        if tok.is_timestamp(t):
+            ts = offset_s + tok.timestamp_seconds(t)
+            if open_segment:
+                flush(ts)  # closing timestamp
+                open_segment = False
+            else:
+                flush(ts)  # text without a closing stamp ends here
+                cur_start = ts
+                open_segment = True
+        elif tok.is_special(t):
+            continue
+        else:
+            cur_tokens.append(t)
+    flush(offset_s + window_s)
+    return segments

@@ -331,6 +331,60 @@ class Transcriber:
         return text, tokens
 
 
+
+
+    # ------------------------------------------------------------------
+    def transcribe_with_timestamps(
+        self,
+        waveform: np.ndarray,
+        sample_rate: int = SAMPLE_RATE,
+        options: Optional[DecodeOptions] = None,
+    ):
+        """Timestamped transcription: returns (text, segments).
+
+        New capability (the reference always decodes with <|notimestamps|>,
+        src/transcribe.rs:203): the prompt omits <|notimestamps|>, the model
+        emits <|x.xx|> tokens, and each window's tokens are split into
+        [Segment(start, end, text)] with absolute times (window offset + x.xx,
+        pipeline/segments.py). Windows overlap by `chunk_overlap_seconds`;
+        segments starting inside a later window's overlapped head are dropped as
+        duplicates of the previous window's tail.
+        """
+        from .segments import segments_from_tokens
+
+        opt = dataclasses.replace(options or DecodeOptions(), timestamps=True)
+        cfg, tok = self.cfg, self.tok
+        n_window = max_waveform_samples(cfg.encoder_ctx_size - opt.padding)
+        overlap = int(sample_rate * opt.chunk_overlap_seconds)
+        if overlap >= n_window:
+            overlap = n_window // 2
+        prompt = jnp.asarray(tok.prompt_ids(opt.lang, timestamps=True), jnp.int32)
+
+        segments = []
+        for i, (start, end) in enumerate(
+            window_waveform(waveform, sample_rate, n_window, overlap)
+        ):
+            window = np.ascontiguousarray(waveform[start:end], dtype=np.float32)
+            if len(window) < 400:
+                continue
+            fn = self._window_fn(
+                len(window), int(prompt.shape[0]), opt.strategy, opt.beam_size,
+                opt.max_depth, opt.padding, opt.suppress_until_len, opt.kv_quant,
+            )
+            toks_dev, length = fn(self.params, jnp.asarray(window), prompt,
+                                  self._suppress)
+            new_tokens = [int(t) for t in np.asarray(toks_dev)[: int(length)]]
+            offset = start / sample_rate
+            window_s = (end - start) / sample_rate
+            for seg in segments_from_tokens(new_tokens, tok, offset, window_s):
+                if i > 0 and seg.start < offset + opt.chunk_overlap_seconds:
+                    continue  # duplicate of the previous window's tail
+                segments.append(seg)
+
+        text = " ".join(s.text.strip() for s in segments)
+        return text, segments
+
+
 def waveform_to_text(
     params: M.Params,
     cfg: WhisperConfig,

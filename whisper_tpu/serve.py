@@ -43,10 +43,11 @@ class BatchingWorker(threading.Thread):
     """Packs concurrent requests with identical options into one batched call."""
 
     def __init__(self, transcriber, max_batch: int = 8,
-                 max_wait_s: float = 0.05):
+                 max_wait_s: float = 0.05, max_queue: int = 256):
         super().__init__(daemon=True)
         self.t = transcriber
-        self.q: "queue.Queue[_Request]" = queue.Queue()
+        # bounded: back-pressure (503) instead of unbounded memory growth
+        self.q: "queue.Queue[_Request]" = queue.Queue(maxsize=max_queue)
         self.max_batch = max_batch
         self.max_wait_s = max_wait_s
         self.processed = 0
@@ -91,10 +92,14 @@ class BatchingWorker(threading.Thread):
                     r.done.set()
 
 
-def make_handler(worker: BatchingWorker, sample_rate: int):
+def make_handler(worker: BatchingWorker, sample_rate: int,
+                 max_body_bytes: int = 64 * 1024 * 1024,
+                 request_timeout_s: float = 120.0):
     from .io import wav as wavmod
 
     class Handler(BaseHTTPRequestHandler):
+        # drop half-open clients instead of pinning handler threads
+        timeout = 30.0
         def _json(self, code: int, obj) -> None:
             body = json.dumps(obj).encode()
             self.send_response(code)
@@ -121,16 +126,24 @@ def make_handler(worker: BatchingWorker, sample_rate: int):
             params = parse_qs(parsed.query)
             lang = params.get("lang", ["en"])[0]
             greedy = params.get("greedy", ["0"])[0] in ("1", "true")
-            length = int(self.headers.get("Content-Length", 0))
-            data = self.rfile.read(length)
             try:
-                import tempfile
-
-                # parse WAV from memory via the pure-python parser
-                with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-                    f.write(data)
-                    f.flush()
-                    wave, rate = wavmod.load_wav(f.name)
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._json(400, {"error": "bad Content-Length"})
+                return
+            if length <= 0:
+                self._json(400, {"error": "empty body"})
+                return
+            if length > max_body_bytes:
+                self._json(413, {"error": f"body exceeds {max_body_bytes} "
+                                          "bytes"})
+                return
+            data = self.rfile.read(length)
+            if len(data) < length:
+                self._json(400, {"error": "truncated body"})
+                return
+            try:
+                wave, rate = wavmod.decode_wav(data)  # in-memory parse
                 if rate != sample_rate:
                     wave = wavmod.resample(wave, rate, sample_rate)
             except Exception as e:
@@ -138,8 +151,15 @@ def make_handler(worker: BatchingWorker, sample_rate: int):
                 return
 
             req = _Request(wave, lang, greedy)
-            worker.q.put(req)
-            req.done.wait()
+            try:
+                worker.q.put_nowait(req)
+            except queue.Full:
+                self._json(503, {"error": "server overloaded, retry later"})
+                return
+            if not req.done.wait(timeout=request_timeout_s):
+                req.error = "timeout"  # worker will still drain it
+                self._json(504, {"error": "transcription timed out"})
+                return
             if req.error is not None:
                 self._json(500, {"error": req.error})
             else:
@@ -152,7 +172,9 @@ def make_handler(worker: BatchingWorker, sample_rate: int):
 def serve(model: str, host: str = "127.0.0.1", port: int = 8000,
           tokenizer: Optional[str] = None, batch_size: int = 8,
           max_wait_s: float = 0.05, dtype: str = "bfloat16",
-          ready_event: Optional[threading.Event] = None):
+          ready_event: Optional[threading.Event] = None,
+          max_body_bytes: int = 64 * 1024 * 1024,
+          request_timeout_s: float = 120.0):
     import jax.numpy as jnp
 
     from .config import SAMPLE_RATE
@@ -171,7 +193,11 @@ def serve(model: str, host: str = "127.0.0.1", port: int = 8000,
     worker = BatchingWorker(t, max_batch=batch_size, max_wait_s=max_wait_s)
     worker.start()
 
-    server = ThreadingHTTPServer((host, port), make_handler(worker, SAMPLE_RATE))
+    server = ThreadingHTTPServer(
+        (host, port),
+        make_handler(worker, SAMPLE_RATE, max_body_bytes=max_body_bytes,
+                     request_timeout_s=request_timeout_s),
+    )
     print(f"whisper_tpu serving {model} on http://{host}:{server.server_port}")
     if ready_event is not None:
         ready_event.set()
@@ -189,9 +215,15 @@ def main(argv=None) -> int:
     p.add_argument("--max-wait-ms", type=float, default=50.0)
     p.add_argument("--dtype", choices=["float32", "bfloat16"],
                    default="bfloat16")
+    p.add_argument("--max-body-mb", type=int, default=64,
+                   help="reject request bodies larger than this (413)")
+    p.add_argument("--request-timeout-s", type=float, default=120.0,
+                   help="per-request transcription deadline (504)")
     args = p.parse_args(argv)
     serve(args.model, args.host, args.port, args.tokenizer, args.batch_size,
-          args.max_wait_ms / 1000.0, args.dtype)
+          args.max_wait_ms / 1000.0, args.dtype,
+          max_body_bytes=args.max_body_mb * 1024 * 1024,
+          request_timeout_s=args.request_timeout_s)
     return 0
 
 

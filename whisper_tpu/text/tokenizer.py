@@ -170,6 +170,29 @@ class WhisperTokenizer:
             ids.append(self.no_timestamps)
         return ids
 
+    # -- timestamp tokens ---------------------------------------------------
+    # The vocabulary carries 1501 timestamp tokens <|0.00|>..<|30.00|> at
+    # 0.02 s steps directly after <|notimestamps|> (src/token.rs:317-321).
+    @property
+    def timestamp_begin(self) -> int:
+        """Id of <|0.00|>; every id >= this is a timestamp token."""
+        tid = self.token_to_id(SpecialToken.timestamp(0.0))
+        if tid is None:
+            raise KeyError("tokenizer has no timestamp tokens")
+        return tid
+
+    def is_timestamp(self, token: int) -> bool:
+        try:
+            return token >= self.timestamp_begin and token < self.vocab_size
+        except KeyError:
+            return False
+
+    def timestamp_seconds(self, token: int) -> float:
+        """<|x.xx|> -> seconds (0.02 s grid)."""
+        if not self.is_timestamp(token):
+            raise ValueError(f"token {token} is not a timestamp")
+        return (token - self.timestamp_begin) * 0.02
+
 
 # ----------------------------------------------------------------------------
 # Synthetic tokenizer construction (tests / offline environments).
@@ -208,5 +231,55 @@ def build_test_tokenizer_json(path: str, n_base_tokens: int = 256) -> None:
         SpecialToken.NO_TIMESTAMPS,
     ]
     specials += [SpecialToken.timestamp(i * 0.02) for i in range(4)]
+    tok.add_special_tokens([AddedToken(s, special=True) for s in specials])
+    tok.save(path)
+
+
+# The real multilingual tokenizer.json carries 99 language tokens -- the
+# reference's LANGUAGES table (src/token.rs:50-58, mirrored above) omits
+# "haw", which sits between "tt" and "ln" in the trained vocabulary. Using
+# the reference order alone would shift every id after 50352 by one.
+LANGUAGES_FULL: tuple = (
+    LANGUAGES[: LANGUAGES.index("ln")]
+    + ("haw",)
+    + LANGUAGES[LANGUAGES.index("ln"):]
+)
+
+
+def build_full_scale_tokenizer_json(path: str) -> None:
+    """Write a FULL-SCALE whisper-layout tokenizer.json (vocab 51865).
+
+    The base vocabulary is synthetic (50257 placeholder word pieces -- the
+    real BPE merges are not redistributable offline), but the added-token
+    block replicates the real multilingual layout exactly:
+
+        50257 <|endoftext|>        50258 <|startoftranscript|>
+        50259..50357 99 languages  50358 <|translate|>
+        50359 <|transcribe|>       50360 <|startoflm|>
+        50361 <|startofprev|>      50362 <|nospeech|>
+        50363 <|notimestamps|>     50364..51864 <|0.00|>..<|30.00|>
+
+    This pins the ids that drive decoding (prompt construction, EOT,
+    suppress mask) to their true values, so the id-level semantics are
+    validated at real scale without the real file (src/token.rs:297-324
+    documents the same added-token set).
+    """
+    from tokenizers import AddedToken, Tokenizer, models
+
+    n_base = 50257
+    vocab = {f"w{i} ": i for i in range(n_base)}
+    tok = Tokenizer(models.BPE(vocab=vocab, merges=[]))
+
+    specials = [SpecialToken.END_OF_TEXT, SpecialToken.START_OF_TRANSCRIPT]
+    specials += [SpecialToken.language(c) for c in LANGUAGES_FULL]
+    specials += [
+        SpecialToken.TRANSLATE,
+        SpecialToken.TRANSCRIBE,
+        SpecialToken.START_OF_LM,
+        SpecialToken.START_OF_PREV,
+        SpecialToken.NO_SPEECH,
+        SpecialToken.NO_TIMESTAMPS,
+    ]
+    specials += [SpecialToken.timestamp(i * 0.02) for i in range(1501)]
     tok.add_special_tokens([AddedToken(s, special=True) for s in specials])
     tok.save(path)
