@@ -164,3 +164,116 @@ class TestDecodeAttention:
         lx, _ = M.decoder_step(params, one, jnp.int32(4), cache_x, cfg)
         lf, _ = M.decoder_step(params, one, jnp.int32(4), cache_f, cfgf)
         np.testing.assert_allclose(np.asarray(lx), np.asarray(lf), atol=2e-4)
+
+
+class TestDequantMatmul:
+    @staticmethod
+    def _w8a8_ref(x, q, scale):
+        """Exact host reference of the W8A8 path (integer accumulate)."""
+        x32 = np.asarray(x, np.float32)
+        absmax = np.abs(x32).max(axis=1, keepdims=True)
+        xs = np.where(absmax > 0, absmax / 127.0, 1.0)
+        xq = np.clip(np.round(x32 / xs), -127, 127).astype(np.int64)
+        acc = xq @ np.asarray(q, np.int64)
+        return acc.astype(np.float32) * xs * np.asarray(scale)[None, :]
+
+    def test_matches_w8a8_reference(self, rng):
+        from whisper_tpu.ops.pallas.dequant_matmul import quantized_matmul
+        from whisper_tpu.quantize import quantize_tensor
+
+        w = jnp.asarray(rng.standard_normal((256, 384)).astype(np.float32))
+        qt = quantize_tensor(w)
+        x = jnp.asarray(rng.standard_normal((8, 256)).astype(np.float32))
+        ref = self._w8a8_ref(x, qt.q, qt.scale)
+        out = quantized_matmul(x, qt.q, qt.scale, block_n=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+    def test_close_to_float_matmul(self, rng):
+        """W8A8-dynamic stays within ~1% of the float result."""
+        from whisper_tpu.ops.pallas.dequant_matmul import quantized_matmul
+        from whisper_tpu.quantize import quantize_tensor
+
+        w = jnp.asarray(rng.standard_normal((256, 384)).astype(np.float32))
+        qt = quantize_tensor(w)
+        x = jnp.asarray(rng.standard_normal((8, 256)).astype(np.float32))
+        out = quantized_matmul(x, qt.q, qt.scale, block_n=128, interpret=True)
+        exact = np.asarray(x) @ np.asarray(w)
+        err = np.abs(np.asarray(out) - exact).max() / np.abs(exact).max()
+        assert err < 0.03, err
+
+    def test_vmap_flattens(self, rng):
+        """vmapped (batched-beam) calls flatten into M via the custom rule."""
+        from whisper_tpu.ops.pallas.dequant_matmul import dequant_matmul
+        from whisper_tpu.quantize import quantize_tensor
+
+        w = jnp.asarray(rng.standard_normal((128, 256)).astype(np.float32))
+        qt = quantize_tensor(w)
+        x = jnp.asarray(rng.standard_normal((3, 4, 128)).astype(np.float32))
+        out = jax.vmap(
+            lambda xx: dequant_matmul(xx, qt.q, qt.scale, block_n=128,
+                                      interpret=True)
+        )(x)
+        flat = dequant_matmul(x.reshape(12, 128), qt.q, qt.scale,
+                              block_n=128, interpret=True).reshape(3, 4, 256)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(flat),
+                                   atol=1e-6)
+
+    def test_quantized_decoder_step_uses_kernel_path(self, rng):
+        """QTensor decoder_step output equal between kernel (interpret) and
+        the XLA fallback on CPU shapes that satisfy the alignment gate."""
+        from whisper_tpu.config import tiny_test_config
+        from whisper_tpu.models import whisper as M
+        from whisper_tpu.quantize import quantize_params
+
+        cfg = tiny_test_config(n_state=128, n_head=2, n_vocab=128)
+        params = M.init_params(jax.random.PRNGKey(0), cfg)
+        qp = quantize_params(params)
+        enc = jnp.asarray(rng.standard_normal((1, 16, 128)).astype(np.float32))
+        toks = jnp.asarray(rng.integers(0, 128, (1, 6)).astype(np.int32))
+        cache = M.init_cache(qp, enc, cfg)
+        logits, _ = M.decoder_step(qp, toks, jnp.int32(0), cache, cfg)
+        full = M.decoder_forward(qp, toks, enc, cfg)
+        np.testing.assert_allclose(np.asarray(logits), np.asarray(full),
+                                   atol=3e-4)
+
+    def test_vmap_batched_weights_falls_back(self, rng):
+        """Stacked per-layer weights under vmap (cross-KV prefill) use the
+        XLA dequant path with correct batching."""
+        from whisper_tpu.ops.pallas.dequant_matmul import dequant_matmul
+        from whisper_tpu.quantize import quantize_tensor
+
+        L, M, K, N = 3, 6, 128, 256
+        ws = rng.standard_normal((L, K, N)).astype(np.float32)
+        qts = [quantize_tensor(jnp.asarray(w)) for w in ws]
+        q = jnp.stack([t.q for t in qts])
+        s = jnp.stack([t.scale for t in qts])
+        x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+
+        out = jax.vmap(
+            lambda qq, ss: dequant_matmul(x, qq, ss, block_n=128,
+                                          interpret=True)
+        )(q, s)
+        for i in range(L):
+            # the batched-weights fallback is the XLA bf16-dequant path
+            # (bf16 inputs, f32 accumulate)
+            ref = jax.lax.dot_general(
+                x.astype(jnp.bfloat16), q[i].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * s[i]
+            np.testing.assert_allclose(np.asarray(out[i]), np.asarray(ref),
+                                       atol=1e-5)
+
+    def test_n_not_divisible_by_block(self, rng):
+        """N=384 with block_n=512 must still fill every output column
+        (regression: grid floor-division left trailing columns unwritten)."""
+        from whisper_tpu.ops.pallas.dequant_matmul import dequant_matmul
+        from whisper_tpu.quantize import quantize_tensor
+
+        w = jnp.asarray(rng.standard_normal((128, 384)).astype(np.float32))
+        qt = quantize_tensor(w)
+        x = jnp.asarray(rng.standard_normal((4, 128)).astype(np.float32))
+        out = dequant_matmul(x, qt.q, qt.scale, block_n=512, interpret=True)
+        ref = self._w8a8_ref(x, qt.q, qt.scale)
+        assert out.shape == (4, 384)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+        assert np.isfinite(np.asarray(out)).all()

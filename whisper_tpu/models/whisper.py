@@ -137,11 +137,51 @@ def layer_norm(x: jax.Array, g: jax.Array, b: jax.Array, eps: float) -> jax.Arra
 
 
 def _matmul(x: jax.Array, w) -> jax.Array:
-    """x (..., d) @ w (d, ...); w may be an int8 QTensor (weight-only quant:
-    the int8->bf16 convert fuses into the XLA GEMM, so HBM traffic is int8)."""
+    """x (..., d) @ w (d, ...); w may be an int8 QTensor (weight-only quant).
+
+    QTensor impl selection (`WHISPER_TPU_INT8_IMPL`, read at trace time):
+      * "xla" (default): int8 weights with the convert fused into the XLA
+        GEMM -- measured fastest end-to-end (235x RT; the alternatives lose
+        ~8% to per-call overhead, docs/PERFORMANCE.md round-2 log);
+      * "w8a8": dynamic per-row int8 activations + XLA s8 x s8 -> s32 dot;
+      * "pallas": the Pallas W8A8 kernel (ops/pallas/dequant_matmul.py)."""
     if isinstance(w, QTensor):
+        import os
+
+        impl = os.environ.get("WHISPER_TPU_INT8_IMPL", "xla")
+        q = w.q
+        k = q.shape[0]
+        n = 1
+        for s in q.shape[1:]:
+            n *= s
+        lead = x.shape[:-1]
+        m = 1
+        for s in lead:
+            m *= s
+        small = m <= 1024 and k % 128 == 0 and n % 128 == 0
+        if impl == "pallas" and jax.default_backend() == "tpu" and small:
+            from ..ops.pallas.dequant_matmul import quantized_matmul
+
+            y = quantized_matmul(
+                x.reshape(m, k), q.reshape(k, n), w.scale.reshape(n),
+                out_dtype=x.dtype,
+            )
+            return y.reshape(*lead, *q.shape[1:])
+        if impl == "w8a8" and small:
+            x32 = x.reshape(m, k).astype(jnp.float32)
+            absmax = jnp.max(jnp.abs(x32), axis=1, keepdims=True)
+            xs = jnp.where(absmax > 0, absmax * (1.0 / 127.0), 1.0)
+            xq = jnp.clip(jnp.round(x32 / xs), -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xq, q.reshape(k, n), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = (acc.astype(jnp.float32) * xs * w.scale.reshape(n)).astype(
+                x.dtype
+            )
+            return y.reshape(*lead, *q.shape[1:])
         y = jax.lax.dot_general(
-            x, w.q.astype(x.dtype), (((x.ndim - 1,), (0,)), ((), ())),
+            x, q.astype(x.dtype), (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return (y * w.scale).astype(x.dtype)

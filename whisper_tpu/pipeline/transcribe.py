@@ -270,34 +270,46 @@ class Transcriber:
         text = ""
         total_t0 = time.perf_counter()
 
-        for i, (start, end) in enumerate(
-            window_waveform(waveform, sample_rate, n_window, overlap)
-        ):
-            t0 = time.perf_counter()
-            # trailing non-special context: computed then DISCARDED, exactly
-            # like the reference (src/transcribe.rs:43-50,195-201).
-            _prev_ctx = [t for t in reversed(tokens) if not tok.is_special(t)][:5][::-1]
+        import contextlib
 
+        prec_ctx = (
+            jax.default_matmul_precision(self._matmul_precision)
+            if self._matmul_precision else contextlib.nullcontext()
+        )
+
+        # Window pipelining: windows are data-independent (the reference
+        # computes then DISCARDS the trailing context, src/transcribe.rs:
+        # 43-50,195-201 -- reproduced below), so window i+1 is DISPATCHED
+        # before window i's result is fetched. XLA dispatch is async: the
+        # device starts i+1 while the host fetches/stitches i, hiding the
+        # device->host tunnel latency and host-side stitching per window.
+        def dispatch(i, start, end):
             window = np.ascontiguousarray(waveform[start:end], dtype=np.float32)
             if len(window) < 400:  # < n_fft: STFT impossible (the reference
                 # would panic on its assert, src/audio.rs:292; we skip).
                 log.warning("skipping %d-sample tail window (< n_fft)", len(window))
-                continue
+                return None
             fn = self._window_fn(
                 len(window), int(prompt.shape[0]), opt.strategy, opt.beam_size,
                 opt.max_depth, opt.padding, opt.suppress_until_len,
                 opt.kv_quant,
             )
-            import contextlib
-
-            prec_ctx = (
-                jax.default_matmul_precision(self._matmul_precision)
-                if self._matmul_precision else contextlib.nullcontext()
-            )
             with prec_ctx:
                 toks_dev, length = fn(
                     self.params, jnp.asarray(window), prompt, self._suppress
                 )
+            return (i, start, end, toks_dev, length, time.perf_counter())
+
+        windows = list(window_waveform(waveform, sample_rate, n_window, overlap))
+        pending = []
+        PIPELINE_DEPTH = 2
+
+        def drain_one():
+            nonlocal tokens, text
+            i, start, end, toks_dev, length, t0 = pending.pop(0)
+            # trailing non-special context: computed then DISCARDED, exactly
+            # like the reference (src/transcribe.rs:43-50,195-201).
+            _prev_ctx = [t for t in reversed(tokens) if not tok.is_special(t)][:5][::-1]
             new_tokens = [int(t) for t in np.asarray(toks_dev)[: int(length)]]
 
             spliced = find_chunk_overlap(
@@ -321,6 +333,15 @@ class Transcriber:
                 on_chunk(i, text)
             else:
                 print(f"Chunk {i}: {text}\n")  # src/transcribe.rs:68 contract
+
+        for i, (start, end) in enumerate(windows):
+            item = dispatch(i, start, end)
+            if item is not None:
+                pending.append(item)
+            while len(pending) >= PIPELINE_DEPTH:
+                drain_one()
+        while pending:
+            drain_one()
 
         total = time.perf_counter() - total_t0
         audio_sec = len(waveform) / sample_rate
