@@ -260,3 +260,40 @@ class TestBatchedBeam:
                 np.asarray(toks_1)[: int(len_1)]
             )
             np.testing.assert_allclose(float(logp_b[w]), float(logp_1), atol=1e-5)
+
+    def test_differential_early_stop(self, params):
+        """Windows that finish at DIFFERENT depths must freeze exactly like
+        independent searches (the flat batched loop masks stopped windows
+        instead of relying on vmap's carry select)."""
+        rng = np.random.default_rng(33)
+        # a randomly-initialized tiny decoder barely reacts to enc_out, so
+        # amplify the cross-attention output path to make windows diverge
+        blk = dict(params["decoder"]["blocks"])
+        blk["cross_o_w"] = blk["cross_o_w"] * 100.0
+        p2 = {**params, "decoder": {**params["decoder"], "blocks": blk}}
+        encs = jnp.asarray(
+            rng.standard_normal((4, 16, CFG.n_state)).astype(np.float32) * 10)
+        prompt = jnp.asarray([3, 9], jnp.int32)
+
+        # pick window 0's first greedy continuation as EOT: window 0 then
+        # finishes immediately while the others run on
+        from whisper_tpu.decode import greedy as dgreedy
+
+        g_toks, g_len, _ = dgreedy.greedy_decode_jit(
+            p2, encs, prompt, CFG, eot_id=-1, max_depth=1)
+        eot = int(np.asarray(g_toks)[0, 2])
+
+        toks_b, len_b, logp_b = dbeam.beam_search_batched(
+            p2, encs, prompt, CFG, eot_id=eot, beam_size=3, max_depth=12)
+        lengths = [int(x) for x in np.asarray(len_b)]
+        assert len(set(lengths)) > 1, "test needs differential stopping"
+        for w in range(4):
+            toks_1, len_1, logp_1 = dbeam.beam_search(
+                p2, encs[w : w + 1], prompt, CFG, eot_id=eot,
+                beam_size=3, max_depth=12,
+            )
+            assert list(np.asarray(toks_b)[w, : lengths[w]]) == list(
+                np.asarray(toks_1)[: int(len_1)]
+            ), f"window {w}"
+            np.testing.assert_allclose(
+                float(logp_b[w]), float(logp_1), atol=1e-5)

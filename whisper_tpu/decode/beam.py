@@ -51,7 +51,12 @@ class BeamState(NamedTuple):
     fin_len: jax.Array  # (K,) i32
     fin_logp: jax.Array  # (K,) f32 (-inf = empty slot)
     logp_next: jax.Array  # (K, V) log-softmax for the next position
-    cache: M.DecoderCache
+    # self-attention KV only: the cross-KV is loop-INVARIANT and closed
+    # over -- carrying it makes the vmapped (batched-window) while_loop
+    # select/copy the multi-GB cross cache every step (measured ~60% beam
+    # overhead at large-v2, docs/PERFORMANCE.md round-2 log)
+    self_k: jax.Array
+    self_v: jax.Array
 
 
 def _masked_log_softmax(
@@ -108,6 +113,7 @@ def beam_search(
     logits, cache = M.decoder_step(
         params, tokens0[:, :P], jnp.int32(0), cache, cfg
     )
+    cross_k, cross_v = cache.cross_k, cache.cross_v  # loop-invariant closure
     logp_next = _masked_log_softmax(
         logits[:, -1], jnp.int32(P), suppress_mask, suppress_until_len
     )
@@ -123,7 +129,8 @@ def beam_search(
         fin_len=jnp.zeros((K,), jnp.int32),
         fin_logp=jnp.full((K,), NEG_INF, jnp.float32),
         logp_next=logp_next,
-        cache=cache,
+        self_k=cache.self_k,
+        self_v=cache.self_v,
     )
 
     def best_scores(s: BeamState) -> Tuple[jax.Array, jax.Array]:
@@ -164,7 +171,13 @@ def beam_search(
         new_valid = new_logp > NEG_INF
         new_eot = (tok == eot_id) & new_valid
 
-        cache = M.reorder_cache(s.cache, parent)
+        # beam reshuffle: gather the SELF cache only (cross is shared and
+        # unordered across lanes)
+        cache = M.DecoderCache(
+            jnp.take(s.self_k, parent, axis=1),
+            jnp.take(s.self_v, parent, axis=1),
+            cross_k, cross_v,
+        )
 
         # (c) run the decoder on the appended token to get next-step logits.
         logits, cache = M.decoder_step(
@@ -185,7 +198,8 @@ def beam_search(
             fin_len=fin_len,
             fin_logp=fin_logp,
             logp_next=logp_next,
-            cache=cache,
+            self_k=cache.self_k,
+            self_v=cache.self_v,
         )
 
     state = jax.lax.while_loop(cond, body, state)
@@ -252,6 +266,22 @@ def beam_search_jit(
     )
 
 
+class BatchedBeamState(NamedTuple):
+    depth: jax.Array  # i32 scalar
+    cur_tokens: jax.Array  # (W, K, ctx) i32
+    cur_len: jax.Array  # i32 scalar (windows share the prompt length)
+    cur_len_w: jax.Array  # (W,) i32: per-window length, frozen at stop time
+    cur_logp: jax.Array  # (W, K)
+    cur_valid: jax.Array  # (W, K) bool
+    cur_eot: jax.Array  # (W, K) bool
+    fin_tokens: jax.Array  # (W, K, ctx)
+    fin_len: jax.Array  # (W, K)
+    fin_logp: jax.Array  # (W, K)
+    logp_next: jax.Array  # (W, K, V)
+    self_k: jax.Array  # (L, W*K, C, d)
+    self_v: jax.Array
+
+
 def beam_search_batched(
     params,
     enc_out: jax.Array,  # (W, Sa, d) -- W independent windows
@@ -264,24 +294,174 @@ def beam_search_batched(
     suppress_until_len: int = 5,
     kv_quant: bool = False,
 ):
-    """Beam-search W windows in one compiled program via `vmap`.
+    """Beam-search W windows in ONE flat while_loop (no vmap).
 
-    JAX's while_loop batching rule freezes lanes whose stop condition has
-    fired (per-lane select on the carry), so each window stops expanding at
-    its own EOT while the batch runs until the slowest window finishes --
-    beam-quality decoding at multi-stream throughput (the reference is
-    strictly one window at a time, src/transcribe.rs:42-71).
+    All W x K lanes run one decoder program; per-window beam bookkeeping is
+    batched arithmetic (top-k over a (W, K*V) candidate matrix). Windows
+    whose stop rule has fired are frozen by masking their result-bearing
+    leaves, exactly reproducing per-window `beam_search` semantics
+    (src/beam.rs:22-27 early stop) while the batch runs until the slowest
+    window finishes. This replaces an earlier jax.vmap(while_loop) design:
+    the batching rule's per-step carry selects and its pallas interactions
+    cost ~60% over the flat program at large-v2 (docs/PERFORMANCE.md),
+    and its compile time was pathological.
 
     Returns (tokens (W, n_text_ctx), lengths (W,), log_probs (W,)).
     """
+    K = beam_size
+    dec_cfg = cfg.text_decoder_config
+    V = dec_cfg.n_vocab
+    ctx = dec_cfg.n_text_ctx
+    P = prompt.shape[0]
+    W = enc_out.shape[0]
+    B = W * K
 
-    def one(enc):
-        return beam_search(
-            params, enc[None], prompt, cfg, eot_id, suppress_mask,
-            beam_size, max_depth, suppress_until_len, kv_quant,
+    enc_rep = jnp.repeat(enc_out, K, axis=0)  # (W*K, Sa, d) lane-replicated
+    tokens0 = jnp.zeros((B, ctx), jnp.int32).at[:, :P].set(prompt[None, :])
+    cache_len = min(ctx, -(-(P + max_depth) // 128) * 128)
+    cache = M.init_cache(params, enc_rep, cfg, batch=B, cache_len=cache_len,
+                         kv_quant=kv_quant)
+    logits, cache = M.decoder_step(
+        params, tokens0[:, :P], jnp.int32(0), cache, cfg
+    )
+    cross_k, cross_v = cache.cross_k, cache.cross_v  # loop-invariant closure
+    logp_next = _masked_log_softmax(
+        logits[:, -1], jnp.int32(P), suppress_mask, suppress_until_len
+    ).reshape(W, K, V)
+
+    lane = jnp.arange(K)
+    state = BatchedBeamState(
+        depth=jnp.int32(0),
+        cur_tokens=jnp.broadcast_to(
+            tokens0.reshape(W, K, ctx), (W, K, ctx)),
+        cur_len=jnp.int32(P),
+        cur_len_w=jnp.full((W,), P, jnp.int32),
+        cur_logp=jnp.broadcast_to(
+            jnp.where(lane == 0, 0.0, NEG_INF).astype(jnp.float32), (W, K)),
+        cur_valid=jnp.broadcast_to(lane == 0, (W, K)),
+        cur_eot=jnp.zeros((W, K), bool),
+        fin_tokens=jnp.zeros((W, K, ctx), jnp.int32),
+        fin_len=jnp.zeros((W, K), jnp.int32),
+        fin_logp=jnp.full((W, K), NEG_INF, jnp.float32),
+        logp_next=logp_next,
+        self_k=cache.self_k,
+        self_v=cache.self_v,
+    )
+
+    def window_stopped(s: BatchedBeamState) -> jax.Array:
+        """(W,) per-window stop rule == the single-window cond negation
+        (best finished >= best active; ties prefer finished)."""
+        fin_like = jnp.where(s.cur_valid & s.cur_eot, s.cur_logp, NEG_INF)
+        best_fin = jnp.maximum(jnp.max(fin_like, 1), jnp.max(s.fin_logp, 1))
+        active = jnp.where(s.cur_valid & ~s.cur_eot, s.cur_logp, NEG_INF)
+        return best_fin >= jnp.max(active, 1)
+
+    def cond(s: BatchedBeamState) -> jax.Array:
+        return ((s.depth < max_depth) & (s.cur_len < ctx)
+                & ~jnp.all(window_stopped(s)))
+
+    def body(s: BatchedBeamState) -> BatchedBeamState:
+        stopped = window_stopped(s)  # (W,) freeze these windows' results
+
+        # (a) fold EOT-ended beams into the per-window finished pool
+        cand_fin_logp = jnp.concatenate(
+            [s.fin_logp,
+             jnp.where(s.cur_valid & s.cur_eot, s.cur_logp, NEG_INF)], axis=1
+        )  # (W, 2K)
+        fin_logp, fin_idx = jax.lax.top_k(cand_fin_logp, K)  # (W, K)
+        all_tokens = jnp.concatenate([s.fin_tokens, s.cur_tokens], axis=1)
+        all_len = jnp.concatenate(
+            [s.fin_len, jnp.broadcast_to(s.cur_len, (W, K))], axis=1)
+        fin_tokens = jnp.take_along_axis(
+            all_tokens, fin_idx[:, :, None], axis=1)
+        fin_len = jnp.take_along_axis(all_len, fin_idx, axis=1)
+
+        # (b) expand active beams: per-window top-K over (K x V) candidates
+        active = s.cur_valid & ~s.cur_eot
+        cand = jnp.where(
+            active[:, :, None], s.cur_logp[:, :, None] + s.logp_next, NEG_INF)
+        new_logp, flat_idx = jax.lax.top_k(cand.reshape(W, K * V), K)
+        parent = flat_idx // V  # (W, K) in-window parent lane
+        tok = (flat_idx % V).astype(jnp.int32)
+
+        new_tokens = jnp.take_along_axis(
+            s.cur_tokens, parent[:, :, None], axis=1
+        ).at[:, :, s.cur_len].set(tok)
+        new_valid = new_logp > NEG_INF
+        new_eot = (tok == eot_id) & new_valid
+
+        # (c) beam reshuffle of the flat self cache (global lane indices)
+        gparent = (parent + jnp.arange(W)[:, None] * K).reshape(B)
+        full = M.DecoderCache(
+            jnp.take(s.self_k, gparent, axis=1),
+            jnp.take(s.self_v, gparent, axis=1),
+            cross_k, cross_v,
+        )
+        logits, cache = M.decoder_step(
+            params, tok.reshape(B, 1), s.cur_len, full, cfg
+        )
+        logp_next = _masked_log_softmax(
+            logits[:, -1], s.cur_len + 1, suppress_mask, suppress_until_len
+        ).reshape(W, K, V)
+
+        # (e) freeze result-bearing leaves of stopped windows (the flat
+        # equivalent of the while_loop batching rule's carry select)
+        f1 = stopped[:, None]
+        f2 = stopped[:, None, None]
+        return BatchedBeamState(
+            depth=s.depth + 1,
+            cur_tokens=jnp.where(f2, s.cur_tokens, new_tokens),
+            cur_len=s.cur_len + 1,
+            cur_len_w=jnp.where(stopped, s.cur_len_w, s.cur_len + 1),
+            cur_logp=jnp.where(f1, s.cur_logp, new_logp),
+            cur_valid=jnp.where(f1, s.cur_valid, new_valid),
+            cur_eot=jnp.where(f1, s.cur_eot, new_eot),
+            fin_tokens=jnp.where(f2, s.fin_tokens, fin_tokens),
+            fin_len=jnp.where(f1, s.fin_len, fin_len),
+            fin_logp=jnp.where(f1, s.fin_logp, fin_logp),
+            logp_next=jnp.where(f2, s.logp_next, logp_next),
+            self_k=cache.self_k,
+            self_v=cache.self_v,
         )
 
-    return jax.vmap(one)(enc_out)
+    s = jax.lax.while_loop(cond, body, state)
+
+    # ---- per-window result selection (same math as the single-window
+    # epilogue, batched over W). A frozen window's cur_len is the GLOBAL
+    # cur_len at freeze time... which equals its own: cur_len advances for
+    # every window in lockstep, and frozen windows' tokens/lengths come from
+    # the fin pool or frozen cur leaves whose recorded lengths were frozen
+    # with them -- except cur_len itself is scalar. Track per-window active
+    # length via fin_len for finished picks; for an active pick the length
+    # is the final global cur_len (the window never stopped).
+    fin_like_logp = jnp.where(s.cur_valid & s.cur_eot, s.cur_logp, NEG_INF)
+    best_fin_cur = jnp.argmax(fin_like_logp, axis=1)  # (W,)
+    best_fin_pool = jnp.argmax(s.fin_logp, axis=1)
+    pool_logp = jnp.take_along_axis(
+        s.fin_logp, best_fin_pool[:, None], 1)[:, 0]
+    cur_fin_logp = jnp.take_along_axis(
+        fin_like_logp, best_fin_cur[:, None], 1)[:, 0]
+    use_pool = pool_logp >= cur_fin_logp
+    best_fin_logp = jnp.where(use_pool, pool_logp, cur_fin_logp)
+    pool_tokens = jnp.take_along_axis(
+        s.fin_tokens, best_fin_pool[:, None, None], 1)[:, 0]
+    curf_tokens = jnp.take_along_axis(
+        s.cur_tokens, best_fin_cur[:, None, None], 1)[:, 0]
+    fin_tokens = jnp.where(use_pool[:, None], pool_tokens, curf_tokens)
+    pool_len = jnp.take_along_axis(s.fin_len, best_fin_pool[:, None], 1)[:, 0]
+    fin_len = jnp.where(use_pool, pool_len, s.cur_len_w)
+
+    active_logp = jnp.where(s.cur_valid & ~s.cur_eot, s.cur_logp, NEG_INF)
+    best_active = jnp.argmax(active_logp, axis=1)
+    act_logp = jnp.take_along_axis(active_logp, best_active[:, None], 1)[:, 0]
+    act_tokens = jnp.take_along_axis(
+        s.cur_tokens, best_active[:, None, None], 1)[:, 0]
+
+    take_fin = best_fin_logp >= act_logp
+    tokens = jnp.where(take_fin[:, None], fin_tokens, act_tokens)
+    length = jnp.where(take_fin, fin_len, s.cur_len_w)
+    logp = jnp.where(take_fin, best_fin_logp, act_logp)
+    return tokens, length.astype(jnp.int32), logp
 
 
 @functools.partial(

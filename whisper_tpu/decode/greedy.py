@@ -28,7 +28,12 @@ class GreedyState(NamedTuple):
     done: jax.Array  # (B,) bool
     logp_next: jax.Array  # (B, V)
     sum_logp: jax.Array  # (B,) cumulative log-prob of emitted tokens
-    cache: M.DecoderCache
+    # self-attention KV only: the cross-KV is loop-INVARIANT and lives in
+    # the body's closure -- carrying it through the while_loop makes the
+    # vmapped (batched-window) loop select/copy the multi-GB cross cache
+    # every step (measured ~60% beam overhead at large-v2)
+    self_k: jax.Array
+    self_v: jax.Array
 
 
 def greedy_decode(
@@ -58,6 +63,7 @@ def greedy_decode(
     cache = M.init_cache(params, enc_out, cfg, batch=B, cache_len=cache_len,
                          kv_quant=kv_quant)
     logits, cache = M.decoder_step(params, tokens0[:, :P], jnp.int32(0), cache, cfg)
+    cross_k, cross_v = cache.cross_k, cache.cross_v  # loop-invariant closure
     logp_next = _masked_log_softmax(
         logits[:, -1], jnp.int32(P), suppress_mask, suppress_until_len
     )
@@ -69,7 +75,8 @@ def greedy_decode(
         done=jnp.zeros((B,), bool),
         logp_next=logp_next,
         sum_logp=jnp.zeros((B,), jnp.float32),
-        cache=cache,
+        self_k=cache.self_k,
+        self_v=cache.self_v,
     )
 
     max_len = min(ctx, P + max_depth)
@@ -89,7 +96,8 @@ def greedy_decode(
         sum_logp = jnp.where(s.done, s.sum_logp, s.sum_logp + tok_logp)
         done = s.done | newly_done
 
-        logits, cache = M.decoder_step(params, tok[:, None], s.seq_len, s.cache, cfg)
+        full = M.DecoderCache(s.self_k, s.self_v, cross_k, cross_v)
+        logits, cache = M.decoder_step(params, tok[:, None], s.seq_len, full, cfg)
         logp_next = _masked_log_softmax(
             logits[:, -1], s.seq_len + 1, suppress_mask, suppress_until_len
         )
@@ -100,7 +108,8 @@ def greedy_decode(
             done=done,
             logp_next=logp_next,
             sum_logp=sum_logp,
-            cache=cache,
+            self_k=cache.self_k,
+            self_v=cache.self_v,
         )
 
     state = jax.lax.while_loop(cond, body, state)
