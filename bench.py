@@ -18,7 +18,7 @@ token-identical greedy AND beam decode vs bf16, see docs/PERFORMANCE.md).
 
 Env knobs:
   WHISPER_TPU_BENCH_MODEL  (default large-v2; any preset name)
-  WHISPER_TPU_BENCH_BATCH  (default 24 streams)
+  WHISPER_TPU_BENCH_BATCH  (default 32 streams)
   WHISPER_TPU_BENCH_STEPS  (default 100 decode steps/window)
   WHISPER_TPU_BENCH_REPS   (default 3 timed reps)
   WHISPER_TPU_BENCH_QUANT  (int8 | none; default int8 weight-only)
@@ -56,7 +56,7 @@ def main() -> int:
     from whisper_tpu.decode import greedy
 
     model_name = os.environ.get("WHISPER_TPU_BENCH_MODEL", "large-v2")
-    batch = int(os.environ.get("WHISPER_TPU_BENCH_BATCH", "24"))
+    batch = int(os.environ.get("WHISPER_TPU_BENCH_BATCH", "32"))
     steps = int(os.environ.get("WHISPER_TPU_BENCH_STEPS", "100"))
     reps = int(os.environ.get("WHISPER_TPU_BENCH_REPS", "3"))
 
@@ -150,9 +150,8 @@ def main() -> int:
 
     beam_size = int(os.environ.get("WHISPER_TPU_BENCH_BEAM", "5"))
     if beam_size > 1:
-        beam_batch = int(
-            os.environ.get("WHISPER_TPU_BENCH_BEAM_BATCH", str(max(batch // 3, 1)))
-        )
+        # W=8 measured best on v5e (sweep: W8 43.6x, W12 41.9x, W16 OOM)
+        beam_batch = int(os.environ.get("WHISPER_TPU_BENCH_BEAM_BATCH", "8"))
         beam_xrt, _ = run_config("beam", beam_batch, beam_size)
         record["beam"] = {
             "metric": (f"xrt_{model_name}_b{beam_batch}_beam{beam_size}_"
