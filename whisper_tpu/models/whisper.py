@@ -570,6 +570,106 @@ def _cached_attention(
     return out.astype(v_cache.dtype).reshape(b, s, d)
 
 
+def _decoder_step_fused(
+    params: Params,
+    tokens: jax.Array,  # (B, 1)
+    pos: jax.Array,  # scalar int32
+    cache: DecoderCache,
+    cfg: WhisperConfig,
+) -> Tuple[jax.Array, DecoderCache]:
+    """Steady-state (S=1) decode step over layer-STACKED KV caches.
+
+    Same math as `decoder_step`'s general path, but the per-layer scan never
+    slices the KV caches: the full (L, B, C, d) buffers stay in the loop
+    carry (self) / closure (cross) and the Pallas kernel picks its layer
+    block via a scalar-prefetch index_map (decode_attention_stacked). The
+    general path's scan-over-sliced-caches makes XLA materialize a staging
+    copy of every layer's cache every step -- measured as the dominant cost
+    of the whole decode step at large-v2 (see docs/PERFORMANCE.md).
+    """
+    from ..ops.pallas.decode_attention import decode_attention_stacked
+
+    dec = params["decoder"]
+    dec_cfg = cfg.text_decoder_config
+    n_head, eps = dec_cfg.n_text_head, cfg.ln_eps
+    b = tokens.shape[0]
+    d = dec_cfg.n_text_state
+    scale = float(d // n_head) ** -0.5
+
+    x = dec["tok_emb"][tokens] + jax.lax.dynamic_slice_in_dim(
+        dec["pos_emb"], pos, 1, axis=0
+    )
+
+    ck_arr, ck_scale = (
+        (cache.cross_k.q, cache.cross_k.scale)
+        if isinstance(cache.cross_k, QTensor)
+        else (cache.cross_k, None)
+    )
+    cv_arr, cv_scale = (
+        (cache.cross_v.q, cache.cross_v.scale)
+        if isinstance(cache.cross_v, QTensor)
+        else (cache.cross_v, None)
+    )
+    n_layer, _, sa, _ = ck_arr.shape
+    pos_self = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (b,))
+    pos_cross = jnp.full((b,), sa - 1, jnp.int32)
+
+    # Per-layer xs: weight slices (consumed by XLA GEMMs, which stage their
+    # operands through VMEM anyway) plus the layer counter and the tiny
+    # per-layer cross-KV quantization scales.
+    scales = {}
+    if ck_scale is not None:
+        scales["ck"] = ck_scale  # (L, d)
+    if cv_scale is not None:
+        scales["cv"] = cv_scale
+
+    def body(carry, xs):
+        h, self_k, self_v = carry
+        p, l, sc = xs
+        hn = layer_norm(h, p["attn_ln_g"], p["attn_ln_b"], eps)
+        q, k, v = _qkv_proj(hn, p["qkv_w"], p["qkv_b"])
+        self_k = jax.lax.dynamic_update_slice(
+            self_k, k[None].astype(self_k.dtype), (l, 0, pos, 0)
+        )
+        self_v = jax.lax.dynamic_update_slice(
+            self_v, v[None].astype(self_v.dtype), (l, 0, pos, 0)
+        )
+        q1 = (q[:, 0].astype(jnp.float32) * scale).astype(q.dtype)
+        attn = decode_attention_stacked(q1, self_k, self_v, pos_self, l, n_head)
+        h = h + _linear(attn[:, None, :], p["attn_o_w"], p["attn_o_b"])
+
+        hn = layer_norm(h, p["cross_ln_g"], p["cross_ln_b"], eps)
+        q = _linear(hn, p["cross_q_w"], p["cross_q_b"])
+        q1 = q[:, 0].astype(jnp.float32) * scale
+        if "ck" in sc:
+            q1 = q1 * sc["ck"]
+        cross = decode_attention_stacked(
+            q1.astype(q.dtype), ck_arr, cv_arr, pos_cross, l, n_head
+        )
+        if "cv" in sc:
+            cross = (cross.astype(jnp.float32) * sc["cv"]).astype(h.dtype)
+        h = h + _linear(cross[:, None, :], p["cross_o_w"], p["cross_o_b"])
+
+        hn = layer_norm(h, p["mlp_ln_g"], p["mlp_ln_b"], eps)
+        hn = _linear(
+            jax.nn.gelu(_linear(hn, p["mlp1_w"], p["mlp1_b"]), approximate=False),
+            p["mlp2_w"],
+            p["mlp2_b"],
+        )
+        return (h + hn, self_k, self_v), None
+
+    (x, new_k, new_v), _ = jax.lax.scan(
+        body,
+        (x, cache.self_k, cache.self_v),
+        (dec["blocks"], jnp.arange(n_layer), scales),
+    )
+    x = layer_norm(x, dec["ln_g"], dec["ln_b"], eps)
+    logits = jax.lax.dot_general(
+        x, dec["tok_emb"], (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return logits, DecoderCache(new_k, new_v, cache.cross_k, cache.cross_v)
+
+
 def decoder_step(
     params: Params,
     tokens: jax.Array,  # (B, S) new tokens at absolute positions [pos, pos+S)
@@ -583,6 +683,8 @@ def decoder_step(
     step; S=prompt_len is prefill. Numerically equivalent to the reference's
     full recompute (causal masking makes cached and full attention identical).
     """
+    if tokens.shape[1] == 1 and cfg.attention == "flash":
+        return _decoder_step_fused(params, tokens, pos, cache, cfg)
     dec = params["decoder"]
     dec_cfg = cfg.text_decoder_config
     n_head, eps = dec_cfg.n_text_head, cfg.ln_eps

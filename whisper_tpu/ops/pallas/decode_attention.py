@@ -58,14 +58,13 @@ def _head_sum_matrix(d: int, n_head: int) -> np.ndarray:
     return e
 
 
-def _decode_attn_kernel(pos_ref, q_ref, k_ref, v_ref, e_ref, o_ref):
-    # pos_ref: the whole (B,) array in SMEM (Mosaic cannot block rank-1 SMEM
-    # below the tile size); this row's visibility is pos_ref[program_id].
-    pos = pos_ref[pl.program_id(0)]
-    q = q_ref[0].astype(jnp.float32)  # (1, D)
-    k = k_ref[0].astype(jnp.float32)  # (C, D)
-    v = v_ref[0].astype(jnp.float32)
-    e = e_ref[:]  # (D, Hp)
+def _attend(pos, q, k, v, e):
+    """Single-query attention math shared by the flat and stacked kernels.
+
+    pos: i32 scalar (highest visible key row, inclusive); q (1, D) f32;
+    k/v (C, D) f32; e (D, Hp) the block-diagonal head-sum matrix.
+    Returns (1, D) f32.
+    """
     c = k.shape[0]
 
     t = k * q  # (C, D) f32
@@ -101,7 +100,20 @@ def _decode_attn_kernel(pos_ref, q_ref, k_ref, v_ref, e_ref, o_ref):
         w, e, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (C, D)
-    o = jnp.sum(v * w_exp, axis=0, keepdims=True)  # (1, D)
+    return jnp.sum(v * w_exp, axis=0, keepdims=True)  # (1, D)
+
+
+def _decode_attn_kernel(pos_ref, q_ref, k_ref, v_ref, e_ref, o_ref):
+    # pos_ref: the whole (B,) array in SMEM (Mosaic cannot block rank-1 SMEM
+    # below the tile size); this row's visibility is pos_ref[program_id].
+    pos = pos_ref[pl.program_id(0)]
+    o = _attend(
+        pos,
+        q_ref[0].astype(jnp.float32),  # (1, D)
+        k_ref[0].astype(jnp.float32),  # (C, D)
+        v_ref[0].astype(jnp.float32),
+        e_ref[:],  # (D, Hp)
+    )
     o_ref[0] = o.astype(o_ref.dtype)
 
 
@@ -209,3 +221,89 @@ def decode_attention(
 ) -> jax.Array:
     """Returns (B, D) attention output in v_cache.dtype. vmap-safe."""
     return _make_decode_attention(n_head, interpret)(q, k_cache, v_cache, pos)
+
+
+def _decode_attn_stacked_kernel(
+    layer_ref, pos_ref, q_ref, k_ref, v_ref, e_ref, o_ref
+):
+    # layer_ref/pos_ref are scalar-prefetch args: consumed by the BlockSpec
+    # index_maps (layer selection) and here (per-row visibility).
+    pos = pos_ref[pl.program_id(0)]
+    o = _attend(
+        pos,
+        q_ref[0].astype(jnp.float32),  # (1, D)
+        k_ref[0, 0].astype(jnp.float32),  # (C, D)
+        v_ref[0, 0].astype(jnp.float32),
+        e_ref[:],  # (D, Hp)
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def decode_attention_stacked(
+    q: jax.Array,  # (B, D) single query, PRE-SCALED by head_dim^-0.5
+    k_cache: jax.Array,  # (L, B, C, D) -- ALL layers, stacked
+    v_cache: jax.Array,  # (L, B, C, D)
+    pos: jax.Array,  # i32 scalar or (B,): highest visible cache row (incl.)
+    layer: jax.Array,  # i32 scalar: which layer's cache block to attend over
+    n_head: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-query attention over ONE layer of a layer-stacked KV cache.
+
+    Why the stacking matters: `decoder_step` scans over layers, and a kernel
+    that takes per-layer (B, C, D) caches forces the scan to materialize a
+    sliced copy of each layer's cache every step -- XLA cannot fuse a
+    dynamic-slice into a custom call, so the compiled while-loop body grows
+    kLoop fusions copying the full (B, C, D) slice to a staging buffer (seen
+    in the optimized HLO as `constant_dynamic-slice_fusion` ops; at large-v2
+    b32 with int8 cross-KV that is ~5 GB/step of pure copy traffic, larger
+    than all useful HBM traffic combined). Here the caller passes the WHOLE
+    (L, B, C, D) cache and the layer index; the index_map (scalar prefetch)
+    picks the (layer, batch) block, so blocks stream straight from the cache
+    buffer with zero staging copies.
+
+    Returns (B, D) in v_cache.dtype (or q.dtype when v_cache is int8).
+    """
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    l, b, c, d = k_cache.shape
+
+    e = jnp.asarray(_head_sum_matrix(d, n_head))
+    q3 = q[:, None, :]  # (B, 1, D)
+    pos_rows = jnp.broadcast_to(
+        jnp.asarray(pos, jnp.int32).reshape(-1), (b,)
+    )
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape((1,))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 1, d), lambda i, lr, pr: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c, d), lambda i, lr, pr: (lr[0], i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c, d), lambda i, lr, pr: (lr[0], i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, e.shape[1]), lambda i, lr, pr: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, d), lambda i, lr, pr: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _decode_attn_stacked_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (b, 1, d),
+            q.dtype if v_cache.dtype == jnp.int8 else v_cache.dtype,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * c * d * (2 + 2 * e.shape[1] // 128),
+            bytes_accessed=2 * b * c * d * k_cache.dtype.itemsize,
+            transcendentals=b * c * e.shape[1],
+        ),
+        interpret=interpret,
+    )(layer_arr, pos_rows, q3, k_cache, v_cache, e)
+
+    return out[:, 0, :]
