@@ -10,16 +10,17 @@ cache traffic.
 Design (one grid step per batch element; caches stay in their natural flat
 (C, D) layout -- no per-step relayout):
 
-    t     = K (C, D) * q (1, D)            VPU broadcast-multiply
-    s     = t @ E (D, Hp)                  MXU: E is the block-diagonal ones
-                                           matrix E[h*hd + d, h] = 1, so each
-                                           column sums one head's lanes --
-                                           a (C x D)x(D x Hp) GEMM with C rows,
-                                           not B*H one-row GEMMs
-    w     = softmax over C (mask c > pos)  VPU
-    w_exp = w @ E^T (C, D)                 MXU: broadcast head weights back
-                                           to that head's lanes
-    o     = sum_c V * w_exp                VPU multiply + sublane reduction
+    qE      = q (1, D) * E (D, Hp)           VPU: E is the block-diagonal ones
+                                             matrix E[h*hd + d, h] = 1; folding
+                                             q into it keeps both GEMM operands
+                                             exactly bf16 (see _attend)
+    s       = K (C, D) @ qE (D, Hp)          MXU: column h is head h's scores --
+                                             one (C x D)x(D x Hp) GEMM with C
+                                             rows, not B*H one-row GEMMs
+    w       = softmax over C (mask c > pos)  VPU
+    o_heads = w^T (Hp, C) @ V (C, D)         MXU: every head's weighted value
+                                             sum, for every channel
+    o       = sum_h o_heads * E^T            VPU: extract head h's channels
 
 A first version used a (batch, head) grid with per-head (C, hd) tiles; its
 20480 tiny grid iterations per decode step were SLOWER than XLA (89x vs 154x
@@ -58,40 +59,78 @@ def _head_sum_matrix(d: int, n_head: int) -> np.ndarray:
     return e
 
 
-def _attend(pos, q, k, v, e):
+def _bf16_exact(*dtypes) -> bool:
+    """True when every storage dtype's values are exactly bf16-representable
+    (bf16 itself, or int8: integers in [-127, 127] fit bf16's 8-bit mantissa).
+    """
+    return all(
+        jnp.dtype(t) in (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.int8))
+        for t in dtypes
+    )
+
+
+def _attend(pos, q, k, v, e, e_t, exact: bool):
     """Single-query attention math shared by the flat and stacked kernels.
 
     pos: i32 scalar (highest visible key row, inclusive); q (1, D) f32;
-    k/v (C, D) f32; e (D, Hp) the block-diagonal head-sum matrix.
-    Returns (1, D) f32.
+    k/v (C, D) f32; e (D, Hp) the block-diagonal head-sum matrix and
+    e_t (Hp, D) its transpose; `exact` (static) = the q/k/v STORAGE dtypes
+    are exactly bf16-representable (bf16 or int8). Returns (1, D) f32.
+
+    Fast path (`exact`, the production bf16/int8 configs) -- scores at exact
+    f32 accuracy in ONE default-precision MXU pass: instead of forming
+    t = k * q in f32 (whose 16-bit mantissas then need a two-pass bf16 hi/lo
+    GEMM split), fold q INTO the head-sum matrix: qE[d, h] = q[d] * E[d, h].
+    Both GEMM operands are then exactly bf16 (k's values come from bf16/int8
+    storage; qE's entries ARE q's bf16 values), and the MXU multiplies bf16
+    pairs exactly and accumulates in f32 -- the exact f32 dot product,
+    strictly more accurate than the hi/lo split at half its MXU passes and
+    with no (C, D) f32 elementwise pass. The output side contracts over keys
+    FIRST -- o_heads (Hp, D) = w^T @ v -- then extracts each head's diagonal
+    block with the e_t mask (a small (Hp, D) elementwise+reduce), replacing
+    the w @ E^T broadcast GEMM AND the (C, D) multiply+reduce against v. The
+    only rounding is one bf16 cast of the softmax weights, which the slow
+    path's broadcast GEMM also incurs.
+
+    Slow path (f32 storage, the strict-f32 parity configuration): bf16
+    casts of k/q would lose mantissa, so keep t = k * q in exact f32 and
+    reduce with the classic two-pass bf16 hi/lo split (~1e-5 relative), and
+    apply softmax weights to v in f32.
     """
     c = k.shape[0]
 
-    t = k * q  # (C, D) f32
-    # Score reduction via the MXU at ~f32 accuracy WITHOUT Precision.HIGHEST
-    # (Mosaic supports only DEFAULT/HIGHEST, and HIGHEST's 6 passes on the
-    # 750-key cross tile cost more than the rest of the decode step):
-    # E is exactly bf16-representable (0/1), so splitting t into bf16
-    # hi + lo parts and summing two DEFAULT GEMMs reproduces the f32 result
-    # to ~1e-5 relative -- the classic two-pass split. A plain DEFAULT dot
-    # bf16-rounds the scores (0.1+ logit error on hardware), enough to flip
-    # near-tie tokens.
-    t_hi = t.astype(jnp.bfloat16)
-    t_lo = (t - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    e_b = e.astype(jnp.bfloat16)
-    dims = (((1,), (0,)), ((), ()))
-    s = jax.lax.dot_general(
-        t_hi, e_b, dims, preferred_element_type=jnp.float32
-    ) + jax.lax.dot_general(
-        t_lo, e_b, dims, preferred_element_type=jnp.float32
-    )  # (C, Hp)
+    if exact:
+        qe = (q.reshape(-1, 1) * e).astype(jnp.bfloat16)  # (D, Hp), exact
+        s = jax.lax.dot_general(
+            k.astype(jnp.bfloat16), qe, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (C, Hp)
+    else:
+        t = k * q  # (C, D) f32, exact
+        t_hi = t.astype(jnp.bfloat16)
+        t_lo = (t - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        e_b = e.astype(jnp.bfloat16)
+        dims = (((1,), (0,)), ((), ()))
+        s = jax.lax.dot_general(
+            t_hi, e_b, dims, preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(
+            t_lo, e_b, dims, preferred_element_type=jnp.float32
+        )  # (C, Hp)
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
     s = jnp.where(idx > pos, NEG_INF, s)
 
     m = jnp.max(s, axis=0, keepdims=True)
     p = jnp.exp(s - m)
-    w = p / jnp.sum(p, axis=0, keepdims=True)  # (C, Hp)
+    w = p / jnp.sum(p, axis=0, keepdims=True)  # (C, Hp) f32
+
+    if exact:
+        o_heads = jax.lax.dot_general(
+            w.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Hp, D): head h's weighted sum over keys, for EVERY channel d
+        return jnp.sum(o_heads * e_t, axis=0, keepdims=True)  # (1, D)
 
     # E is block-diagonal 0/1: each w_exp element is a plain copy of one w
     # element (no accumulation), so default MXU precision is exact here up to
@@ -103,7 +142,7 @@ def _attend(pos, q, k, v, e):
     return jnp.sum(v * w_exp, axis=0, keepdims=True)  # (1, D)
 
 
-def _decode_attn_kernel(pos_ref, q_ref, k_ref, v_ref, e_ref, o_ref):
+def _decode_attn_kernel(pos_ref, q_ref, k_ref, v_ref, e_ref, et_ref, o_ref):
     # pos_ref: the whole (B,) array in SMEM (Mosaic cannot block rank-1 SMEM
     # below the tile size); this row's visibility is pos_ref[program_id].
     pos = pos_ref[pl.program_id(0)]
@@ -113,6 +152,8 @@ def _decode_attn_kernel(pos_ref, q_ref, k_ref, v_ref, e_ref, o_ref):
         k_ref[0].astype(jnp.float32),  # (C, D)
         v_ref[0].astype(jnp.float32),
         e_ref[:],  # (D, Hp)
+        et_ref[:],  # (Hp, D)
+        _bf16_exact(q_ref.dtype, k_ref.dtype, v_ref.dtype),
     )
     o_ref[0] = o.astype(o_ref.dtype)
 
@@ -124,6 +165,7 @@ def _decode_attention_call(q, k_cache, v_cache, pos, n_head, interpret):
     b, c, d = k_cache.shape
 
     e = jnp.asarray(_head_sum_matrix(d, n_head))
+    e_t = jnp.asarray(_head_sum_matrix_t(d, n_head))
     q3 = q[:, None, :]  # (B, 1, D)
 
     out = pl.pallas_call(
@@ -139,6 +181,8 @@ def _decode_attention_call(q, k_cache, v_cache, pos, n_head, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d, e.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((e.shape[1], d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -147,14 +191,20 @@ def _decode_attention_call(q, k_cache, v_cache, pos, n_head, interpret):
             q.dtype if v_cache.dtype == jnp.int8 else v_cache.dtype,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * c * d * (2 + 2 * e.shape[1] // 128),
+            flops=2 * b * c * d * (2 * e.shape[1] // 128),
             bytes_accessed=2 * b * c * d * k_cache.dtype.itemsize,
             transcendentals=b * c * e.shape[1],
         ),
         interpret=interpret,
-    )(pos.astype(jnp.int32), q3, k_cache, v_cache, e)
+    )(pos.astype(jnp.int32), q3, k_cache, v_cache, e, e_t)
 
     return out[:, 0, :]
+
+
+@functools.lru_cache(maxsize=8)
+def _head_sum_matrix_t(d: int, n_head: int) -> np.ndarray:
+    """(Hp, D) transpose of `_head_sum_matrix`: row h masks head h's lanes."""
+    return np.ascontiguousarray(_head_sum_matrix(d, n_head).T)
 
 
 @functools.lru_cache(maxsize=8)
@@ -224,7 +274,7 @@ def decode_attention(
 
 
 def _decode_attn_stacked_kernel(
-    layer_ref, pos_ref, q_ref, k_ref, v_ref, e_ref, o_ref
+    layer_ref, pos_ref, q_ref, k_ref, v_ref, e_ref, et_ref, o_ref
 ):
     # layer_ref/pos_ref are scalar-prefetch args: consumed by the BlockSpec
     # index_maps (layer selection) and here (per-row visibility).
@@ -235,6 +285,8 @@ def _decode_attn_stacked_kernel(
         k_ref[0, 0].astype(jnp.float32),  # (C, D)
         v_ref[0, 0].astype(jnp.float32),
         e_ref[:],  # (D, Hp)
+        et_ref[:],  # (Hp, D)
+        _bf16_exact(q_ref.dtype, k_ref.dtype, v_ref.dtype),
     )
     o_ref[0] = o.astype(o_ref.dtype)
 
@@ -269,6 +321,7 @@ def decode_attention_stacked(
     l, b, c, d = k_cache.shape
 
     e = jnp.asarray(_head_sum_matrix(d, n_head))
+    e_t = jnp.asarray(_head_sum_matrix_t(d, n_head))
     q3 = q[:, None, :]  # (B, 1, D)
     pos_rows = jnp.broadcast_to(
         jnp.asarray(pos, jnp.int32).reshape(-1), (b,)
@@ -287,6 +340,8 @@ def decode_attention_stacked(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d, e.shape[1]), lambda i, lr, pr: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((e.shape[1], d), lambda i, lr, pr: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, d), lambda i, lr, pr: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -299,11 +354,11 @@ def decode_attention_stacked(
             q.dtype if v_cache.dtype == jnp.int8 else v_cache.dtype,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * c * d * (2 + 2 * e.shape[1] // 128),
+            flops=2 * b * c * d * (2 * e.shape[1] // 128),
             bytes_accessed=2 * b * c * d * k_cache.dtype.itemsize,
             transcendentals=b * c * e.shape[1],
         ),
         interpret=interpret,
-    )(layer_arr, pos_rows, q3, k_cache, v_cache, e)
+    )(layer_arr, pos_rows, q3, k_cache, v_cache, e, e_t)
 
     return out[:, 0, :]
