@@ -549,25 +549,32 @@ def _cached_attention(
             out = (out.astype(jnp.float32) * v_scale).astype(q.dtype)
         return out[:, None, :]
 
+    # int8 cache on the einsum path (prefill): fold K's per-channel scale
+    # into q and V's into the output -- never materialize a dequantized
+    # cache (the f32 dequant of the full cross cache cost ~8 GB of HBM
+    # traffic per prefill at large-v2 b32). The int8->bf16 operand converts
+    # are exact and fuse into the dots.
+    q_dtype = q.dtype
+    q = q.astype(jnp.float32) * scale
     if k_scale is not None:
-        k_cache = (k_cache.astype(jnp.float32) * k_scale).astype(q.dtype)
-    if v_scale is not None:
-        v_cache = (v_cache.astype(jnp.float32) * v_scale).astype(q.dtype)
-
-    qh = (q * scale).reshape(b, s, n_head, hd)
-    kh = k_cache.reshape(b, c, n_head, hd)
-    vh = v_cache.reshape(b, c, n_head, hd)
+        q = q * k_scale
+    out_dtype = v_cache.dtype if v_scale is None else q_dtype
+    qh = q.astype(q_dtype).reshape(b, s, n_head, hd)
+    kh = k_cache.astype(q_dtype).reshape(b, c, n_head, hd)
+    vh = v_cache.astype(q_dtype).reshape(b, c, n_head, hd)
     scores = jnp.einsum(
         "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
     )
     jcol = jnp.arange(c)[None, :]
     vis = jnp.reshape(last_visible, (-1, 1))  # (S, 1) broadcast
     scores = jnp.where((jcol > vis)[None, None], NEG_INF, scores)
-    w = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
+    w = jax.nn.softmax(scores, axis=-1).astype(q_dtype)
     out = jnp.einsum(
         "bhqk,bkhd->bqhd", w, vh, preferred_element_type=jnp.float32
-    )
-    return out.astype(v_cache.dtype).reshape(b, s, d)
+    ).reshape(b, s, d)
+    if v_scale is not None:
+        out = out * v_scale
+    return out.astype(out_dtype)
 
 
 def _decoder_step_fused(

@@ -274,21 +274,27 @@ def decode_attention(
 
 
 def _decode_attn_stacked_kernel(
-    layer_ref, pos_ref, q_ref, k_ref, v_ref, e_ref, et_ref, o_ref
+    rb, layer_ref, pos_ref, q_ref, k_ref, v_ref, e_ref, et_ref, o_ref
 ):
     # layer_ref/pos_ref are scalar-prefetch args: consumed by the BlockSpec
-    # index_maps (layer selection) and here (per-row visibility).
-    pos = pos_ref[pl.program_id(0)]
-    o = _attend(
-        pos,
-        q_ref[0].astype(jnp.float32),  # (1, D)
-        k_ref[0, 0].astype(jnp.float32),  # (C, D)
-        v_ref[0, 0].astype(jnp.float32),
-        e_ref[:],  # (D, Hp)
-        et_ref[:],  # (Hp, D)
-        _bf16_exact(q_ref.dtype, k_ref.dtype, v_ref.dtype),
-    )
-    o_ref[0] = o.astype(o_ref.dtype)
+    # index_maps (layer selection) and here (per-row visibility). rb (static)
+    # batch rows are processed per grid step: larger blocks amortize the
+    # per-grid-step fixed cost (DMA setup, semaphores) across rows -- at
+    # large-v2 b32 the (B,) grid ran 2048 iterations per decode step and the
+    # fixed cost was ~30% of kernel time (docs/PERFORMANCE.md step 16).
+    i = pl.program_id(0)
+    exact = _bf16_exact(q_ref.dtype, k_ref.dtype, v_ref.dtype)
+    for j in range(rb):
+        o = _attend(
+            pos_ref[i * rb + j],
+            q_ref[j].astype(jnp.float32),  # (1, D)
+            k_ref[0, j].astype(jnp.float32),  # (C, D)
+            v_ref[0, j].astype(jnp.float32),
+            e_ref[:],  # (D, Hp)
+            et_ref[:],  # (Hp, D)
+            exact,
+        )
+        o_ref[j] = o.astype(o_ref.dtype)
 
 
 def decode_attention_stacked(
@@ -320,6 +326,19 @@ def decode_attention_stacked(
         interpret = True
     l, b, c, d = k_cache.shape
 
+    # Batch rows per grid step: larger blocks amortize per-grid-step fixed
+    # costs; bounded so the double-buffered k+v blocks (4*rb*c*d bytes) plus
+    # kernel temporaries stay within the raised 64 MB VMEM budget below.
+    import os
+
+    rb_cap = int(os.environ.get("WHISPER_TPU_DECODE_ROWS", "4"))
+    rb = 1
+    for cand in (8, 4, 2):  # rb=4 measured best on v5e (docs/PERFORMANCE.md)
+        if (cand <= rb_cap and b % cand == 0
+                and 4 * cand * c * d * k_cache.dtype.itemsize < 40 * 2**20):
+            rb = cand
+            break
+
     e = jnp.asarray(_head_sum_matrix(d, n_head))
     e_t = jnp.asarray(_head_sum_matrix_t(d, n_head))
     q3 = q[:, None, :]  # (B, 1, D)
@@ -330,24 +349,24 @@ def decode_attention_stacked(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b,),
+        grid=(b // rb,),
         in_specs=[
-            pl.BlockSpec((1, 1, d), lambda i, lr, pr: (i, 0, 0),
+            pl.BlockSpec((rb, 1, d), lambda i, lr, pr: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c, d), lambda i, lr, pr: (lr[0], i, 0, 0),
+            pl.BlockSpec((1, rb, c, d), lambda i, lr, pr: (lr[0], i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c, d), lambda i, lr, pr: (lr[0], i, 0, 0),
+            pl.BlockSpec((1, rb, c, d), lambda i, lr, pr: (lr[0], i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d, e.shape[1]), lambda i, lr, pr: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((e.shape[1], d), lambda i, lr, pr: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, d), lambda i, lr, pr: (i, 0, 0),
+        out_specs=pl.BlockSpec((rb, 1, d), lambda i, lr, pr: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        _decode_attn_stacked_kernel,
+        functools.partial(_decode_attn_stacked_kernel, rb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (b, 1, d),
@@ -358,6 +377,7 @@ def decode_attention_stacked(
             bytes_accessed=2 * b * c * d * k_cache.dtype.itemsize,
             transcendentals=b * c * e.shape[1],
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(layer_arr, pos_rows, q3, k_cache, v_cache, e, e_t)
 
