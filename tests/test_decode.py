@@ -297,3 +297,39 @@ class TestBatchedBeam:
             ), f"window {w}"
             np.testing.assert_allclose(
                 float(logp_b[w]), float(logp_1), atol=1e-5)
+
+
+class TestBeamPrimitives:
+    """The beam step's perf-critical primitives (one-hot lane permute, the
+    iterative exact top-k) must match their reference XLA equivalents
+    exactly -- they are load-bearing for token-exact decode parity."""
+
+    def test_permute_lanes_matches_take(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (3, 6, 4, 8), jnp.bfloat16)
+        for par in ([2, 2, 0, 5, 1, 3], [0, 0, 0, 0, 0, 0], [5, 4, 3, 2, 1, 0]):
+            p = jnp.array(par, jnp.int32)
+            assert jnp.array_equal(
+                M.permute_lanes(x, p), jnp.take(x, p, axis=1)
+            )
+
+    def test_top_k_matches_lax(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((4, 101)).astype(np.float32))
+        v1, i1 = dbeam._top_k(x, 5)
+        v2, i2 = jax.lax.top_k(x, 5)
+        assert jnp.allclose(v1, v2) and jnp.array_equal(i1, i2)
+
+    def test_top_k_tie_order_matches_lax(self):
+        # ties must resolve identically (lowest index first)
+        x = jnp.asarray(
+            np.array([[1.0, 3.0, 3.0, 0.5, 3.0, 2.0]], np.float32))
+        v1, i1 = dbeam._top_k(x, 4)
+        v2, i2 = jax.lax.top_k(x, 4)
+        assert jnp.allclose(v1, v2) and jnp.array_equal(i1, i2)
+
+    def test_top_k_with_neg_inf_rows(self):
+        x = jnp.full((2, 9), -jnp.inf).at[0, 3].set(1.0)
+        v1, i1 = dbeam._top_k(x, 3)
+        v2, i2 = jax.lax.top_k(x, 3)
+        assert jnp.array_equal(jnp.isinf(v1), jnp.isinf(v2))
+        assert jnp.array_equal(v1[0, 0], v2[0, 0]) and i1[0, 0] == i2[0, 0]

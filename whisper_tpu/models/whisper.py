@@ -141,8 +141,12 @@ def _matmul(x: jax.Array, w) -> jax.Array:
 
     QTensor impl selection (`WHISPER_TPU_INT8_IMPL`, read at trace time):
       * "xla" (default): int8 weights with the convert fused into the XLA
-        GEMM -- measured fastest end-to-end (235x RT; the alternatives lose
-        ~8% to per-call overhead, docs/PERFORMANCE.md round-2 log);
+        GEMM -- measured fastest end-to-end at BOTH decode (small M; w8a8's
+        extra ops outweigh the MXU saving) and encoder shapes (m=24k:
+        w8a8 measured 461 ms vs 414 ms bf16 at large-v2 b32 -- the dynamic
+        activation quant + s32 epilogue costs more than the s8 MXU saves
+        through XLA dots; docs/PERFORMANCE.md);
+      * "auto": w8a8 for m >= 4096, fused-convert "xla" below;
       * "w8a8": dynamic per-row int8 activations + XLA s8 x s8 -> s32 dot;
       * "pallas": the Pallas W8A8 kernel (ops/pallas/dequant_matmul.py)."""
     if isinstance(w, QTensor):
@@ -158,7 +162,11 @@ def _matmul(x: jax.Array, w) -> jax.Array:
         m = 1
         for s in lead:
             m *= s
-        small = m <= 1024 and k % 128 == 0 and n % 128 == 0
+        aligned = k % 128 == 0 and n % 128 == 0
+        small = m <= 1024 and aligned
+        if impl == "auto":
+            impl = "w8a8" if m >= 4096 else "xla"
+            small = aligned
         if impl == "pallas" and jax.default_backend() == "tpu" and small:
             from ..ops.pallas.dequant_matmul import quantized_matmul
 
@@ -741,11 +749,38 @@ def decoder_step(
     return logits, DecoderCache(new_k, new_v, cache.cross_k, cache.cross_v)
 
 
+def permute_lanes(cache_arr: jax.Array, parents: jax.Array) -> jax.Array:
+    """Permute a (L, B, C, d) cache along the lane axis: out[:, i] =
+    in[:, parents[i]].
+
+    Expressed as a one-hot (B, B) MXU matmul rather than a gather: XLA's
+    general gather on the lane axis ran ~4.5x off the memory roofline
+    (measured 9 ms/step at large-v2 W=8 K=5, the single largest beam-decode
+    cost), while the one-hot dot streams the cache once through the MXU at
+    memory speed. One-hot rows copy values exactly (no accumulation), so
+    the permute is bit-exact for bf16 caches.
+    """
+    l, b, c, d = cache_arr.shape
+    onehot = (parents[:, None] == jnp.arange(b)[None, :]).astype(
+        cache_arr.dtype
+    )  # (B_out, B_in)
+    # Batch the dot over L so both the contraction axis (B_in, contiguous
+    # within a layer) and the output layout (L, B_out, C*d) match the cache's
+    # physical layout -- no operand transpose, no output relayout.
+    out = jax.lax.dot_general(
+        jnp.broadcast_to(onehot, (l, b, b)),
+        cache_arr.reshape(l, b, c * d),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=cache_arr.dtype,  # exact copy, no accumulation
+    )
+    return out.reshape(l, b, c, d)
+
+
 def reorder_cache(cache: DecoderCache, parents: jax.Array) -> DecoderCache:
-    """Gather the self-attn cache along the batch axis (beam reshuffle)."""
+    """Permute the self-attn cache along the batch axis (beam reshuffle)."""
     return DecoderCache(
-        jnp.take(cache.self_k, parents, axis=1),
-        jnp.take(cache.self_v, parents, axis=1),
+        permute_lanes(cache.self_k, parents),
+        permute_lanes(cache.self_v, parents),
         cache.cross_k,
         cache.cross_v,
     )
