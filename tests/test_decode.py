@@ -305,11 +305,12 @@ class TestBeamPrimitives:
     exactly -- they are load-bearing for token-exact decode parity."""
 
     def test_permute_lanes_matches_take(self):
-        x = jax.random.normal(jax.random.PRNGKey(0), (3, 6, 4, 8), jnp.bfloat16)
+        # batch-major (B, L, C, d) self cache: lanes are axis 0
+        x = jax.random.normal(jax.random.PRNGKey(0), (6, 3, 4, 8), jnp.bfloat16)
         for par in ([2, 2, 0, 5, 1, 3], [0, 0, 0, 0, 0, 0], [5, 4, 3, 2, 1, 0]):
             p = jnp.array(par, jnp.int32)
             assert jnp.array_equal(
-                M.permute_lanes(x, p), jnp.take(x, p, axis=1)
+                M.permute_lanes(x, p), jnp.take(x, p, axis=0)
             )
 
     def test_top_k_matches_lax(self):

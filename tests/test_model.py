@@ -142,7 +142,7 @@ class TestKVCache:
         perm = jnp.asarray([2, 0, 1])
         re = m.reorder_cache(cache, perm)
         np.testing.assert_allclose(
-            np.asarray(re.self_k[:, 0]), np.asarray(cache.self_k[:, 2])
+            np.asarray(re.self_k[0]), np.asarray(cache.self_k[2])
         )
         # cross KV untouched
         assert re.cross_k is cache.cross_k

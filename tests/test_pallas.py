@@ -277,3 +277,32 @@ class TestDequantMatmul:
         assert out.shape == (4, 384)
         np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestPermuteLanes:
+    """The beam-reshuffle DMA-permute kernel (ops/pallas/permute.py)."""
+
+    def test_matches_take(self, rng):
+        from whisper_tpu.ops.pallas.permute import permute_lanes_pair
+
+        b, l, c, d = 6, 4, 16, 128
+        k = jnp.asarray(rng.standard_normal((b, l, c, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((b, l, c, d)), jnp.bfloat16)
+        for par in ([2, 2, 0, 5, 1, 3], [0] * 6, [5, 4, 3, 2, 1, 0]):
+            p = jnp.asarray(par, jnp.int32)
+            ko, vo = permute_lanes_pair(k, v, p, interpret=True)
+            assert jnp.array_equal(ko, jnp.take(k, p, axis=0))
+            assert jnp.array_equal(vo, jnp.take(v, p, axis=0))
+
+    def test_int8_dtype(self, rng):
+        from whisper_tpu.ops.pallas.permute import permute_lanes_pair
+
+        b, l, c, d = 4, 2, 32, 128
+        k = jnp.asarray(
+            rng.integers(-127, 128, (b, l, c, d)), jnp.int8)
+        v = jnp.asarray(
+            rng.integers(-127, 128, (b, l, c, d)), jnp.int8)
+        p = jnp.asarray([3, 0, 0, 2], jnp.int32)
+        ko, vo = permute_lanes_pair(k, v, p, interpret=True)
+        assert jnp.array_equal(ko, jnp.take(k, p, axis=0))
+        assert jnp.array_equal(vo, jnp.take(v, p, axis=0))

@@ -58,10 +58,14 @@ def _top_k(x, k):
     return jnp.stack(vals, -1), jnp.stack(idxs, -1)
 
 
-def _cache_gather(cache_arr, gparent):
-    """Beam reshuffle of a (L, B, C, d) cache along the lane axis -- a
-    one-hot MXU matmul, not a gather (see models.whisper.permute_lanes)."""
-    return M.permute_lanes(cache_arr, gparent)
+def _cache_gather(self_k, self_v, gparent):
+    """Beam reshuffle of the batch-major (B, L, C, d) self-KV pair -- a
+    Pallas block-DMA permute kernel. Every XLA formulation of this pure
+    data movement (leading-axis gather, one-hot MXU matmul) measured ~4x
+    off copy speed; see ops/pallas/permute.py."""
+    from ..ops.pallas.permute import permute_lanes_pair
+
+    return permute_lanes_pair(self_k, self_v, gparent)
 
 
 
@@ -198,11 +202,8 @@ def beam_search(
 
         # beam reshuffle: gather the SELF cache only (cross is shared and
         # unordered across lanes)
-        cache = M.DecoderCache(
-            jnp.take(s.self_k, parent, axis=1),
-            jnp.take(s.self_v, parent, axis=1),
-            cross_k, cross_v,
-        )
+        self_k, self_v = _cache_gather(s.self_k, s.self_v, parent)
+        cache = M.DecoderCache(self_k, self_v, cross_k, cross_v)
 
         # (c) run the decoder on the appended token to get next-step logits.
         logits, cache = M.decoder_step(
@@ -417,11 +418,8 @@ def beam_search_batched(
 
         # (c) beam reshuffle of the flat self cache (global lane indices)
         gparent = (parent + jnp.arange(W)[:, None] * K).reshape(B)
-        full = M.DecoderCache(
-            _cache_gather(s.self_k, gparent),
-            _cache_gather(s.self_v, gparent),
-            cross_k, cross_v,
-        )
+        self_k, self_v = _cache_gather(s.self_k, s.self_v, gparent)
+        full = M.DecoderCache(self_k, self_v, cross_k, cross_v)
         logits, cache = M.decoder_step(
             params, tok.reshape(B, 1), s.cur_len, full, cfg
         )

@@ -430,8 +430,9 @@ def whisper_forward(
 class DecoderCache(NamedTuple):
     """Fixed-shape decoder state for `lax.scan`/`while_loop` decoding.
 
-    self_k/self_v: (L, B, n_text_ctx, d) -- self-attention KV, written at
-        position `pos` each step.
+    self_k/self_v: (B, L, cache_len, d), BATCH-major -- self-attention KV,
+        written at position `pos` each step; batch-major so beam reshuffles
+        gather contiguous per-lane slabs.
     cross_k/cross_v: (L, B, Sa, d) -- cross-attention KV, computed once per
         encoded window.
     """
@@ -462,9 +463,12 @@ def init_cache(
     bound: every decode step streams the whole k/v cache, so at large-v2
     shrinking C from 448 to 128 removes ~0.8 GB of dead HBM traffic per step.
 
-    Caches are flat (L, B, C, d) -- the layout the Pallas single-query
-    decode-attention kernel consumes directly with no per-step relayout
-    (see ops/pallas/decode_attention.py).
+    Cross caches are layer-major (L, B, Sa, d); the SELF caches are
+    BATCH-major (B, L, C, d) so the beam reshuffle gathers whole contiguous
+    (L*C*d) per-lane slabs -- XLA's gather over a non-contiguous lane axis
+    measured ~4.5x off the memory roofline, while contiguous-slab gathers
+    run at copy speed (docs/PERFORMANCE.md). The Pallas decode kernel
+    consumes either stacking via its index_map (no per-step relayout).
     """
     dec = params["decoder"]
     dec_cfg = cfg.text_decoder_config
@@ -509,8 +513,8 @@ def init_cache(
 
     c = cache_len if cache_len is not None else dec_cfg.n_text_ctx
     c = min(c, dec_cfg.n_text_ctx)
-    self_k = jnp.zeros((L, b, c, d), dtype)
-    self_v = jnp.zeros((L, b, c, d), dtype)
+    self_k = jnp.zeros((b, L, c, d), dtype)
+    self_v = jnp.zeros((b, L, c, d), dtype)
     return DecoderCache(self_k, self_v, ck, cv)
 
 
@@ -644,13 +648,15 @@ def _decoder_step_fused(
         hn = layer_norm(h, p["attn_ln_g"], p["attn_ln_b"], eps)
         q, k, v = _qkv_proj(hn, p["qkv_w"], p["qkv_b"])
         self_k = jax.lax.dynamic_update_slice(
-            self_k, k[None].astype(self_k.dtype), (l, 0, pos, 0)
+            self_k, k[:, None].astype(self_k.dtype), (0, l, pos, 0)
         )
         self_v = jax.lax.dynamic_update_slice(
-            self_v, v[None].astype(self_v.dtype), (l, 0, pos, 0)
+            self_v, v[:, None].astype(self_v.dtype), (0, l, pos, 0)
         )
         q1 = (q[:, 0].astype(jnp.float32) * scale).astype(q.dtype)
-        attn = decode_attention_stacked(q1, self_k, self_v, pos_self, l, n_head)
+        attn = decode_attention_stacked(
+            q1, self_k, self_v, pos_self, l, n_head, batch_major=True
+        )
         h = h + _linear(attn[:, None, :], p["attn_o_w"], p["attn_o_b"])
 
         hn = layer_norm(h, p["cross_ln_g"], p["cross_ln_b"], eps)
@@ -739,41 +745,38 @@ def decoder_step(
         )
         return h + hn, (k_cache, v_cache)
 
+    # The scan needs layer-major xs; the self caches are stored batch-major
+    # (see init_cache), so transpose around the scan. This path runs once
+    # per window (prefill) or under the non-flash test configs -- the
+    # steady-state fused path never relayouts.
     x, (new_k, new_v) = jax.lax.scan(
-        body, x, (dec["blocks"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v)
+        body, x, (dec["blocks"], jnp.swapaxes(cache.self_k, 0, 1),
+                  jnp.swapaxes(cache.self_v, 0, 1),
+                  cache.cross_k, cache.cross_v)
     )
     x = layer_norm(x, dec["ln_g"], dec["ln_b"], eps)
     logits = jax.lax.dot_general(
         x, dec["tok_emb"], (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    return logits, DecoderCache(new_k, new_v, cache.cross_k, cache.cross_v)
+    return logits, DecoderCache(jnp.swapaxes(new_k, 0, 1),
+                                jnp.swapaxes(new_v, 0, 1),
+                                cache.cross_k, cache.cross_v)
 
 
 def permute_lanes(cache_arr: jax.Array, parents: jax.Array) -> jax.Array:
-    """Permute a (L, B, C, d) cache along the lane axis: out[:, i] =
-    in[:, parents[i]].
+    """Permute a BATCH-major (B, L, C, d) self cache along its lane axis:
+    out[i] = in[parents[i]].
 
-    Expressed as a one-hot (B, B) MXU matmul rather than a gather: XLA's
-    general gather on the lane axis ran ~4.5x off the memory roofline
-    (measured 9 ms/step at large-v2 W=8 K=5, the single largest beam-decode
-    cost), while the one-hot dot streams the cache once through the MXU at
-    memory speed. One-hot rows copy values exactly (no accumulation), so
-    the permute is bit-exact for bf16 caches.
+    The lane axis is outermost, so this gather moves whole contiguous
+    (L*C*d) slabs and runs at copy speed. The layout is the point: with the
+    older layer-major (L, B, C, d) cache, the same logical permute was an
+    inner-axis gather that XLA ran ~4.5x off the memory roofline (9 ms of
+    the 19 ms beam step at large-v2 W=8 K=5), and a one-hot MXU matmul
+    formulation still cost 7.7 ms -- an elementwise-producible fresh buffer
+    measured ~free, pinning the blame on the non-contiguous data movement
+    (docs/PERFORMANCE.md).
     """
-    l, b, c, d = cache_arr.shape
-    onehot = (parents[:, None] == jnp.arange(b)[None, :]).astype(
-        cache_arr.dtype
-    )  # (B_out, B_in)
-    # Batch the dot over L so both the contraction axis (B_in, contiguous
-    # within a layer) and the output layout (L, B_out, C*d) match the cache's
-    # physical layout -- no operand transpose, no output relayout.
-    out = jax.lax.dot_general(
-        jnp.broadcast_to(onehot, (l, b, b)),
-        cache_arr.reshape(l, b, c * d),
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=cache_arr.dtype,  # exact copy, no accumulation
-    )
-    return out.reshape(l, b, c, d)
+    return jnp.take(cache_arr, parents, axis=0)
 
 
 def reorder_cache(cache: DecoderCache, parents: jax.Array) -> DecoderCache:

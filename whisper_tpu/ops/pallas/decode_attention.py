@@ -274,7 +274,8 @@ def decode_attention(
 
 
 def _decode_attn_stacked_kernel(
-    rb, layer_ref, pos_ref, q_ref, k_ref, v_ref, e_ref, et_ref, o_ref
+    rb, batch_major, layer_ref, pos_ref, q_ref, k_ref, v_ref, e_ref, et_ref,
+    o_ref
 ):
     # layer_ref/pos_ref are scalar-prefetch args: consumed by the BlockSpec
     # index_maps (layer selection) and here (per-row visibility). rb (static)
@@ -288,8 +289,8 @@ def _decode_attn_stacked_kernel(
         o = _attend(
             pos_ref[i * rb + j],
             q_ref[j].astype(jnp.float32),  # (1, D)
-            k_ref[0, j].astype(jnp.float32),  # (C, D)
-            v_ref[0, j].astype(jnp.float32),
+            (k_ref[j, 0] if batch_major else k_ref[0, j]).astype(jnp.float32),
+            (v_ref[j, 0] if batch_major else v_ref[0, j]).astype(jnp.float32),
             e_ref[:],  # (D, Hp)
             et_ref[:],  # (Hp, D)
             exact,
@@ -299,12 +300,13 @@ def _decode_attn_stacked_kernel(
 
 def decode_attention_stacked(
     q: jax.Array,  # (B, D) single query, PRE-SCALED by head_dim^-0.5
-    k_cache: jax.Array,  # (L, B, C, D) -- ALL layers, stacked
-    v_cache: jax.Array,  # (L, B, C, D)
+    k_cache: jax.Array,  # (L, B, C, D), or (B, L, C, D) if batch_major
+    v_cache: jax.Array,  # same stacking as k_cache
     pos: jax.Array,  # i32 scalar or (B,): highest visible cache row (incl.)
     layer: jax.Array,  # i32 scalar: which layer's cache block to attend over
     n_head: int,
     interpret: bool = False,
+    batch_major: bool = False,  # True: caches stacked (B, L, C, D)
 ) -> jax.Array:
     """Single-query attention over ONE layer of a layer-stacked KV cache.
 
@@ -324,7 +326,10 @@ def decode_attention_stacked(
     """
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
-    l, b, c, d = k_cache.shape
+    if batch_major:
+        b, l, c, d = k_cache.shape
+    else:
+        l, b, c, d = k_cache.shape
 
     # Batch rows per grid step: larger blocks amortize per-grid-step fixed
     # costs; bounded so the double-buffered k+v blocks (4*rb*c*d bytes) plus
@@ -353,9 +358,13 @@ def decode_attention_stacked(
         in_specs=[
             pl.BlockSpec((rb, 1, d), lambda i, lr, pr: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rb, c, d), lambda i, lr, pr: (lr[0], i, 0, 0),
+            pl.BlockSpec((rb, 1, c, d) if batch_major else (1, rb, c, d),
+                         (lambda i, lr, pr: (i, lr[0], 0, 0)) if batch_major
+                         else (lambda i, lr, pr: (lr[0], i, 0, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rb, c, d), lambda i, lr, pr: (lr[0], i, 0, 0),
+            pl.BlockSpec((rb, 1, c, d) if batch_major else (1, rb, c, d),
+                         (lambda i, lr, pr: (i, lr[0], 0, 0)) if batch_major
+                         else (lambda i, lr, pr: (lr[0], i, 0, 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d, e.shape[1]), lambda i, lr, pr: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -366,7 +375,7 @@ def decode_attention_stacked(
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_decode_attn_stacked_kernel, rb),
+        functools.partial(_decode_attn_stacked_kernel, rb, batch_major),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (b, 1, d),
