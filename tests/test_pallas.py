@@ -306,3 +306,57 @@ class TestPermuteLanes:
         ko, vo = permute_lanes_pair(k, v, p, interpret=True)
         assert jnp.array_equal(ko, jnp.take(k, p, axis=0))
         assert jnp.array_equal(vo, jnp.take(v, p, axis=0))
+
+
+class TestGroupedCrossAttention:
+    """kv_rep grouped decode attention: rep lanes share one KV block and are
+    scored in a single GEMM pair (ops/pallas/decode_attention.py
+    _attend_group). bf16 storage engages the grouped path; parity target is
+    the per-lane kernel on the lane-replicated cache."""
+
+    def test_matches_replicated_per_lane(self, rng):
+        from whisper_tpu.ops.pallas.decode_attention import (
+            decode_attention_stacked,
+        )
+
+        L, W, rep, c, d, nh = 3, 2, 5, 64, 128, 4
+        b = W * rep
+        kc = jnp.asarray(rng.standard_normal((L, W, c, d)), jnp.bfloat16)
+        vc = jnp.asarray(rng.standard_normal((L, W, c, d)), jnp.bfloat16)
+        q = jnp.asarray(rng.standard_normal((b, d)), jnp.bfloat16)
+        pos = jnp.full((b,), c - 1, jnp.int32)
+        kc_rep = jnp.repeat(kc, rep, axis=1)
+        vc_rep = jnp.repeat(vc, rep, axis=1)
+        for layer in range(L):
+            grouped = decode_attention_stacked(
+                q, kc, vc, pos, jnp.int32(layer), nh, interpret=True,
+                kv_rep=rep,
+            )
+            ref = decode_attention_stacked(
+                q, kc_rep, vc_rep, pos, jnp.int32(layer), nh, interpret=True,
+            )
+            np.testing.assert_allclose(
+                np.asarray(grouped, np.float32),
+                np.asarray(ref, np.float32),
+                rtol=2e-2, atol=2e-2,
+            )
+
+    def test_partial_visibility(self, rng):
+        from whisper_tpu.ops.pallas.decode_attention import (
+            decode_attention_stacked,
+        )
+
+        L, W, rep, c, d, nh = 2, 1, 2, 32, 128, 8
+        b = W * rep
+        kc = jnp.asarray(rng.standard_normal((L, W, c, d)), jnp.bfloat16)
+        vc = jnp.asarray(rng.standard_normal((L, W, c, d)), jnp.bfloat16)
+        q = jnp.asarray(rng.standard_normal((b, d)), jnp.bfloat16)
+        pos = jnp.full((b,), 10, jnp.int32)  # uniform partial visibility
+        out = decode_attention_stacked(
+            q, kc, vc, pos, jnp.int32(1), nh, interpret=True, kv_rep=rep)
+        ref = decode_attention_stacked(
+            q, jnp.repeat(kc, rep, 1), jnp.repeat(vc, rep, 1), pos,
+            jnp.int32(1), nh, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2)

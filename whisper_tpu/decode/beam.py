@@ -342,10 +342,11 @@ def beam_search_batched(
     W = enc_out.shape[0]
     B = W * K
 
-    enc_rep = jnp.repeat(enc_out, K, axis=0)  # (W*K, Sa, d) lane-replicated
+    # cross-KV stays per-window (W rows); lanes map to windows i // K inside
+    # the attention paths -- no K-fold replication of the cross cache.
     tokens0 = jnp.zeros((B, ctx), jnp.int32).at[:, :P].set(prompt[None, :])
     cache_len = min(ctx, -(-(P + max_depth) // 128) * 128)
-    cache = M.init_cache(params, enc_rep, cfg, batch=B, cache_len=cache_len,
+    cache = M.init_cache(params, enc_out, cfg, batch=B, cache_len=cache_len,
                          kv_quant=kv_quant)
     logits, cache = M.decoder_step(
         params, tokens0[:, :P], jnp.int32(0), cache, cfg

@@ -433,8 +433,9 @@ class DecoderCache(NamedTuple):
     self_k/self_v: (B, L, cache_len, d), BATCH-major -- self-attention KV,
         written at position `pos` each step; batch-major so beam reshuffles
         gather contiguous per-lane slabs.
-    cross_k/cross_v: (L, B, Sa, d) -- cross-attention KV, computed once per
-        encoded window.
+    cross_k/cross_v: (L, W, Sa, d) -- cross-attention KV, computed once per
+        encoded window; W = number of windows, which for beam search is
+        B // beam_size (lanes of one window share one cross-KV copy).
     """
 
     self_k: jax.Array
@@ -453,10 +454,8 @@ def init_cache(
 ) -> DecoderCache:
     """Allocate the self-attn cache and precompute cross-attn K/V from enc_out.
 
-    If `batch` is given and differs from enc_out's batch, the cross K/V are
-    broadcast (the beam-search case: one window, `beam` decode lanes --
-    replaces the reference's `encoder_output.repeat` per step,
-    src/transcribe.rs:270).
+    If `batch` is a multiple R of enc_out's batch, each window gets R decode
+    lanes sharing ONE cross-KV copy (the beam-search case; see below).
 
     `cache_len` caps the self-attn cache length (default n_text_ctx). Decoders
     that know their maximum sequence length (prompt + max_depth) pass a tight
@@ -486,11 +485,16 @@ def init_cache(
     blocks = dec["blocks"]
     cross_p = {k: blocks[k] for k in ("cross_kv_w", "cross_kv_b")}
     ck, cv = jax.vmap(cross_kv_layer, in_axes=(0, None))(cross_p, enc_out.astype(dtype))
-    if b != b_enc:
-        if b_enc != 1:
-            raise ValueError("cross-KV broadcast requires enc_out batch of 1")
-        ck = jnp.broadcast_to(ck, (L, b, sa, d))
-        cv = jnp.broadcast_to(cv, (L, b, sa, d))
+    if b != b_enc and b % b_enc != 0:
+        raise ValueError(
+            f"decode batch {b} must be a multiple of enc_out batch {b_enc}"
+        )
+    # b > b_enc (the beam case: K decode lanes per window) keeps the cross
+    # cache at ONE copy per window, (L, b_enc, Sa, d); the attention paths
+    # infer rep = b // b_enc and map lane i -> window i // rep. This replaces
+    # the reference's `encoder_output.repeat` per step (src/transcribe.rs:270)
+    # and, unlike a materialized broadcast, removes the K-fold duplicate
+    # cross-cache reads that dominated beam HBM traffic (docs/PERFORMANCE.md).
 
     if kv_quant:
         # int8 cross-KV (opt-in): the cross cache is the largest per-step HBM
@@ -548,8 +552,11 @@ def _cached_attention(
     if isinstance(v_cache, QTensor):
         v_cache, v_scale = v_cache.q, v_cache.scale
     c = k_cache.shape[1]
+    # rep > 1: kv row w serves q rows [w*rep, (w+1)*rep) -- beam lanes of one
+    # window sharing a single per-window cross-KV copy (see init_cache).
+    rep = b // k_cache.shape[0]
 
-    if s == 1 and impl == "flash":
+    if s == 1 and impl == "flash" and rep == 1:
         from ..ops.pallas.decode_attention import decode_attention
 
         pos = jnp.max(last_visible)
@@ -571,14 +578,15 @@ def _cached_attention(
     if k_scale is not None:
         q = q * k_scale
     out_dtype = v_cache.dtype if v_scale is None else q_dtype
-    qh = q.astype(q_dtype).reshape(b, s, n_head, hd)
-    kh = k_cache.astype(q_dtype).reshape(b, c, n_head, hd)
-    vh = v_cache.astype(q_dtype).reshape(b, c, n_head, hd)
+    bk = b // rep
+    qh = q.astype(q_dtype).reshape(bk, rep * s, n_head, hd)
+    kh = k_cache.astype(q_dtype).reshape(bk, c, n_head, hd)
+    vh = v_cache.astype(q_dtype).reshape(bk, c, n_head, hd)
     scores = jnp.einsum(
         "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
     )
     jcol = jnp.arange(c)[None, :]
-    vis = jnp.reshape(last_visible, (-1, 1))  # (S, 1) broadcast
+    vis = jnp.tile(jnp.reshape(last_visible, (-1, 1)), (rep, 1))  # (rep*S, 1)
     scores = jnp.where((jcol > vis)[None, None], NEG_INF, scores)
     w = jax.nn.softmax(scores, axis=-1).astype(q_dtype)
     out = jnp.einsum(
@@ -629,7 +637,12 @@ def _decoder_step_fused(
         if isinstance(cache.cross_v, QTensor)
         else (cache.cross_v, None)
     )
-    n_layer, _, sa, _ = ck_arr.shape
+    n_layer, b_cross, sa, _ = ck_arr.shape
+    # Beam lanes of one window share ONE cross-KV copy (init_cache keeps the
+    # cross cache per-window): kv_rep maps lane i -> window i // kv_rep in
+    # the kernel, removing the K-fold duplicate cross reads that dominated
+    # the beam step's HBM traffic (~2 GB/step at large-v2 W=8 K=5).
+    kv_rep = b // b_cross
     pos_self = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (b,))
     pos_cross = jnp.full((b,), sa - 1, jnp.int32)
 
@@ -665,7 +678,8 @@ def _decoder_step_fused(
         if "ck" in sc:
             q1 = q1 * sc["ck"]
         cross = decode_attention_stacked(
-            q1.astype(q.dtype), ck_arr, cv_arr, pos_cross, l, n_head
+            q1.astype(q.dtype), ck_arr, cv_arr, pos_cross, l, n_head,
+            kv_rep=kv_rep,
         )
         if "cv" in sc:
             cross = (cross.astype(jnp.float32) * sc["cv"]).astype(h.dtype)

@@ -59,6 +59,36 @@ def _head_sum_matrix(d: int, n_head: int) -> np.ndarray:
     return e
 
 
+@functools.lru_cache(maxsize=8)
+def _group_matrices(d: int, n_head: int, rep: int):
+    """Constants for the grouped (kv_rep-lane) attention: rep lanes sharing
+    one KV block are scored in ONE GEMM by giving each lane its own column
+    band [r*np, r*np + n_head) of the Hp=128 MXU tile (np = n_head rounded
+    up to the 8-row sublane granularity so the per-lane output extraction
+    slices stay aligned).
+
+    Returns (sel (rep8, Hp), e_mul (D, Hp), et_mul (Hp, D), np):
+      sel[r, r*np + h] = 1        -- scatters lane r's query into its band
+      e_mul[:, r*np + h] = E[:, h] -- the head-sum pattern, per band
+      et_mul[r*np + h, :] = E^T[h, :] -- head-extraction mask, per band
+    """
+    hp = 128
+    np_ = _round_up(n_head, 8)
+    if np_ * rep > hp:
+        return None
+    hd = d // n_head
+    sel = np.zeros((_round_up(rep, 8), hp), np.float32)
+    e_mul = np.zeros((d, hp), np.float32)
+    et_mul = np.zeros((hp, d), np.float32)
+    for r in range(rep):
+        for h in range(n_head):
+            col = r * np_ + h
+            sel[r, col] = 1.0
+            e_mul[h * hd : (h + 1) * hd, col] = 1.0
+            et_mul[col, h * hd : (h + 1) * hd] = 1.0
+    return sel, e_mul, et_mul, np_
+
+
 def _bf16_exact(*dtypes) -> bool:
     """True when every storage dtype's values are exactly bf16-representable
     (bf16 itself, or int8: integers in [-127, 127] fit bf16's 8-bit mantissa).
@@ -140,6 +170,58 @@ def _attend(pos, q, k, v, e, e_t, exact: bool):
         preferred_element_type=jnp.float32,
     )  # (C, D)
     return jnp.sum(v * w_exp, axis=0, keepdims=True)  # (1, D)
+
+
+def _attend_group(pos, q_rows, k, v, sel, e_mul, et_mul, np_, rep):
+    """Single-query attention of `rep` lanes against ONE shared (C, D) KV
+    block, in one GEMM pair (see _group_matrices).
+
+    The per-lane qE construction of _attend wastes 1 - n_head/128 of every
+    MXU pass (Hp pads n_head up to the 128-lane tile); at large-v2 beam
+    (n_head=20, rep=5) that made cross-attention MXU-bound at ~6.4x the
+    useful work. Here lane r's scaled query occupies columns
+    [r*np, r*np + n_head): one k @ qE pass scores ALL rep lanes, one
+    w^T @ v pass produces all their head sums. Requires every lane to see
+    the same `pos` (true for cross-attention: pos = Sa - 1).
+
+    q_rows: (rep, D) f32 pre-scaled; returns (rep, D) f32.
+    """
+    c = k.shape[0]
+    # qE[d, r*np+h] = q_r[d] * E[d, h]: scatter rows into bands via the 0/1
+    # selector GEMM (exact copies under f32 accumulation), mask with the
+    # head-sum pattern. Entries are exactly the bf16 query values, so the
+    # score GEMM below runs at exact f32 accuracy in one default-precision
+    # MXU pass (same argument as _attend's fast path).
+    qt = jnp.transpose(q_rows)  # (D, rep)
+    qx = jax.lax.dot_general(
+        qt, sel[: q_rows.shape[0]], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (D, Hp): column r*np+h = q_r
+    qe = (qx * e_mul).astype(jnp.bfloat16)
+    s = jax.lax.dot_general(
+        k.astype(jnp.bfloat16), qe, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (C, Hp)
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
+    s = jnp.where(idx > pos, NEG_INF, s)
+    m = jnp.max(s, axis=0, keepdims=True)
+    p = jnp.exp(s - m)
+    w = p / jnp.sum(p, axis=0, keepdims=True)  # (C, Hp) f32
+
+    o = jax.lax.dot_general(
+        w.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Hp, D): row r*np+h = lane r head h's weighted value sum
+    masked = o * et_mul  # zero the dead columns-band rows, mask head lanes
+    return jnp.concatenate(
+        [
+            jnp.sum(masked[r * np_ : (r + 1) * np_], axis=0, keepdims=True)
+            for r in range(rep)
+        ],
+        axis=0,
+    )  # (rep, D)
 
 
 def _decode_attn_kernel(pos_ref, q_ref, k_ref, v_ref, e_ref, et_ref, o_ref):
@@ -273,9 +355,37 @@ def decode_attention(
     return _make_decode_attention(n_head, interpret)(q, k_cache, v_cache, pos)
 
 
+def _decode_attn_stacked_group_kernel(
+    rb, batch_major, kv_rep, np_, layer_ref, pos_ref, q_ref, k_ref, v_ref,
+    sel_ref, em_ref, etm_ref, o_ref
+):
+    # Grouped kv_rep path: each shared KV block serves its kv_rep query
+    # lanes in one GEMM pair (_attend_group). Cross-attention only: every
+    # lane shares pos (= Sa - 1), so one pos value covers the block.
+    i = pl.program_id(0)
+    wb = rb // kv_rep
+    pos = pos_ref[i * rb]
+    for w in range(wb):
+        q_rows = q_ref[w * kv_rep : (w + 1) * kv_rep, 0].astype(jnp.float32)
+        o = _attend_group(
+            pos,
+            q_rows,
+            (k_ref[w, 0] if batch_major else k_ref[0, w]).astype(jnp.float32),
+            (v_ref[w, 0] if batch_major else v_ref[0, w]).astype(jnp.float32),
+            sel_ref[:],
+            em_ref[:],
+            etm_ref[:],
+            np_,
+            kv_rep,
+        )
+        o_ref[w * kv_rep : (w + 1) * kv_rep] = o[:, None, :].astype(
+            o_ref.dtype
+        )
+
+
 def _decode_attn_stacked_kernel(
-    rb, batch_major, layer_ref, pos_ref, q_ref, k_ref, v_ref, e_ref, et_ref,
-    o_ref
+    rb, batch_major, kv_rep, layer_ref, pos_ref, q_ref, k_ref, v_ref, e_ref,
+    et_ref, o_ref
 ):
     # layer_ref/pos_ref are scalar-prefetch args: consumed by the BlockSpec
     # index_maps (layer selection) and here (per-row visibility). rb (static)
@@ -283,14 +393,20 @@ def _decode_attn_stacked_kernel(
     # per-grid-step fixed cost (DMA setup, semaphores) across rows -- at
     # large-v2 b32 the (B,) grid ran 2048 iterations per decode step and the
     # fixed cost was ~30% of kernel time (docs/PERFORMANCE.md step 16).
+    # kv_rep > 1: kv row j//kv_rep serves q rows [j, j+kv_rep) -- the
+    # beam-search cross-attention case where all beam lanes of one window
+    # share one cross-KV copy.
     i = pl.program_id(0)
     exact = _bf16_exact(q_ref.dtype, k_ref.dtype, v_ref.dtype)
     for j in range(rb):
+        jk = j // kv_rep
         o = _attend(
             pos_ref[i * rb + j],
             q_ref[j].astype(jnp.float32),  # (1, D)
-            (k_ref[j, 0] if batch_major else k_ref[0, j]).astype(jnp.float32),
-            (v_ref[j, 0] if batch_major else v_ref[0, j]).astype(jnp.float32),
+            (k_ref[jk, 0] if batch_major else k_ref[0, jk]).astype(
+                jnp.float32),
+            (v_ref[jk, 0] if batch_major else v_ref[0, jk]).astype(
+                jnp.float32),
             e_ref[:],  # (D, Hp)
             et_ref[:],  # (Hp, D)
             exact,
@@ -307,6 +423,7 @@ def decode_attention_stacked(
     n_head: int,
     interpret: bool = False,
     batch_major: bool = False,  # True: caches stacked (B, L, C, D)
+    kv_rep: int = 1,  # q rows per kv row: kv row j serves q rows [j*r, j*r+r)
 ) -> jax.Array:
     """Single-query attention over ONE layer of a layer-stacked KV cache.
 
@@ -327,30 +444,82 @@ def decode_attention_stacked(
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
     if batch_major:
-        b, l, c, d = k_cache.shape
+        bk, l, c, d = k_cache.shape
     else:
-        l, b, c, d = k_cache.shape
+        l, bk, c, d = k_cache.shape
+    b = q.shape[0]
+    if b != bk * kv_rep:
+        raise ValueError(
+            f"q batch {b} != kv batch {bk} * kv_rep {kv_rep}"
+        )
 
     # Batch rows per grid step: larger blocks amortize per-grid-step fixed
     # costs; bounded so the double-buffered k+v blocks (4*rb*c*d bytes) plus
     # kernel temporaries stay within the raised 64 MB VMEM budget below.
+    # With kv_rep > 1 each kv block row already serves kv_rep q rows, so the
+    # kv-row block (wb) is chosen and rb = wb * kv_rep.
     import os
 
     rb_cap = int(os.environ.get("WHISPER_TPU_DECODE_ROWS", "4"))
-    rb = 1
-    for cand in (8, 4, 2):  # rb=4 measured best on v5e (docs/PERFORMANCE.md)
-        if (cand <= rb_cap and b % cand == 0
-                and 4 * cand * c * d * k_cache.dtype.itemsize < 40 * 2**20):
-            rb = cand
-            break
+    if kv_rep == 1:
+        rb = 1
+        for cand in (8, 4, 2):  # rb=4 best on v5e (docs/PERFORMANCE.md)
+            if (cand <= rb_cap and b % cand == 0
+                    and 4 * cand * c * d * k_cache.dtype.itemsize
+                    < 40 * 2**20):
+                rb = cand
+                break
+        wb = rb
+    else:
+        wb_cap = int(os.environ.get("WHISPER_TPU_CROSS_WB", "1"))
+        wb = 1
+        for cand in (4, 2):
+            if (cand <= wb_cap and bk % cand == 0
+                    and 4 * cand * c * d * k_cache.dtype.itemsize
+                    < 40 * 2**20):
+                wb = cand
+                break
+        rb = wb * kv_rep
 
-    e = jnp.asarray(_head_sum_matrix(d, n_head))
-    e_t = jnp.asarray(_head_sum_matrix_t(d, n_head))
     q3 = q[:, None, :]  # (B, 1, D)
     pos_rows = jnp.broadcast_to(
         jnp.asarray(pos, jnp.int32).reshape(-1), (b,)
     )
     layer_arr = jnp.asarray(layer, jnp.int32).reshape((1,))
+
+    # Grouped kv_rep path (one GEMM pair per shared-KV block): needs exact
+    # bf16/int8 storage and the rep lanes' head bands to fit the 128-lane
+    # MXU tile; falls back to the per-lane loop otherwise.
+    gm = (
+        _group_matrices(d, n_head, kv_rep)
+        if kv_rep > 1
+        and _bf16_exact(q.dtype, k_cache.dtype, v_cache.dtype)
+        else None
+    )
+
+    kv_spec = pl.BlockSpec(
+        (wb, 1, c, d) if batch_major else (1, wb, c, d),
+        (lambda i, lr, pr: (i, lr[0], 0, 0)) if batch_major
+        else (lambda i, lr, pr: (lr[0], i, 0, 0)),
+        memory_space=pltpu.VMEM,
+    )
+
+    def const_spec(a):
+        return pl.BlockSpec(a.shape, lambda i, lr, pr: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    if gm is not None:
+        sel, e_mul, et_mul, np_ = gm
+        consts = [jnp.asarray(sel), jnp.asarray(e_mul), jnp.asarray(et_mul)]
+        kernel = functools.partial(
+            _decode_attn_stacked_group_kernel, rb, batch_major, kv_rep, np_)
+    else:
+        consts = [
+            jnp.asarray(_head_sum_matrix(d, n_head)),
+            jnp.asarray(_head_sum_matrix_t(d, n_head)),
+        ]
+        kernel = functools.partial(
+            _decode_attn_stacked_kernel, rb, batch_major, kv_rep)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -358,36 +527,27 @@ def decode_attention_stacked(
         in_specs=[
             pl.BlockSpec((rb, 1, d), lambda i, lr, pr: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, 1, c, d) if batch_major else (1, rb, c, d),
-                         (lambda i, lr, pr: (i, lr[0], 0, 0)) if batch_major
-                         else (lambda i, lr, pr: (lr[0], i, 0, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, 1, c, d) if batch_major else (1, rb, c, d),
-                         (lambda i, lr, pr: (i, lr[0], 0, 0)) if batch_major
-                         else (lambda i, lr, pr: (lr[0], i, 0, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, e.shape[1]), lambda i, lr, pr: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((e.shape[1], d), lambda i, lr, pr: (0, 0),
-                         memory_space=pltpu.VMEM),
+            kv_spec,
+            kv_spec,
+            *[const_spec(a) for a in consts],
         ],
         out_specs=pl.BlockSpec((rb, 1, d), lambda i, lr, pr: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_decode_attn_stacked_kernel, rb, batch_major),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (b, 1, d),
             q.dtype if v_cache.dtype == jnp.int8 else v_cache.dtype,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * c * d * (2 * e.shape[1] // 128),
-            bytes_accessed=2 * b * c * d * k_cache.dtype.itemsize,
-            transcendentals=b * c * e.shape[1],
+            flops=2 * (bk if gm is not None else b) * c * d * 2,
+            bytes_accessed=2 * bk * c * d * k_cache.dtype.itemsize,
+            transcendentals=(bk if gm is not None else b) * c * 128,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
-    )(layer_arr, pos_rows, q3, k_cache, v_cache, e, e_t)
+    )(layer_arr, pos_rows, q3, k_cache, v_cache, *consts)
 
     return out[:, 0, :]
