@@ -360,3 +360,21 @@ class TestGroupedCrossAttention:
         np.testing.assert_allclose(
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             rtol=2e-2, atol=2e-2)
+
+    def test_valid_prefix(self, rng):
+        from whisper_tpu.ops.pallas.permute import permute_lanes_arrays
+
+        b, l, c, d = 4, 2, 64, 128
+        k = jnp.asarray(rng.standard_normal((b, l, c, d)), jnp.bfloat16)
+        ks = jnp.asarray(rng.standard_normal((b, l, c)), jnp.float32)
+        p = jnp.asarray([2, 0, 3, 3], jnp.int32)
+        for valid in (1, 31, 33, 64):
+            ko, so = permute_lanes_arrays(
+                (k, ks), p, interpret=True,
+                valid_len=jnp.int32(valid), chunk=32)
+            nv = -(-valid // 32) * 32
+            rows = min(nv, c)
+            assert jnp.array_equal(
+                ko[:, :, :rows], jnp.take(k, p, axis=0)[:, :, :rows])
+            assert jnp.array_equal(
+                so[:, :, :rows], jnp.take(ks, p, axis=0)[:, :, :rows])

@@ -168,3 +168,59 @@ class TestKVQuant:
         _, cf = M2.decoder_step(params, toks, jnp.int32(0), cf, cfgf)
         lf, _ = M2.decoder_step(params, one, jnp.int32(4), cf, cfgf)
         np.testing.assert_allclose(np.asarray(lx), np.asarray(lf), atol=3e-4)
+
+
+class TestSelfKVQuant:
+    """int8 self-KV cache with per-row scales (models.whisper._q8_rows)."""
+
+    def test_q8_rows_roundtrip(self, rng):
+        x = jnp.asarray(rng.standard_normal((3, 5, 64)).astype(np.float32))
+        q, s = M._q8_rows(x)
+        assert q.dtype == jnp.int8 and s.shape == (3, 5)
+        back = np.asarray(q, np.float32) * np.asarray(s)[..., None]
+        np.testing.assert_allclose(back, np.asarray(x), atol=np.abs(
+            np.asarray(x)).max() / 127 * 1.01)
+
+    def test_decoder_step_self_quant_close(self, params, rng):
+        """Prefill + steps through the int8 self cache ~= bf16 (CPU/XLA)."""
+        enc = jnp.asarray(rng.standard_normal((2, 16, 64)).astype(np.float32))
+        toks = jnp.asarray(rng.integers(0, 128, (2, 6)).astype(np.int32))
+        cache = M.init_cache(params, enc, CFG, cache_len=16)
+        cache_q = M.init_cache(params, enc, CFG, cache_len=16,
+                               self_quant=True)
+        assert cache_q.self_k.q.dtype == jnp.int8
+        ref, c1 = M.decoder_step(params, toks, jnp.int32(0), cache, CFG)
+        out, c2 = M.decoder_step(params, toks, jnp.int32(0), cache_q, CFG)
+        r, o = np.asarray(ref), np.asarray(out)
+        assert np.abs(o - r).max() / np.abs(r).max() < 0.05
+        # one more decode step through the quantized cache
+        nxt = jnp.asarray(rng.integers(0, 128, (2, 1)).astype(np.int32))
+        ref2, _ = M.decoder_step(params, nxt, jnp.int32(6), c1, CFG)
+        out2, _ = M.decoder_step(params, nxt, jnp.int32(6), c2, CFG)
+        r2, o2 = np.asarray(ref2), np.asarray(out2)
+        assert np.abs(o2 - r2).max() / np.abs(r2).max() < 0.05
+
+    def test_greedy_self_quant_runs(self, params, rng):
+        mel = jnp.asarray(rng.standard_normal((1, 80, 32)).astype(np.float32))
+        enc = M.encoder_forward(params, mel, CFG)
+        toks, lengths, _ = greedy.greedy_decode_jit(
+            params, enc, jnp.asarray([1, 2, 3], jnp.int32), CFG,
+            eot_id=5, max_depth=6, kv_quant=True, self_quant=True,
+        )
+        assert int(lengths[0]) >= 3
+
+    def test_int8_self_kv_gate(self, params):
+        """Full agreement gate for int8 weights + cross-KV + SELF-KV."""
+        from whisper_tpu.eval import agreement
+
+        cfg = tiny_test_config(
+            n_state=64, n_head=2, n_vocab=128, n_audio_ctx=64, n_text_ctx=32
+        )
+        p = M.init_params(jax.random.PRNGKey(2), cfg)
+        qp = quantize.quantize_params(p)
+        report = agreement.decode_agreement(
+            p, qp, cfg, eot_id=5, prompt=[1, 2, 3], max_depth=10,
+            n_windows=6, beam_size=3, kv_quant_test=True,
+            self_quant_test=True,
+        )
+        agreement.gate(report, min_token_match=0.99)

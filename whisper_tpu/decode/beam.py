@@ -58,14 +58,25 @@ def _top_k(x, k):
     return jnp.stack(vals, -1), jnp.stack(idxs, -1)
 
 
-def _cache_gather(self_k, self_v, gparent):
+def _cache_gather(self_k, self_v, gparent, valid_len=None):
     """Beam reshuffle of the batch-major (B, L, C, d) self-KV pair -- a
     Pallas block-DMA permute kernel. Every XLA formulation of this pure
     data movement (leading-axis gather, one-hot MXU matmul) measured ~4x
-    off copy speed; see ops/pallas/permute.py."""
-    from ..ops.pallas.permute import permute_lanes_pair
+    off copy speed; see ops/pallas/permute.py. int8 (QTensor) caches
+    permute their q and per-row scale arrays in the same call, and copy
+    only the valid row prefix (the decode kernel masks + sanitizes the
+    uninitialized tail; the bf16 path copies everything because an MXU
+    0-weight times a NaN-garbage bf16 tail row would poison the output)."""
+    from ..ops.pallas.permute import permute_lanes_arrays
+    from ..quantize import QTensor
 
-    return permute_lanes_pair(self_k, self_v, gparent)
+    if isinstance(self_k, QTensor):
+        kq, ks, vq, vs = permute_lanes_arrays(
+            (self_k.q, self_k.scale, self_v.q, self_v.scale), gparent,
+            valid_len=valid_len,
+        )
+        return QTensor(kq, ks), QTensor(vq, vs)
+    return permute_lanes_arrays((self_k, self_v), gparent)
 
 
 
@@ -119,6 +130,7 @@ def beam_search(
     max_depth: int = 100,
     suppress_until_len: int = 5,
     kv_quant: bool = False,
+    self_quant: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run beam search; returns (tokens (n_text_ctx,), length, log_prob).
 
@@ -138,7 +150,7 @@ def beam_search(
     # lane-friendly multiple of 128 keeps the per-step cache read minimal.
     cache_len = min(ctx, -(-(P + max_depth) // 128) * 128)
     cache = M.init_cache(params, enc_out, cfg, batch=K, cache_len=cache_len,
-                         kv_quant=kv_quant)
+                         kv_quant=kv_quant, self_quant=self_quant)
     logits, cache = M.decoder_step(
         params, tokens0[:, :P], jnp.int32(0), cache, cfg
     )
@@ -202,7 +214,8 @@ def beam_search(
 
         # beam reshuffle: gather the SELF cache only (cross is shared and
         # unordered across lanes)
-        self_k, self_v = _cache_gather(s.self_k, s.self_v, parent)
+        self_k, self_v = _cache_gather(
+            s.self_k, s.self_v, parent, valid_len=s.cur_len)
         cache = M.DecoderCache(self_k, self_v, cross_k, cross_v)
 
         # (c) run the decoder on the appended token to get next-step logits.
@@ -264,6 +277,7 @@ def beam_search(
         "max_depth",
         "suppress_until_len",
         "kv_quant",
+        "self_quant",
     ),
 )
 def beam_search_jit(
@@ -277,6 +291,7 @@ def beam_search_jit(
     max_depth: int = 100,
     suppress_until_len: int = 5,
     kv_quant: bool = False,
+    self_quant: bool = False,
 ):
     return beam_search(
         params,
@@ -319,6 +334,7 @@ def beam_search_batched(
     max_depth: int = 100,
     suppress_until_len: int = 5,
     kv_quant: bool = False,
+    self_quant: bool = False,
 ):
     """Beam-search W windows in ONE flat while_loop (no vmap).
 
@@ -347,7 +363,7 @@ def beam_search_batched(
     tokens0 = jnp.zeros((B, ctx), jnp.int32).at[:, :P].set(prompt[None, :])
     cache_len = min(ctx, -(-(P + max_depth) // 128) * 128)
     cache = M.init_cache(params, enc_out, cfg, batch=B, cache_len=cache_len,
-                         kv_quant=kv_quant)
+                         kv_quant=kv_quant, self_quant=self_quant)
     logits, cache = M.decoder_step(
         params, tokens0[:, :P], jnp.int32(0), cache, cfg
     )
@@ -419,7 +435,8 @@ def beam_search_batched(
 
         # (c) beam reshuffle of the flat self cache (global lane indices)
         gparent = (parent + jnp.arange(W)[:, None] * K).reshape(B)
-        self_k, self_v = _cache_gather(s.self_k, s.self_v, gparent)
+        self_k, self_v = _cache_gather(
+            s.self_k, s.self_v, gparent, valid_len=s.cur_len)
         full = M.DecoderCache(self_k, self_v, cross_k, cross_v)
         logits, cache = M.decoder_step(
             params, tok.reshape(B, 1), s.cur_len, full, cfg
@@ -491,12 +508,13 @@ def beam_search_batched(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "eot_id", "beam_size", "max_depth",
-                     "suppress_until_len", "kv_quant"),
+                     "suppress_until_len", "kv_quant", "self_quant"),
 )
 def beam_search_batched_jit(
     params, enc_out, prompt, cfg: WhisperConfig, eot_id: int,
     suppress_mask=None, beam_size: int = 5, max_depth: int = 100,
     suppress_until_len: int = 5, kv_quant: bool = False,
+    self_quant: bool = False,
 ):
     return beam_search_batched(
         params, enc_out, prompt, cfg, eot_id, suppress_mask, beam_size,

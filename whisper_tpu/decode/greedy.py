@@ -47,6 +47,7 @@ def greedy_decode(
     max_depth: int = 224,
     suppress_until_len: int = 5,
     kv_quant: bool = False,
+    self_quant: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Greedy decode; returns (tokens (B, n_text_ctx), lengths (B,), sum_logp).
 
@@ -61,7 +62,7 @@ def greedy_decode(
     tokens0 = jnp.zeros((B, ctx), jnp.int32).at[:, :P].set(prompt[None, :])
     cache_len = min(ctx, -(-(P + max_depth) // 128) * 128)
     cache = M.init_cache(params, enc_out, cfg, batch=B, cache_len=cache_len,
-                         kv_quant=kv_quant)
+                         kv_quant=kv_quant, self_quant=self_quant)
     logits, cache = M.decoder_step(params, tokens0[:, :P], jnp.int32(0), cache, cfg)
     cross_k, cross_v = cache.cross_k, cache.cross_v  # loop-invariant closure
     logp_next = _masked_log_softmax(
@@ -119,7 +120,7 @@ def greedy_decode(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "eot_id", "batch", "max_depth",
-                     "suppress_until_len", "kv_quant"),
+                     "suppress_until_len", "kv_quant", "self_quant"),
 )
 def greedy_decode_jit(
     params,
@@ -132,6 +133,7 @@ def greedy_decode_jit(
     max_depth: int = 224,
     suppress_until_len: int = 5,
     kv_quant: bool = False,
+    self_quant: bool = False,
 ):
     return greedy_decode(
         params,

@@ -53,6 +53,7 @@ def _decode_windows(
     max_depth: int,
     padding: int,
     kv_quant: bool,
+    self_quant: bool = False,
 ):
     """One jitted program: W windows -> (tokens (W, ctx), lengths (W,))."""
     enc_ctx = cfg.encoder_ctx_size
@@ -67,12 +68,13 @@ def _decode_windows(
                 params, enc, prompt, cfg, eot_id=eot_id,
                 suppress_mask=suppress, beam_size=beam_size,
                 max_depth=max_depth, kv_quant=kv_quant,
+                self_quant=self_quant,
             )
         else:
             toks, lengths, _ = dgreedy.greedy_decode(
                 params, enc, prompt, cfg, eot_id=eot_id,
                 suppress_mask=suppress, max_depth=max_depth,
-                kv_quant=kv_quant,
+                kv_quant=kv_quant, self_quant=self_quant,
             )
         return toks, lengths
 
@@ -95,6 +97,7 @@ def decode_agreement(
     window_seconds: Optional[float] = None,
     padding: int = 10,
     kv_quant_test: bool = False,
+    self_quant_test: bool = False,
     seed: int = 0,
 ) -> Dict[str, Any]:
     """Compare decodes of params_test (+ optional int8 KV) against params_ref.
@@ -124,7 +127,8 @@ def decode_agreement(
         rt, rl = _decode_windows(
             params_ref, waves, prompt_arr, cfg, kv_quant=False, **kw)
         tt, tl = _decode_windows(
-            params_test, waves, prompt_arr, cfg, kv_quant=kv_quant_test, **kw)
+            params_test, waves, prompt_arr, cfg, kv_quant=kv_quant_test,
+            self_quant=self_quant_test, **kw)
 
         matched = compared = exact = 0
         for i in range(n_windows):

@@ -444,6 +444,25 @@ class DecoderCache(NamedTuple):
     cross_v: jax.Array
 
 
+def _q8_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8: x (..., d) -> (q int8 (..., d), scale (...)).
+
+    One scale per cache ROW (position): rows are written once and never mix,
+    so per-row scaling adds no cross-position error, and the decode kernel
+    applies K's scale to its score row and V's to its softmax weight -- both
+    O(C) VPU multiplies (see ops/pallas/decode_attention._attend). The scale
+    array drops the trailing axis ((B, L, C), not (..., 1)): Mosaic DMA
+    slices reject size-1 lane dims, and a lane-major (..., C) layout keeps
+    both the permute-DMA slabs and the kernel's (rb, 1, C) blocks aligned.
+    """
+    a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.where(a > 0, a / 127.0, 1.0)
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale), -127, 127
+    ).astype(jnp.int8)
+    return q, scale[..., 0]
+
+
 def init_cache(
     params: Params,
     enc_out: jax.Array,
@@ -451,6 +470,7 @@ def init_cache(
     batch: Optional[int] = None,
     cache_len: Optional[int] = None,
     kv_quant: bool = False,
+    self_quant: bool = False,
 ) -> DecoderCache:
     """Allocate the self-attn cache and precompute cross-attn K/V from enc_out.
 
@@ -517,8 +537,22 @@ def init_cache(
 
     c = cache_len if cache_len is not None else dec_cfg.n_text_ctx
     c = min(c, dec_cfg.n_text_ctx)
-    self_k = jnp.zeros((b, L, c, d), dtype)
-    self_v = jnp.zeros((b, L, c, d), dtype)
+    if self_quant:
+        # int8 self-KV with per-row scales (B, L, C, 1): halves the self
+        # cache stream AND the beam-reshuffle permute traffic.
+        from ..quantize import QTensor
+
+        self_k = QTensor(
+            jnp.zeros((b, L, c, d), jnp.int8),
+            jnp.ones((b, L, c), jnp.float32),
+        )
+        self_v = QTensor(
+            jnp.zeros((b, L, c, d), jnp.int8),
+            jnp.ones((b, L, c), jnp.float32),
+        )
+    else:
+        self_k = jnp.zeros((b, L, c, d), dtype)
+        self_v = jnp.zeros((b, L, c, d), dtype)
     return DecoderCache(self_k, self_v, ck, cv)
 
 
@@ -546,17 +580,29 @@ def _cached_attention(
 
     # int8 cross-KV: K's per-channel scale folds into the query; V's scale
     # multiplies the (linear-in-V) attention output.
-    k_scale = v_scale = None
+    # Two quantized-cache flavors: cross-KV carries one scale per (channel)
+    # -- folds into q / the output for free -- while the int8 SELF cache
+    # carries one scale per ROW, (B, C, 1), applied to the score rows and
+    # softmax weights below.
+    k_scale = v_scale = k_rows = v_rows = None
     if isinstance(k_cache, QTensor):
-        k_cache, k_scale = k_cache.q, k_cache.scale
+        if k_cache.scale.ndim >= 2:
+            k_rows = k_cache.scale  # (B, C) per-row
+        else:
+            k_scale = k_cache.scale  # (d,) per-channel
+        k_cache = k_cache.q
     if isinstance(v_cache, QTensor):
-        v_cache, v_scale = v_cache.q, v_cache.scale
+        if v_cache.scale.ndim >= 2:
+            v_rows = v_cache.scale
+        else:
+            v_scale = v_cache.scale
+        v_cache = v_cache.q
     c = k_cache.shape[1]
     # rep > 1: kv row w serves q rows [w*rep, (w+1)*rep) -- beam lanes of one
     # window sharing a single per-window cross-KV copy (see init_cache).
     rep = b // k_cache.shape[0]
 
-    if s == 1 and impl == "flash" and rep == 1:
+    if s == 1 and impl == "flash" and rep == 1 and k_rows is None:
         from ..ops.pallas.decode_attention import decode_attention
 
         pos = jnp.max(last_visible)
@@ -577,7 +623,9 @@ def _cached_attention(
     q = q.astype(jnp.float32) * scale
     if k_scale is not None:
         q = q * k_scale
-    out_dtype = v_cache.dtype if v_scale is None else q_dtype
+    out_dtype = (
+        v_cache.dtype if v_scale is None and v_rows is None else q_dtype
+    )
     bk = b // rep
     qh = q.astype(q_dtype).reshape(bk, rep * s, n_head, hd)
     kh = k_cache.astype(q_dtype).reshape(bk, c, n_head, hd)
@@ -585,10 +633,19 @@ def _cached_attention(
     scores = jnp.einsum(
         "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
     )
+    if k_rows is not None:
+        scores = scores * k_rows[:, None, None, :]
     jcol = jnp.arange(c)[None, :]
     vis = jnp.tile(jnp.reshape(last_visible, (-1, 1)), (rep, 1))  # (rep*S, 1)
     scores = jnp.where((jcol > vis)[None, None], NEG_INF, scores)
-    w = jax.nn.softmax(scores, axis=-1).astype(q_dtype)
+    w = jax.nn.softmax(scores, axis=-1)
+    if v_rows is not None:
+        # Mask-sanitized: a prefix-permuted int8 cache leaves tail rows (and
+        # scales) uninitialized; 0-weight * NaN-scale would poison the dot.
+        w = w * jnp.where(
+            (jcol > vis)[None, None], 0.0, v_rows[:, None, None, :]
+        )
+    w = w.astype(q_dtype)
     out = jnp.einsum(
         "bhqk,bkhd->bqhd", w, vh, preferred_element_type=jnp.float32
     ).reshape(b, s, d)
@@ -660,16 +717,38 @@ def _decoder_step_fused(
         p, l, sc = xs
         hn = layer_norm(h, p["attn_ln_g"], p["attn_ln_b"], eps)
         q, k, v = _qkv_proj(hn, p["qkv_w"], p["qkv_b"])
-        self_k = jax.lax.dynamic_update_slice(
-            self_k, k[:, None].astype(self_k.dtype), (0, l, pos, 0)
-        )
-        self_v = jax.lax.dynamic_update_slice(
-            self_v, v[:, None].astype(self_v.dtype), (0, l, pos, 0)
-        )
         q1 = (q[:, 0].astype(jnp.float32) * scale).astype(q.dtype)
-        attn = decode_attention_stacked(
-            q1, self_k, self_v, pos_self, l, n_head, batch_major=True
-        )
+        if isinstance(self_k, QTensor):
+            # int8 self-KV: quantize the new row per lane, carry q + scale.
+            kq, ks = _q8_rows(k)
+            vq, vs = _q8_rows(v)
+            self_k = QTensor(
+                jax.lax.dynamic_update_slice(
+                    self_k.q, kq[:, None], (0, l, pos, 0)),
+                jax.lax.dynamic_update_slice(
+                    self_k.scale, ks[:, None], (0, l, pos)),
+            )
+            self_v = QTensor(
+                jax.lax.dynamic_update_slice(
+                    self_v.q, vq[:, None], (0, l, pos, 0)),
+                jax.lax.dynamic_update_slice(
+                    self_v.scale, vs[:, None], (0, l, pos)),
+            )
+            attn = decode_attention_stacked(
+                q1, self_k.q, self_v.q, pos_self, l, n_head,
+                batch_major=True,
+                k_rowscale=self_k.scale, v_rowscale=self_v.scale,
+            )
+        else:
+            self_k = jax.lax.dynamic_update_slice(
+                self_k, k[:, None].astype(self_k.dtype), (0, l, pos, 0)
+            )
+            self_v = jax.lax.dynamic_update_slice(
+                self_v, v[:, None].astype(self_v.dtype), (0, l, pos, 0)
+            )
+            attn = decode_attention_stacked(
+                q1, self_k, self_v, pos_self, l, n_head, batch_major=True
+            )
         h = h + _linear(attn[:, None, :], p["attn_o_w"], p["attn_o_b"])
 
         hn = layer_norm(h, p["cross_ln_g"], p["cross_ln_b"], eps)
@@ -739,8 +818,24 @@ def decoder_step(
         p, k_cache, v_cache, ck, cv = layer
         hn = layer_norm(h, p["attn_ln_g"], p["attn_ln_b"], eps)
         q, k, v = _qkv_proj(hn, p["qkv_w"], p["qkv_b"])
-        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k, pos, axis=1)
-        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v, pos, axis=1)
+        if isinstance(k_cache, QTensor):
+            kq, ks = _q8_rows(k)
+            vq, vs = _q8_rows(v)
+            k_cache = QTensor(
+                jax.lax.dynamic_update_slice_in_dim(
+                    k_cache.q, kq, pos, axis=1),
+                jax.lax.dynamic_update_slice_in_dim(
+                    k_cache.scale, ks, pos, axis=1))
+            v_cache = QTensor(
+                jax.lax.dynamic_update_slice_in_dim(
+                    v_cache.q, vq, pos, axis=1),
+                jax.lax.dynamic_update_slice_in_dim(
+                    v_cache.scale, vs, pos, axis=1))
+        else:
+            k_cache = jax.lax.dynamic_update_slice_in_dim(
+                k_cache, k, pos, axis=1)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(
+                v_cache, v, pos, axis=1)
         attn = _cached_attention(
             q, k_cache, v_cache, causal_vis, n_head, impl
         )
@@ -763,17 +858,17 @@ def decoder_step(
     # (see init_cache), so transpose around the scan. This path runs once
     # per window (prefill) or under the non-flash test configs -- the
     # steady-state fused path never relayouts.
+    swap = lambda t: jax.tree_util.tree_map(
+        lambda a: jnp.swapaxes(a, 0, 1), t)
     x, (new_k, new_v) = jax.lax.scan(
-        body, x, (dec["blocks"], jnp.swapaxes(cache.self_k, 0, 1),
-                  jnp.swapaxes(cache.self_v, 0, 1),
+        body, x, (dec["blocks"], swap(cache.self_k), swap(cache.self_v),
                   cache.cross_k, cache.cross_v)
     )
     x = layer_norm(x, dec["ln_g"], dec["ln_b"], eps)
     logits = jax.lax.dot_general(
         x, dec["tok_emb"], (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    return logits, DecoderCache(jnp.swapaxes(new_k, 0, 1),
-                                jnp.swapaxes(new_v, 0, 1),
+    return logits, DecoderCache(swap(new_k), swap(new_v),
                                 cache.cross_k, cache.cross_v)
 
 
@@ -795,9 +890,11 @@ def permute_lanes(cache_arr: jax.Array, parents: jax.Array) -> jax.Array:
 
 def reorder_cache(cache: DecoderCache, parents: jax.Array) -> DecoderCache:
     """Permute the self-attn cache along the batch axis (beam reshuffle)."""
+    perm = lambda t: jax.tree_util.tree_map(
+        lambda a: permute_lanes(a, parents), t)
     return DecoderCache(
-        permute_lanes(cache.self_k, parents),
-        permute_lanes(cache.self_v, parents),
+        perm(cache.self_k),
+        perm(cache.self_v),
         cache.cross_k,
         cache.cross_v,
     )

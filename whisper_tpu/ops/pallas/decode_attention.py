@@ -99,7 +99,7 @@ def _bf16_exact(*dtypes) -> bool:
     )
 
 
-def _attend(pos, q, k, v, e, e_t, exact: bool):
+def _attend(pos, q, k, v, e, e_t, exact: bool, ks=None, vs=None):
     """Single-query attention math shared by the flat and stacked kernels.
 
     pos: i32 scalar (highest visible key row, inclusive); q (1, D) f32;
@@ -147,12 +147,22 @@ def _attend(pos, q, k, v, e, e_t, exact: bool):
             t_lo, e_b, dims, preferred_element_type=jnp.float32
         )  # (C, Hp)
 
+    # Per-row int8 scales (self-KV quantization): K's row scale multiplies
+    # its score row, V's multiplies the softmax weight -- both O(C) VPU.
+    if ks is not None:
+        s = s * ks  # (C, 1) broadcast over heads
+
     idx = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
     s = jnp.where(idx > pos, NEG_INF, s)
 
     m = jnp.max(s, axis=0, keepdims=True)
     p = jnp.exp(s - m)
     w = p / jnp.sum(p, axis=0, keepdims=True)  # (C, Hp) f32
+    if vs is not None:
+        # Sanitize masked rows: the valid-prefix beam permute leaves tail
+        # rows (and their scales) uninitialized, and 0-weight * NaN-scale
+        # would still poison the output GEMM's accumulation.
+        w = w * jnp.where(idx > pos, 0.0, vs)  # (C, 1)
 
     if exact:
         o_heads = jax.lax.dot_general(
@@ -383,6 +393,39 @@ def _decode_attn_stacked_group_kernel(
         )
 
 
+def _decode_attn_stacked_scaled_kernel(
+    rb, lb, layer_ref, pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, e_ref,
+    et_ref, o_ref
+):
+    # Batch-major int8 self-KV path: per-row scale blocks (rb, lb, c) cover
+    # lb layers (Pallas requires the second-minor block dim divisible by 8,
+    # so single-layer scale rows cannot be block-sliced directly); the
+    # layer's row is selected in-kernel and transposed to a (C, 1) column
+    # that _attend applies to scores / softmax weights.
+    i = pl.program_id(0)
+    li = layer_ref[0] % lb
+    exact = _bf16_exact(q_ref.dtype, k_ref.dtype, v_ref.dtype)
+    # ONE (rb, C) -> (C, rb) relayout per grid step for each of k/v; the
+    # per-row (C, 1) columns are then free static lane slices. A per-row
+    # transpose variant cost ~0.9 ms/step at large-v2 b32 (2048 tiny
+    # relayouts); this form does 2.
+    kst = jnp.transpose(ks_ref[:, li])  # (C, rb) f32
+    vst = jnp.transpose(vs_ref[:, li])
+    for j in range(rb):
+        o = _attend(
+            pos_ref[i * rb + j],
+            q_ref[j].astype(jnp.float32),  # (1, D)
+            k_ref[j, 0].astype(jnp.float32),
+            v_ref[j, 0].astype(jnp.float32),
+            e_ref[:],
+            et_ref[:],
+            exact,
+            ks=kst[:, j : j + 1],  # (C, 1)
+            vs=vst[:, j : j + 1],
+        )
+        o_ref[j] = o.astype(o_ref.dtype)
+
+
 def _decode_attn_stacked_kernel(
     rb, batch_major, kv_rep, layer_ref, pos_ref, q_ref, k_ref, v_ref, e_ref,
     et_ref, o_ref
@@ -424,6 +467,8 @@ def decode_attention_stacked(
     interpret: bool = False,
     batch_major: bool = False,  # True: caches stacked (B, L, C, D)
     kv_rep: int = 1,  # q rows per kv row: kv row j serves q rows [j*r, j*r+r)
+    k_rowscale: jax.Array | None = None,  # (B, L, C) f32 int8 row scales
+    v_rowscale: jax.Array | None = None,  # (batch-major only)
 ) -> jax.Array:
     """Single-query attention over ONE layer of a layer-stacked KV cache.
 
@@ -508,7 +553,23 @@ def decode_attention_stacked(
         return pl.BlockSpec(a.shape, lambda i, lr, pr: (0,) * a.ndim,
                             memory_space=pltpu.VMEM)
 
-    if gm is not None:
+    scales = []
+    if k_rowscale is not None:
+        if not batch_major or kv_rep != 1:
+            raise ValueError("row scales require batch_major and kv_rep=1")
+        scales = [k_rowscale, v_rowscale]
+        lb = 8 if l % 8 == 0 else l
+        scale_spec = pl.BlockSpec(
+            (rb, lb, c), lambda i, lr, pr: (i, lr[0] // lb, 0),
+            memory_space=pltpu.VMEM,
+        )
+        consts = [
+            jnp.asarray(_head_sum_matrix(d, n_head)),
+            jnp.asarray(_head_sum_matrix_t(d, n_head)),
+        ]
+        kernel = functools.partial(
+            _decode_attn_stacked_scaled_kernel, rb, lb)
+    elif gm is not None:
         sel, e_mul, et_mul, np_ = gm
         consts = [jnp.asarray(sel), jnp.asarray(e_mul), jnp.asarray(et_mul)]
         kernel = functools.partial(
@@ -529,6 +590,7 @@ def decode_attention_stacked(
                          memory_space=pltpu.VMEM),
             kv_spec,
             kv_spec,
+            *([scale_spec, scale_spec] if scales else []),
             *[const_spec(a) for a in consts],
         ],
         out_specs=pl.BlockSpec((rb, 1, d), lambda i, lr, pr: (i, 0, 0),
@@ -548,6 +610,6 @@ def decode_attention_stacked(
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
-    )(layer_arr, pos_rows, q3, k_cache, v_cache, *consts)
+    )(layer_arr, pos_rows, q3, k_cache, v_cache, *scales, *consts)
 
     return out[:, 0, :]

@@ -29,6 +29,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -39,20 +40,131 @@ def _permute_kernel(parents_ref, k_ref, v_ref, ko_ref, vo_ref):
     vo_ref[...] = v_ref[...]
 
 
-def _permute_dma_kernel(b, parents_ref, k_ref, v_ref, ko_ref, vo_ref, sem):
-    # Pure HBM->HBM DMAs: each lane's (L, C, d) slab is contiguous, so one
+def _permute_prefix_kernel(b, n_arr, cc, parents_ref, valid_ref, *refs):
+    # Valid-prefix variant: only cache rows [0, valid) hold data (rows past
+    # the write position are masked in attention), so only ceil(valid/cc)
+    # row-chunks are copied -- at 100-step decodes over a 128-row cache this
+    # drops ~60% of the permute traffic on average. The output's tail rows
+    # are left UNINITIALIZED; consumers must mask them (the decode kernel's
+    # visibility mask does, including the int8 per-row scales -- see
+    # decode_attention._attend's sanitized `vs`).
+    ins, outs, sem = refs[:n_arr], refs[n_arr : 2 * n_arr], refs[-1]
+    nv = (valid_ref[0] + cc - 1) // cc
+
+    # Rank-4 cache arrays chunk along their row (second-minor) axis; rank-3
+    # per-row scale arrays keep C in the LANE dim (Mosaic requires 128-
+    # aligned lane slices), but at 4 bytes/row they are ~0.3% of the cache
+    # traffic -- copy their lane slabs whole.
+    def chunk_copies(t, i):
+        p = parents_ref[i]
+        return [
+            pltpu.make_async_copy(
+                src.at[p, :, pl.ds(t * cc, cc)],
+                dst.at[i, :, pl.ds(t * cc, cc)],
+                sem,
+            )
+            for src, dst in zip(ins, outs)
+            if len(src.shape) >= 4
+        ]
+
+    def whole_copies(i):
+        p = parents_ref[i]
+        return [
+            pltpu.make_async_copy(src.at[p], dst.at[i], sem)
+            for src, dst in zip(ins, outs)
+            if len(src.shape) < 4
+        ]
+
+    def start_chunk(t, carry):
+        for i in range(b):
+            for cp in chunk_copies(t, i):
+                cp.start()
+        return carry
+
+    def wait_chunk(t, carry):
+        for i in range(b):
+            for cp in chunk_copies(t, i):
+                cp.wait()
+        return carry
+
+    whole = [cp for i in range(b) for cp in whole_copies(i)]
+    for cp in whole:
+        cp.start()
+    jax.lax.fori_loop(0, nv, start_chunk, 0)
+    jax.lax.fori_loop(0, nv, wait_chunk, 0)
+    for cp in whole:
+        cp.wait()
+
+
+def _permute_dma_kernel(b, n_arr, parents_ref, *refs):
+    # Pure HBM->HBM DMAs: each lane's trailing slab is contiguous, so one
     # copy per (array, lane) moves the whole slab without a VMEM round-trip.
-    # All 2B copies are started before any wait, so the DMA engines stream
-    # back-to-back; waits on the shared semaphore settle by total byte count.
+    # All n_arr*B copies are started before any wait, so the DMA engines
+    # stream back-to-back; waits on the shared semaphore settle by total
+    # byte count.
+    ins, outs, sem = refs[:n_arr], refs[n_arr : 2 * n_arr], refs[-1]
     copies = []
     for i in range(b):
         p = parents_ref[i]
-        copies.append(pltpu.make_async_copy(k_ref.at[p], ko_ref.at[i], sem))
-        copies.append(pltpu.make_async_copy(v_ref.at[p], vo_ref.at[i], sem))
+        for src, dst in zip(ins, outs):
+            copies.append(pltpu.make_async_copy(src.at[p], dst.at[i], sem))
     for cp in copies:
         cp.start()
     for cp in copies:
         cp.wait()
+
+
+def permute_lanes_arrays(
+    arrays,  # sequence of (B, ...) arrays sharing the lane (leading) axis
+    parents: jax.Array,  # (B,) i32: out[i] = in[parents[i]]
+    interpret: bool = False,
+    valid_len: jax.Array | None = None,  # i32: copy only rows [0, valid)
+    chunk: int = 32,  # row granularity of the prefix copy
+):
+    """Permute the lane (leading) axis of several arrays in one pallas_call.
+
+    Returns a tuple of permuted arrays; the (array, lane) DMA copies share
+    one grid invocation and one semaphore, so fixed costs are paid once.
+
+    With `valid_len`, every array must have its row axis at position 2
+    (the KV-cache (B, L, C, ...) stacking) and only rows [0, valid) are
+    copied; the permuted outputs' tail rows are UNINITIALIZED and must be
+    masked by the consumer.
+    """
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    arrays = tuple(arrays)
+    b = arrays[0].shape[0]
+    n = len(arrays)
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    if valid_len is None:
+        kernel = functools.partial(_permute_dma_kernel, b, n)
+        scalars = (parents.astype(jnp.int32),)
+    else:
+        kernel = functools.partial(_permute_prefix_kernel, b, n, chunk)
+        scalars = (
+            parents.astype(jnp.int32),
+            jnp.asarray(valid_len, jnp.int32).reshape((1,)),
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(scalars),
+        grid=(1,),
+        in_specs=[any_spec] * n,
+        out_specs=[any_spec] * n,
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+    )
+    total = sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in arrays)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrays],
+        cost_estimate=pl.CostEstimate(
+            flops=0, bytes_accessed=2 * total, transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*scalars, *arrays)
+    return tuple(out)
 
 
 def permute_lanes_pair(
@@ -61,35 +173,5 @@ def permute_lanes_pair(
     parents: jax.Array,  # (B,) i32: out[i] = in[parents[i]]
     interpret: bool = False,
 ):
-    """Permute the lane (leading) axis of a batch-major KV-cache pair.
-
-    Returns (k_out, v_out) with out[i] = in[parents[i]]. Both arrays are
-    permuted in one pallas_call so the (lane, layer-block) grid's fixed
-    costs are paid once for the pair.
-    """
-    if not interpret and jax.default_backend() != "tpu":
-        interpret = True
-    b, l, c, d = k.shape
-
-    any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(1,),
-        in_specs=[any_spec, any_spec],
-        out_specs=[any_spec, any_spec],
-        scratch_shapes=[pltpu.SemaphoreType.DMA],
-    )
-    return pl.pallas_call(
-        functools.partial(_permute_dma_kernel, b),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=0,
-            bytes_accessed=4 * b * l * c * d * k.dtype.itemsize,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(parents.astype(jnp.int32), k, v)
+    """Permute the lane (leading) axis of a batch-major KV-cache pair."""
+    return permute_lanes_arrays((k, v), parents, interpret)
