@@ -18,13 +18,16 @@ token-identical greedy AND beam decode vs bf16, see docs/PERFORMANCE.md).
 
 Env knobs:
   WHISPER_TPU_BENCH_MODEL  (default large-v2; any preset name)
-  WHISPER_TPU_BENCH_BATCH  (default 32 streams)
+  WHISPER_TPU_BENCH_BATCH  (default 64 streams; on-chip sweeps: decode
+                            cost/lane still falling at b64, encoder linear)
   WHISPER_TPU_BENCH_STEPS  (default 100 decode steps/window)
   WHISPER_TPU_BENCH_REPS   (default 3 timed reps)
   WHISPER_TPU_BENCH_QUANT  (int8 | none; default int8 weight-only)
   WHISPER_TPU_BENCH_KV     (int8 | none; default int8 cross-KV)
+  WHISPER_TPU_BENCH_SELFKV (beam | int8 | none; default beam: int8 self-KV
+                            with per-row scales on the beam run only)
   WHISPER_TPU_BENCH_BEAM   (beam width; default 5, 0 disables the beam run)
-  WHISPER_TPU_BENCH_BEAM_BATCH (windows in the beam run; default batch//3)
+  WHISPER_TPU_BENCH_BEAM_BATCH (windows in the beam run; default 16)
 
 The JSON line's primary metric is the greedy multi-stream xRT; the reference
 decode config (beam=5, src/transcribe.rs:232-233) is measured too and
@@ -56,7 +59,7 @@ def main() -> int:
     from whisper_tpu.decode import greedy
 
     model_name = os.environ.get("WHISPER_TPU_BENCH_MODEL", "large-v2")
-    batch = int(os.environ.get("WHISPER_TPU_BENCH_BATCH", "32"))
+    batch = int(os.environ.get("WHISPER_TPU_BENCH_BATCH", "64"))
     steps = int(os.environ.get("WHISPER_TPU_BENCH_STEPS", "100"))
     reps = int(os.environ.get("WHISPER_TPU_BENCH_REPS", "3"))
 
@@ -70,6 +73,11 @@ def main() -> int:
 
     params = M.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     kv_quant = os.environ.get("WHISPER_TPU_BENCH_KV", "int8") == "int8"
+    # int8 self-KV (per-row scales): a clear win for beam (halves the
+    # reshuffle permute + cache stream); measured neutral for greedy at b32
+    # (the per-step scale-relayout overhead cancels the bandwidth saving),
+    # so it defaults on for the beam run only.
+    self_kv = os.environ.get("WHISPER_TPU_BENCH_SELFKV", "beam")
     quant = os.environ.get("WHISPER_TPU_BENCH_QUANT", "int8")
     quant = "" if quant in ("none", "bf16", "0") else quant
     if quant == "int8":
@@ -99,11 +107,12 @@ def main() -> int:
                 toks, lengths, _ = dbeam.beam_search_batched(
                     params, enc, prompt, cfg, eot_id=-1, beam_size=beam_size,
                     max_depth=steps, kv_quant=kv_quant,
+                    self_quant=self_kv in ("beam", "int8"),
                 )
             else:
                 toks, lengths, _ = greedy.greedy_decode(
                     params, enc, prompt, cfg, eot_id=-1, max_depth=steps,
-                    kv_quant=kv_quant,
+                    kv_quant=kv_quant, self_quant=self_kv == "int8",
                 )
             return lengths
         return window_fn
@@ -151,7 +160,7 @@ def main() -> int:
     beam_size = int(os.environ.get("WHISPER_TPU_BENCH_BEAM", "5"))
     if beam_size > 1:
         # W=8 measured best on v5e (sweep: W8 43.6x, W12 41.9x, W16 OOM)
-        beam_batch = int(os.environ.get("WHISPER_TPU_BENCH_BEAM_BATCH", "8"))
+        beam_batch = int(os.environ.get("WHISPER_TPU_BENCH_BEAM_BATCH", "16"))
         beam_xrt, _ = run_config("beam", beam_batch, beam_size)
         record["beam"] = {
             "metric": (f"xrt_{model_name}_b{beam_batch}_beam{beam_size}_"

@@ -61,6 +61,9 @@ def cmd_transcribe(argv) -> int:
                         "times faster on long audio)")
     p.add_argument("--kv-quant", action="store_true",
                    help="int8 cross-KV cache (faster decode, tiny accuracy cost)")
+    p.add_argument("--self-quant", action="store_true",
+                   help="int8 self-KV cache with per-row scales (fastest "
+                        "beam decode; gated by `whisper_tpu quant-check`)")
     p.add_argument("-v", "--verbose", action="count", default=0)
     args = p.parse_args(argv)
 
@@ -135,6 +138,7 @@ def cmd_transcribe(argv) -> int:
         beam_size=args.beam_size,
         max_depth=args.max_depth,
         kv_quant=args.kv_quant,
+        self_quant=args.self_quant,
     )
     t0 = time.perf_counter()
     if args.parallel_windows:
@@ -382,6 +386,8 @@ def cmd_quant_check(argv) -> int:
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--kv", choices=["int8", "none"], default="int8",
                    help="also quantize the cross-attention KV cache")
+    p.add_argument("--self-kv", choices=["int8", "none"], default="int8",
+                   help="also quantize the self-attention KV cache")
     p.add_argument("--windows", type=int, default=8)
     p.add_argument("--max-depth", type=int, default=32)
     p.add_argument("--min-token-match", type=float, default=0.99)
@@ -426,6 +432,7 @@ def cmd_quant_check(argv) -> int:
         params, quantize_params(params), cfg, eot_id=eot, prompt=prompt,
         suppress_mask=suppress, max_depth=args.max_depth,
         n_windows=args.windows, kv_quant_test=args.kv == "int8",
+        self_quant_test=args.self_kv == "int8",
     )
     print(_json.dumps(report))
     try:

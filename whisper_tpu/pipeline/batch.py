@@ -61,9 +61,10 @@ class BatchTranscriber(Transcriber):
 
     def _batch_window_fn(self, n_samples: int, prompt_len: int, strategy: str,
                          beam_size: int, max_depth: int, padding: int,
-                         suppress_until_len: int, kv_quant: bool = False):
+                         suppress_until_len: int, kv_quant: bool = False,
+                   self_quant: bool = False):
         key = ("batch", n_samples, prompt_len, strategy, beam_size, max_depth,
-               padding, suppress_until_len, kv_quant)
+               padding, suppress_until_len, kv_quant, self_quant)
         if key in self._fn_cache:
             return self._fn_cache[key]
         cfg = self.cfg
@@ -82,14 +83,14 @@ class BatchTranscriber(Transcriber):
                     suppress_mask=suppress, beam_size=beam_size,
                     max_depth=max_depth,
                     suppress_until_len=suppress_until_len,
-                    kv_quant=kv_quant,
+                    kv_quant=kv_quant, self_quant=self_quant,
                 )
             else:
                 toks, lengths, _ = dgreedy.greedy_decode(
                     params, enc, prompt, cfg, eot_id=eot,
                     suppress_mask=suppress, max_depth=max_depth,
                     suppress_until_len=suppress_until_len,
-                    kv_quant=kv_quant,
+                    kv_quant=kv_quant, self_quant=self_quant,
                 )
             return toks, lengths
 
@@ -142,6 +143,7 @@ class BatchTranscriber(Transcriber):
         fn = self._batch_window_fn(
             n_window, int(prompt.shape[0]), opt.strategy, opt.beam_size,
             opt.max_depth, opt.padding, opt.suppress_until_len, opt.kv_quant,
+            opt.self_quant,
         )
         for i in range(0, len(full), B):
             group = full[i : i + B]
@@ -163,6 +165,7 @@ class BatchTranscriber(Transcriber):
                 len(chunk), int(prompt.shape[0]), opt.strategy, opt.beam_size,
                 opt.max_depth, opt.padding, opt.suppress_until_len,
                 opt.kv_quant,
+                opt.self_quant,
             )
             toks_dev, length = sfn(self.params, jnp.asarray(chunk), prompt,
                                    self._suppress)

@@ -63,6 +63,7 @@ class DecodeOptions:
     suppress_until_len: int = 5  # src/transcribe.rs:271
     timestamps: bool = False
     kv_quant: bool = False  # int8 cross-KV cache (opt-in; ~14% faster decode)
+    self_quant: bool = False  # int8 self-KV cache with per-row scales
 
 
 def find_chunk_overlap(
@@ -176,7 +177,7 @@ class Transcriber:
     def _window_fn(
         self, n_samples: int, prompt_len: int, strategy: str, beam_size: int,
         max_depth: int, padding: int, suppress_until_len: int,
-        kv_quant: bool = False,
+        kv_quant: bool = False, self_quant: bool = False,
     ) -> Callable:
         """One jitted program: waveform window -> (tokens, length).
 
@@ -184,7 +185,7 @@ class Transcriber:
         dominates, so steady state reuses a single executable.
         """
         key = ("window", n_samples, prompt_len, strategy, beam_size,
-               max_depth, padding, suppress_until_len, kv_quant)
+               max_depth, padding, suppress_until_len, kv_quant, self_quant)
         if key in self._fn_cache:
             return self._fn_cache[key]
         cfg = self.cfg
@@ -203,13 +204,13 @@ class Transcriber:
                     params, enc, prompt, cfg, eot_id=eot,
                     suppress_mask=suppress, beam_size=beam_size,
                     max_depth=max_depth, suppress_until_len=suppress_until_len,
-                    kv_quant=kv_quant,
+                    kv_quant=kv_quant, self_quant=self_quant,
                 )
                 return toks, length
             toks, lengths, _ = dgreedy.greedy_decode(
                 params, enc, prompt, cfg, eot_id=eot, suppress_mask=suppress,
                 max_depth=max_depth, suppress_until_len=suppress_until_len,
-                kv_quant=kv_quant,
+                kv_quant=kv_quant, self_quant=self_quant,
             )
             return toks[0], lengths[0]
 
@@ -292,7 +293,7 @@ class Transcriber:
             fn = self._window_fn(
                 len(window), int(prompt.shape[0]), opt.strategy, opt.beam_size,
                 opt.max_depth, opt.padding, opt.suppress_until_len,
-                opt.kv_quant,
+                opt.kv_quant, opt.self_quant,
             )
             with prec_ctx:
                 toks_dev, length = fn(
@@ -390,7 +391,8 @@ class Transcriber:
                 continue
             fn = self._window_fn(
                 len(window), int(prompt.shape[0]), opt.strategy, opt.beam_size,
-                opt.max_depth, opt.padding, opt.suppress_until_len, opt.kv_quant,
+                opt.max_depth, opt.padding, opt.suppress_until_len,
+                opt.kv_quant, opt.self_quant,
             )
             toks_dev, length = fn(self.params, jnp.asarray(window), prompt,
                                   self._suppress)
