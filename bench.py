@@ -22,8 +22,9 @@ Env knobs:
                             cost/lane still falling at b64, encoder linear)
   WHISPER_TPU_BENCH_STEPS  (default 100 decode steps/window)
   WHISPER_TPU_BENCH_REPS   (default 3 timed reps)
-  WHISPER_TPU_BENCH_QUANT  (int8 | none; default int8 weight-only)
-  WHISPER_TPU_BENCH_KV     (int8 | none; default int8 cross-KV)
+  WHISPER_TPU_BENCH_QUANT  (int8 | int4 | none; default int8 weight-only)
+  WHISPER_TPU_BENCH_KV     (int4 | int8 | none; default int4 cross-KV --
+                            packed S4, gate-clean, ~4% faster greedy)
   WHISPER_TPU_BENCH_SELFKV (beam | int8 | none; default beam: int8 self-KV
                             with per-row scales on the beam run only)
   WHISPER_TPU_BENCH_BEAM   (beam width; default 5, 0 disables the beam run)
@@ -72,7 +73,8 @@ def main() -> int:
           f"device={jax.devices()[0].device_kind}", file=sys.stderr)
 
     params = M.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    kv_quant = os.environ.get("WHISPER_TPU_BENCH_KV", "int8") == "int8"
+    kv_env = os.environ.get("WHISPER_TPU_BENCH_KV", "int4")
+    kv_quant = kv_env if kv_env in ("int8", "int4") else False
     # int8 self-KV (per-row scales): a clear win for beam (halves the
     # reshuffle permute + cache stream); measured neutral for greedy at b32
     # (the per-step scale-relayout overhead cancels the bandwidth saving),
@@ -80,10 +82,10 @@ def main() -> int:
     self_kv = os.environ.get("WHISPER_TPU_BENCH_SELFKV", "beam")
     quant = os.environ.get("WHISPER_TPU_BENCH_QUANT", "int8")
     quant = "" if quant in ("none", "bf16", "0") else quant
-    if quant == "int8":
+    if quant in ("int8", "int4"):
         from whisper_tpu.quantize import quantize_params
 
-        params = quantize_params(params)
+        params = quantize_params(params, bits=4 if quant == "int4" else 8)
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     print(f"# params: {n_params/1e6:.0f}M (bf16{'+int8' if quant else ''})",
           file=sys.stderr)
@@ -149,7 +151,8 @@ def main() -> int:
 
     xrt, tok_s = run_config("greedy", batch)
 
-    suffix = (f"_{quant}" if quant else "") + ("_kv8" if kv_quant else "")
+    suffix = (f"_{quant}" if quant else "") + (
+        "_kv4" if kv_quant == "int4" else "_kv8" if kv_quant else "")
     record = {
         "metric": f"xrt_{model_name}_b{batch}_greedy{steps}{suffix}",
         "value": round(xrt, 2),

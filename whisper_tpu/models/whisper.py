@@ -517,23 +517,31 @@ def init_cache(
     # cross-cache reads that dominated beam HBM traffic (docs/PERFORMANCE.md).
 
     if kv_quant:
-        # int8 cross-KV (opt-in): the cross cache is the largest per-step HBM
-        # stream at large batch (~3 GB/step at large-v2 b24 in bf16). One
-        # scale per (layer, channel); K's scale folds into the query and V's
-        # applies once to the attention output, so dequantization is free in
-        # the decode path (see _cached_attention / decode_attention).
+        # int8/int4 cross-KV (opt-in): the cross cache is the largest
+        # per-step HBM stream at large batch (~3 GB/step at large-v2 b24 in
+        # bf16). One scale per (layer, channel); K's scale folds into the
+        # query and V's applies once to the attention output, so
+        # dequantization is free in the decode path (see _cached_attention /
+        # decode_attention). kv_quant="int4" stores TPU-native packed S4
+        # (~2x the quantization error, gated by the same token-agreement
+        # check; the measured speed gain is small -- see docs/PERFORMANCE.md
+        # on the decode kernels' DMA behavior).
         from ..quantize import QTensor
 
-        def q8(x):
+        bits = 4 if kv_quant == "int4" else 8
+        lim = float(2 ** (bits - 1) - 1)
+        qdt = jnp.int4 if bits == 4 else jnp.int8
+
+        def qn(x):
             absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2))
-            scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)  # (L, d)
+            scale = jnp.where(absmax > 0, absmax / lim, 1.0)  # (L, d)
             qv = jnp.clip(
                 jnp.round(x.astype(jnp.float32) / scale[:, None, None, :]),
-                -127, 127,
-            ).astype(jnp.int8)
+                -lim, lim,
+            ).astype(qdt)
             return QTensor(qv, scale.astype(jnp.float32))
 
-        ck, cv = q8(ck), q8(cv)
+        ck, cv = qn(ck), qn(cv)
 
     c = cache_len if cache_len is not None else dec_cfg.n_text_ctx
     c = min(c, dec_cfg.n_text_ctx)

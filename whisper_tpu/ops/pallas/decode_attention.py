@@ -91,10 +91,12 @@ def _group_matrices(d: int, n_head: int, rep: int):
 
 def _bf16_exact(*dtypes) -> bool:
     """True when every storage dtype's values are exactly bf16-representable
-    (bf16 itself, or int8: integers in [-127, 127] fit bf16's 8-bit mantissa).
+    (bf16 itself, or int8/int4: small integers fit bf16's 8-bit mantissa).
     """
     return all(
-        jnp.dtype(t) in (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.int8))
+        jnp.dtype(t) in (
+            jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.int8), jnp.dtype(jnp.int4)
+        )
         for t in dtypes
     )
 
@@ -280,7 +282,7 @@ def _decode_attention_call(q, k_cache, v_cache, pos, n_head, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
             (b, 1, d),
-            q.dtype if v_cache.dtype == jnp.int8 else v_cache.dtype,
+            q.dtype if v_cache.dtype in (jnp.int8, jnp.int4) else v_cache.dtype,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * c * d * (2 * e.shape[1] // 128),
@@ -601,7 +603,7 @@ def decode_attention_stacked(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (b, 1, d),
-            q.dtype if v_cache.dtype == jnp.int8 else v_cache.dtype,
+            q.dtype if v_cache.dtype in (jnp.int8, jnp.int4) else v_cache.dtype,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * (bk if gm is not None else b) * c * d * 2,

@@ -40,7 +40,8 @@ def _permute_kernel(parents_ref, k_ref, v_ref, ko_ref, vo_ref):
     vo_ref[...] = v_ref[...]
 
 
-def _permute_prefix_kernel(b, n_arr, cc, parents_ref, valid_ref, *refs):
+def _permute_prefix_kernel(b, n_arr, cc, chunk_mask, parents_ref, valid_ref,
+                           *refs):
     # Valid-prefix variant: only cache rows [0, valid) hold data (rows past
     # the write position are masked in attention), so only ceil(valid/cc)
     # row-chunks are copied -- at 100-step decodes over a 128-row cache this
@@ -48,13 +49,14 @@ def _permute_prefix_kernel(b, n_arr, cc, parents_ref, valid_ref, *refs):
     # are left UNINITIALIZED; consumers must mask them (the decode kernel's
     # visibility mask does, including the int8 per-row scales -- see
     # decode_attention._attend's sanitized `vs`).
+    #
+    # chunk_mask marks which arrays chunk along axis 2 (row-major caches).
+    # Arrays whose row axis is the LANE dim -- the transposed self-K and the
+    # per-row scales -- cannot be sub-128 lane-sliced by Mosaic DMA and are
+    # copied whole per lane.
     ins, outs, sem = refs[:n_arr], refs[n_arr : 2 * n_arr], refs[-1]
     nv = (valid_ref[0] + cc - 1) // cc
 
-    # Rank-4 cache arrays chunk along their row (second-minor) axis; rank-3
-    # per-row scale arrays keep C in the LANE dim (Mosaic requires 128-
-    # aligned lane slices), but at 4 bytes/row they are ~0.3% of the cache
-    # traffic -- copy their lane slabs whole.
     def chunk_copies(t, i):
         p = parents_ref[i]
         return [
@@ -63,16 +65,16 @@ def _permute_prefix_kernel(b, n_arr, cc, parents_ref, valid_ref, *refs):
                 dst.at[i, :, pl.ds(t * cc, cc)],
                 sem,
             )
-            for src, dst in zip(ins, outs)
-            if len(src.shape) >= 4
+            for m, (src, dst) in zip(chunk_mask, zip(ins, outs))
+            if m
         ]
 
     def whole_copies(i):
         p = parents_ref[i]
         return [
             pltpu.make_async_copy(src.at[p], dst.at[i], sem)
-            for src, dst in zip(ins, outs)
-            if len(src.shape) < 4
+            for m, (src, dst) in zip(chunk_mask, zip(ins, outs))
+            if not m
         ]
 
     def start_chunk(t, carry):
@@ -120,16 +122,17 @@ def permute_lanes_arrays(
     interpret: bool = False,
     valid_len: jax.Array | None = None,  # i32: copy only rows [0, valid)
     chunk: int = 32,  # row granularity of the prefix copy
+    chunk_mask=None,  # per-array: chunk along axis 2 (False: copy whole)
 ):
     """Permute the lane (leading) axis of several arrays in one pallas_call.
 
     Returns a tuple of permuted arrays; the (array, lane) DMA copies share
     one grid invocation and one semaphore, so fixed costs are paid once.
 
-    With `valid_len`, every array must have its row axis at position 2
-    (the KV-cache (B, L, C, ...) stacking) and only rows [0, valid) are
-    copied; the permuted outputs' tail rows are UNINITIALIZED and must be
-    masked by the consumer.
+    With `valid_len`, arrays marked in `chunk_mask` (default: every rank-4
+    array) must have their row axis at position 2 and only rows [0, valid)
+    are copied; the permuted outputs' tail rows are UNINITIALIZED and must
+    be masked by the consumer.
     """
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
@@ -142,7 +145,10 @@ def permute_lanes_arrays(
         kernel = functools.partial(_permute_dma_kernel, b, n)
         scalars = (parents.astype(jnp.int32),)
     else:
-        kernel = functools.partial(_permute_prefix_kernel, b, n, chunk)
+        if chunk_mask is None:
+            chunk_mask = tuple(a.ndim >= 4 for a in arrays)
+        kernel = functools.partial(
+            _permute_prefix_kernel, b, n, chunk, tuple(chunk_mask))
         scalars = (
             parents.astype(jnp.int32),
             jnp.asarray(valid_len, jnp.int32).reshape((1,)),

@@ -54,8 +54,15 @@ def quantize_params(
     params: Params,
     quantize_encoder: bool = False,
     keys: tuple = _DECODER_KEYS,
+    bits: int = 8,
 ) -> Params:
-    """Return params with selected block weights replaced by QTensors."""
+    """Return params with selected block weights replaced by QTensors.
+
+    bits=4 stores TPU-native packed S4 (half the weight stream again;
+    per-output-channel scales only, so accuracy must clear the agreement
+    gate before it can be a default)."""
+    lim = float(2 ** (bits - 1) - 1)
+    qdt = jnp.int4 if bits == 4 else jnp.int8
 
     def convert_blocks(blocks: Dict[str, jax.Array]) -> Dict[str, Any]:
         out: Dict[str, Any] = {}
@@ -65,12 +72,12 @@ def quantize_params(
                 # the input axis (axis 1), broadcast scale over it.
                 w32 = v.astype(jnp.float32)
                 absmax = jnp.max(jnp.abs(w32), axis=1)
-                scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+                scale = jnp.where(absmax > 0, absmax / lim, 1.0)
                 q = jnp.clip(
                     jnp.round(w32 / scale[:, None] if v.ndim == 3
                               else w32 / scale[:, None, :, :]),
-                    -127, 127,
-                ).astype(jnp.int8)
+                    -lim, lim,
+                ).astype(qdt)
                 out[k] = QTensor(q, scale.astype(jnp.float32))
             else:
                 out[k] = v
