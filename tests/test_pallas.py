@@ -378,3 +378,39 @@ class TestGroupedCrossAttention:
                 ko[:, :, :rows], jnp.take(k, p, axis=0)[:, :, :rows])
             assert jnp.array_equal(
                 so[:, :, :rows], jnp.take(ks, p, axis=0)[:, :, :rows])
+
+
+class TestBigW8A8Matmul:
+    """Large-M tiled W8A8 kernel (encoder shapes; dequant_matmul.py)."""
+
+    def test_matches_reference(self, rng):
+        from whisper_tpu.ops.pallas.dequant_matmul import quantized_matmul_big
+
+        m, k, n = 320, 128, 256
+        x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+        w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+        absmax = np.abs(w).max(0)
+        ws = absmax / 127.0
+        wq = jnp.asarray(np.clip(np.round(w / ws), -127, 127), jnp.int8)
+        out = quantized_matmul_big(
+            x, wq, jnp.asarray(ws, jnp.float32), block_m=128, block_n=128,
+            out_dtype=jnp.float32, interpret=True)
+        # reference: row-quantized x against dequantized w
+        xa = np.abs(np.asarray(x)).max(1, keepdims=True)
+        xs = np.where(xa > 0, xa / 127.0, 1.0)
+        xq = np.clip(np.round(np.asarray(x) / xs), -127, 127)
+        ref = (xq @ np.asarray(wq, np.float32)) * xs * ws
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-4)
+
+    def test_ragged_m(self, rng):
+        from whisper_tpu.ops.pallas.dequant_matmul import quantized_matmul_big
+
+        m, k, n = 200, 128, 128  # m not a multiple of block_m
+        x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+        wq = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+        ws = jnp.ones((n,), jnp.float32)
+        out = quantized_matmul_big(
+            x, wq, ws, block_m=128, block_n=128, out_dtype=jnp.float32,
+            interpret=True)
+        assert out.shape == (m, n)
+        assert np.isfinite(np.asarray(out)).all()

@@ -175,6 +175,18 @@ def _matmul(x: jax.Array, w) -> jax.Array:
                 out_dtype=x.dtype,
             )
             return y.reshape(*lead, *q.shape[1:])
+        if (impl == "pallas" and jax.default_backend() == "tpu"
+                and aligned and m > 1024):
+            # encoder-shaped GEMMs: tiled large-M W8A8 with fused in-kernel
+            # activation quantization (the separate XLA quantize passes are
+            # what made the "w8a8" impl lose; see dequant_matmul.py)
+            from ..ops.pallas.dequant_matmul import quantized_matmul_big
+
+            y = quantized_matmul_big(
+                x.reshape(m, k), q.reshape(k, n), w.scale.reshape(n),
+                out_dtype=x.dtype,
+            )
+            return y.reshape(*lead, *q.shape[1:])
         if impl == "w8a8" and small:
             x32 = x.reshape(m, k).astype(jnp.float32)
             absmax = jnp.max(jnp.abs(x32), axis=1, keepdims=True)

@@ -155,3 +155,79 @@ def quantized_matmul(
 
 # Backwards-compatible alias (round-2 intermediate name)
 dequant_matmul = quantized_matmul
+
+
+def _w8a8_big_kernel(x_ref, wq_ref, ws_ref, o_ref, xq_ref, xs_ref):
+    # grid (mi, ni), ni fastest: quantize this M-block once when its first
+    # N-block runs; the int8 activations + row scales persist in scratch
+    # across the ni sweep (Mosaic re-fetches x only when the block index
+    # changes, so the bf16 x block is read once per mi as well).
+    @pl.when(pl.program_id(1) == 0)
+    def _quantize_block():
+        x = x_ref[:].astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+        inv = jnp.where(absmax > 0, 127.0 / absmax, 0.0)
+        xq_ref[:] = jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
+        xs_ref[:] = jnp.where(absmax > 0, absmax * (1.0 / 127.0), 1.0)
+
+    acc = jax.lax.dot_general(
+        xq_ref[:], wq_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (bm, bn) s32, exact
+    o_ref[:] = (acc.astype(jnp.float32) * xs_ref[:] * ws_ref[:]).astype(
+        o_ref.dtype
+    )
+
+
+def quantized_matmul_big(
+    x: jax.Array,  # (M, K), M large (encoder shapes: M = batch * frames)
+    wq: jax.Array,  # (K, N) int8
+    scale: jax.Array,  # (N,) f32 per-output-channel weight scale
+    block_m: int = 1024,
+    block_n: int = 512,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Large-M W8A8-dynamic int8 matmul for the MXU's 2x int8 rate.
+
+    The small-M kernel above keeps the whole activation in VMEM; encoder
+    GEMMs (M ~ 50k rows) tile M instead, quantizing each (bm, K) activation
+    block in-kernel at its first N-step -- the fused quantize is what the
+    XLA w8a8 path lacks (its separate quantize/dequant passes cost more
+    than the s8 MXU saves; docs/PERFORMANCE.md int8 study).
+    """
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    out_dtype = out_dtype or x.dtype
+    m, k = x.shape
+    _, n = wq.shape
+    bn = _pick_bn(n, block_n)
+    bm = min(block_m, m)
+
+    return pl.pallas_call(
+        _w8a8_big_kernel,
+        grid=(pl.cdiv(m, bm), n // bn),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, k), jnp.int8),
+            pltpu.VMEM((bm, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=(m // bm + 1) * k * n + 2 * m * k + 2 * m * n,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        interpret=interpret,
+    )(x, wq, scale.reshape(1, n))
