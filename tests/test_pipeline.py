@@ -266,3 +266,32 @@ class TestTimestamps:
                           chunk_overlap_seconds=0.02),
         )
         assert isinstance(text, str) and isinstance(segs, list)
+
+
+class TestQuantizedPipelineOptions:
+    """The quantized-cache DecodeOptions reach the decode layer end to end."""
+
+    def test_self_quant_beam_transcribe(self, setup):
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        wave = np.random.default_rng(3).standard_normal(5000).astype(
+            np.float32)
+        text, tokens = t.transcribe(
+            wave, 16000,
+            DecodeOptions(lang="en", beam_size=2, max_depth=6,
+                          chunk_overlap_seconds=0.01,
+                          kv_quant=True, self_quant=True),
+        )
+        assert isinstance(text, str) and len(tokens) >= 4
+
+    def test_int4_kv_greedy_transcribe(self, setup):
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        wave = np.random.default_rng(4).standard_normal(5000).astype(
+            np.float32)
+        text, tokens = t.transcribe(
+            wave, 16000,
+            DecodeOptions(lang="en", strategy="greedy", max_depth=6,
+                          chunk_overlap_seconds=0.01, kv_quant="int4"),
+        )
+        assert isinstance(text, str) and len(tokens) >= 4

@@ -62,7 +62,7 @@ class DecodeOptions:
     stitch_min_overlaps: int = 3  # src/transcribe.rs:57
     suppress_until_len: int = 5  # src/transcribe.rs:271
     timestamps: bool = False
-    kv_quant: bool = False  # int8 cross-KV cache (opt-in; ~14% faster decode)
+    kv_quant: bool = False  # cross-KV cache quant: True/"int8", or "int4"
     self_quant: bool = False  # int8 self-KV cache with per-row scales
 
 
