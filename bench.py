@@ -28,7 +28,7 @@ Env knobs:
   WHISPER_TPU_BENCH_SELFKV (beam | int8 | none; default beam: int8 self-KV
                             with per-row scales on the beam run only)
   WHISPER_TPU_BENCH_BEAM   (beam width; default 5, 0 disables the beam run)
-  WHISPER_TPU_BENCH_BEAM_BATCH (windows in the beam run; default 16)
+  WHISPER_TPU_BENCH_BEAM_BATCH (windows in the beam run; default 24)
 
 The JSON line's primary metric is the greedy multi-stream xRT; the reference
 decode config (beam=5, src/transcribe.rs:232-233) is measured too and
@@ -163,7 +163,7 @@ def main() -> int:
     beam_size = int(os.environ.get("WHISPER_TPU_BENCH_BEAM", "5"))
     if beam_size > 1:
         # W=8 measured best on v5e (sweep: W8 43.6x, W12 41.9x, W16 OOM)
-        beam_batch = int(os.environ.get("WHISPER_TPU_BENCH_BEAM_BATCH", "16"))
+        beam_batch = int(os.environ.get("WHISPER_TPU_BENCH_BEAM_BATCH", "24"))
         beam_xrt, _ = run_config("beam", beam_batch, beam_size)
         record["beam"] = {
             "metric": (f"xrt_{model_name}_b{beam_batch}_beam{beam_size}_"
