@@ -1,0 +1,106 @@
+"""Streaming transcription (pipeline/streaming.py): incremental pushes,
+local-agreement confirmation, fixed-shape single-executable decoding."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisper_tpu.config import tiny_test_config
+from whisper_tpu.models import whisper as M
+from whisper_tpu.pipeline.streaming import StreamingTranscriber
+from whisper_tpu.pipeline.transcribe import DecodeOptions
+from whisper_tpu.pipeline.segments import Segment
+from whisper_tpu.text.tokenizer import WhisperTokenizer, build_test_tokenizer_json
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tok")
+    build_test_tokenizer_json(str(d / "tokenizer.json"))
+    tok = WhisperTokenizer(str(d / "tokenizer.json"))
+    cfg = tiny_test_config(
+        n_state=64, n_head=2, n_vocab=tok.vocab_size, n_audio_ctx=64,
+        n_text_ctx=32,
+    )
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    return params, cfg, tok
+
+
+def _opts():
+    return DecodeOptions(lang="en", strategy="greedy", max_depth=6,
+                         chunk_overlap_seconds=0.01)
+
+
+class TestStreaming:
+    def test_push_finish_contract(self, setup):
+        params, cfg, tok = setup
+        st = StreamingTranscriber(params, cfg, tok, options=_opts(),
+                                  min_step_seconds=0.1)
+        rng = np.random.default_rng(0)
+        confirmed = []
+        for _ in range(4):
+            out = st.push(rng.standard_normal(2000).astype(np.float32))
+            assert isinstance(out, list)
+            confirmed.extend(out)
+        tail = st.finish()
+        assert isinstance(tail, list)
+        assert st.confirmed == confirmed + tail
+        # confirmed list is never retracted: times are monotone
+        ends = [s.end for s in st.confirmed]
+        assert ends == sorted(ends)
+        assert isinstance(st.text, str)
+
+    def test_single_compiled_window_shape(self, setup):
+        """Every push decodes the SAME padded window shape: one executable."""
+        params, cfg, tok = setup
+        st = StreamingTranscriber(params, cfg, tok, options=_opts(),
+                                  min_step_seconds=0.05)
+        rng = np.random.default_rng(1)
+        for n in (900, 1300, 2100):  # ragged block sizes
+            st.push(rng.standard_normal(n).astype(np.float32))
+        assert len(st._t._fn_cache) == 1
+
+    def test_small_pushes_defer_decode(self, setup):
+        params, cfg, tok = setup
+        st = StreamingTranscriber(params, cfg, tok, options=_opts(),
+                                  min_step_seconds=10.0)
+        out = st.push(np.zeros(1600, np.float32))
+        assert out == [] and len(st._t._fn_cache) == 0
+
+    def test_window_overflow_trims_and_confirms(self, setup):
+        """Audio beyond one window forces a trim; the buffer never grows
+        unbounded and the stream offset advances."""
+        params, cfg, tok = setup
+        st = StreamingTranscriber(params, cfg, tok, options=_opts(),
+                                  min_step_seconds=0.05)
+        n_win = st._n_window
+        rng = np.random.default_rng(2)
+        for _ in range(6):
+            st.push(rng.standard_normal(n_win // 3).astype(np.float32))
+        assert len(st._buffer) <= n_win
+        assert st._offset > 0.0
+        st.finish()
+        assert len(st._buffer) == 0
+
+    def test_agreement_confirms_stable_hypothesis(self, setup):
+        """When two consecutive decodes agree on an early segment, it is
+        confirmed (hypotheses injected to isolate the agreement policy
+        from the random-weight model)."""
+        params, cfg, tok = setup
+        st = StreamingTranscriber(params, cfg, tok, options=_opts(),
+                                  min_step_seconds=0.05,
+                                  confirm_margin_seconds=0.01)
+        hyp = [Segment(0.0, 0.05, "hello", [1]),
+               Segment(0.05, 0.95, "tail", [2])]
+        st._decode = lambda: [Segment(s.start, s.end, s.text, s.tokens)
+                              for s in hyp]
+        st.push(np.zeros(1600, np.float32))   # first decode: nothing agreed
+        assert st.confirmed == []
+        out = st.push(np.zeros(1600, np.float32))  # second: prefix agrees
+        assert [s.text for s in out] == ["hello"]
+        # the confirmed prefix was trimmed off the buffer
+        assert st._offset >= 0.05 - 1e-6
+        # the unstable tail stays pending
+        assert [s.text for s in st._prev] == ["tail"]

@@ -12,11 +12,12 @@ formulation measured far off the memory roofline at large-v2 W=8 K=5
     pinning the blame on the gather lowering, not the data movement
     (docs/PERFORMANCE.md round-2 beam log).
 
-Here the permute is expressed as what it is -- a batch of block DMA copies.
-The grid walks (lane, layer-block); the INPUT index_map reads the
-scalar-prefetched parent lane, the output block is the grid lane, and the
-kernel body is a straight VMEM copy. Mosaic double-buffers the block DMAs,
-so the copy streams at memory speed.
+Here the permute is expressed as what it is -- direct HBM-to-HBM async
+DMAs, one per (array, lane), all started before any wait so the DMA
+engines stream back-to-back; each lane's trailing slab is contiguous, so
+no VMEM round-trip is needed. The valid-prefix variant additionally skips
+the cache rows past the current write position (masked in attention
+anyway), dropping ~60% of the traffic over a 100-step decode.
 
 Used by decode/beam.py's `_cache_gather` (the reference reshuffles beam
 state host-side per step, whisper-burn src/beam.rs:55-72; here it is a
@@ -34,12 +35,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _permute_kernel(parents_ref, k_ref, v_ref, ko_ref, vo_ref):
-    del parents_ref  # consumed by the BlockSpec index_maps
-    ko_ref[...] = k_ref[...]
-    vo_ref[...] = v_ref[...]
-
-
 def _permute_prefix_kernel(b, n_arr, cc, chunk_mask, parents_ref, valid_ref,
                            *refs):
     # Valid-prefix variant: only cache rows [0, valid) hold data (rows past
@@ -50,10 +45,10 @@ def _permute_prefix_kernel(b, n_arr, cc, chunk_mask, parents_ref, valid_ref,
     # visibility mask does, including the int8 per-row scales -- see
     # decode_attention._attend's sanitized `vs`).
     #
-    # chunk_mask marks which arrays chunk along axis 2 (row-major caches).
-    # Arrays whose row axis is the LANE dim -- the transposed self-K and the
-    # per-row scales -- cannot be sub-128 lane-sliced by Mosaic DMA and are
-    # copied whole per lane.
+    # chunk_mask marks which arrays chunk along axis 2 (the rank-4 caches).
+    # The rank-3 per-row scale arrays keep C in the LANE dim, which Mosaic
+    # DMA cannot sub-128-slice; at 4 bytes/row they are ~0.3% of the cache
+    # traffic and are copied whole per lane.
     ins, outs, sem = refs[:n_arr], refs[n_arr : 2 * n_arr], refs[-1]
     nv = (valid_ref[0] + cc - 1) // cc
 

@@ -1,0 +1,190 @@
+"""Streaming (incremental) transcription with local-agreement confirmation.
+
+New capability beyond the reference (whisper-burn is strictly offline --
+`mels_to_text` consumes a complete file, src/transcribe.rs:148): audio
+arrives in arbitrary-size blocks, each decode re-transcribes the current
+audio buffer, and a segment becomes CONFIRMED once two consecutive decodes
+agree on its text (the LocalAgreement-2 policy from the whisper-streaming
+line of work). Confirmed text never changes afterwards, so consumers can
+render it immediately; the unstable tail is re-decoded as audio grows.
+
+TPU-first: every decode runs the SAME fixed-shape window program -- the
+buffer is zero-padded to the full ~14.9 s window -- so an entire stream is
+served by ONE compiled executable (no shape-dependent recompiles at push
+time; `Transcriber._window_fn`'s cache holds a single entry). Timestamped
+decoding (pipeline/segments.py) provides the segment boundaries used for
+agreement and for trimming confirmed audio off the buffer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .segments import Segment, segments_from_tokens
+from .transcribe import SAMPLE_RATE, DecodeOptions, Transcriber
+from ..ops.audio import max_waveform_samples
+
+
+class StreamingTranscriber:
+    """Incremental transcription over a growing audio stream.
+
+    Usage::
+
+        st = StreamingTranscriber(params, cfg, tokenizer)
+        for block in audio_blocks:          # float32 mono @ 16 kHz
+            for seg in st.push(block):      # newly CONFIRMED segments
+                print(seg.text)
+        for seg in st.finish():             # flush the unstable tail
+            print(seg.text)
+
+    `confirmed` accumulates every confirmed segment (absolute stream
+    times). Confirmation requires two consecutive decodes to agree on a
+    segment's text AND the segment to end at least `confirm_margin_seconds`
+    before the buffer's live edge (the tail is always unstable). When the
+    buffer outgrows one window, segments that fall entirely before the
+    forced trim point are confirmed from the best available hypothesis --
+    they can never be re-decoded.
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg,
+        tokenizer,
+        options: Optional[DecodeOptions] = None,
+        min_step_seconds: float = 1.0,
+        confirm_margin_seconds: float = 0.3,
+    ):
+        self._t = Transcriber(params, cfg, tokenizer)
+        self.opt = dataclasses.replace(
+            options or DecodeOptions(), timestamps=True
+        )
+        self.min_step_seconds = float(min_step_seconds)
+        self.confirm_margin_seconds = float(confirm_margin_seconds)
+        self._n_window = max_waveform_samples(
+            cfg.encoder_ctx_size - self.opt.padding
+        )
+        self._prompt = jnp.asarray(
+            tokenizer.prompt_ids(self.opt.lang, timestamps=True), jnp.int32
+        )
+        self._buffer = np.zeros(0, np.float32)
+        self._offset = 0.0  # stream time (s) of buffer[0]
+        self._pending = 0  # samples accumulated since the last decode
+        self._prev: List[Segment] = []  # last hypothesis (unconfirmed zone)
+        self.confirmed: List[Segment] = []
+
+    # ------------------------------------------------------------------
+    @property
+    def text(self) -> str:
+        """All confirmed text so far."""
+        return " ".join(s.text.strip() for s in self.confirmed)
+
+    def push(self, samples, sample_rate: int = SAMPLE_RATE) -> List[Segment]:
+        """Append audio; returns segments that just became confirmed.
+
+        Decodes only once at least `min_step_seconds` of new audio has
+        accumulated (cheaper cadence control belongs to the caller: push
+        small blocks freely, decoding happens on the configured step).
+        """
+        if sample_rate != SAMPLE_RATE:
+            raise ValueError(
+                f"streaming expects {SAMPLE_RATE} Hz audio, got {sample_rate}"
+            )
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        self._buffer = np.concatenate([self._buffer, samples])
+        self._pending += len(samples)
+        if self._pending < int(self.min_step_seconds * SAMPLE_RATE):
+            return []
+        self._pending = 0
+        return self._step()
+
+    def finish(self) -> List[Segment]:
+        """Decode whatever remains and confirm all of it."""
+        if len(self._buffer) < 400:  # < n_fft: no decodable audio left
+            tail = list(self._prev)
+        else:
+            tail = self._decode()
+        self.confirmed.extend(tail)
+        self._buffer = np.zeros(0, np.float32)
+        self._prev = []
+        self._pending = 0
+        return tail
+
+    # ------------------------------------------------------------------
+    def _decode(self) -> List[Segment]:
+        """One fixed-shape window decode of the current buffer."""
+        real = len(self._buffer)
+        window = np.zeros(self._n_window, np.float32)
+        window[:real] = self._buffer[: self._n_window]
+        fn = self._t._window_fn(
+            self._n_window, int(self._prompt.shape[0]), self.opt.strategy,
+            self.opt.beam_size, self.opt.max_depth, self.opt.padding,
+            self.opt.suppress_until_len, self.opt.kv_quant,
+            self.opt.self_quant,
+        )
+        toks_dev, length = fn(
+            self._t.params, jnp.asarray(window), self._prompt,
+            self._t._suppress,
+        )
+        tokens = [int(t) for t in np.asarray(toks_dev)[: int(length)]]
+        real_s = real / SAMPLE_RATE
+        segs = segments_from_tokens(
+            tokens, self._t.tok, offset_s=self._offset, window_s=real_s
+        )
+        # Segments inside the zero padding are artifacts; clamp ends to the
+        # live audio.
+        out = []
+        for s in segs:
+            if s.start - self._offset >= real_s:
+                continue
+            out.append(
+                Segment(s.start, min(s.end, self._offset + real_s), s.text,
+                        s.tokens)
+            )
+        return out
+
+    def _trim_to(self, cut_time: float) -> None:
+        """Drop buffer audio before `cut_time` (absolute stream seconds)."""
+        cut = int(round((cut_time - self._offset) * SAMPLE_RATE))
+        cut = max(0, min(cut, len(self._buffer)))
+        self._buffer = self._buffer[cut:]
+        self._offset += cut / SAMPLE_RATE
+
+    def _step(self) -> List[Segment]:
+        newly: List[Segment] = []
+
+        # Forced trim: the window is full, so audio beyond one window can
+        # never be decoded again -- confirm the previous hypothesis up to
+        # the cut point and drop that audio.
+        over = len(self._buffer) - self._n_window
+        if over > 0:
+            cut_time = self._offset + over / SAMPLE_RATE
+            while self._prev and self._prev[0].end <= cut_time:
+                newly.append(self._prev.pop(0))
+            self.confirmed.extend(newly)
+            self._trim_to(cut_time)
+
+        segs = self._decode()
+
+        # LocalAgreement-2: confirm the leading segments whose text matches
+        # the previous hypothesis and which end clear of the live edge.
+        live_edge = self._offset + len(self._buffer) / SAMPLE_RATE
+        margin_t = live_edge - self.confirm_margin_seconds
+        n = 0
+        for a, b in zip(self._prev, segs):
+            if a.text.strip() == b.text.strip() and b.end <= margin_t:
+                n += 1
+            else:
+                break
+        if n:
+            agreed = segs[:n]
+            self.confirmed.extend(agreed)
+            newly.extend(agreed)
+            self._trim_to(agreed[-1].end)
+        self._prev = segs[n:]
+        return newly
