@@ -295,3 +295,19 @@ class TestQuantizedPipelineOptions:
                           chunk_overlap_seconds=0.01, kv_quant="int4"),
         )
         assert isinstance(text, str) and len(tokens) >= 4
+
+    def test_translate_task_prompt(self, setup):
+        """task="translate" swaps the task token in the decode prompt
+        (the reference hard-codes <|transcribe|>, src/transcribe.rs:203;
+        translate is the multilingual models' X->English mode)."""
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        wave = np.random.default_rng(5).standard_normal(5000).astype(
+            np.float32)
+        text, tokens = t.transcribe(
+            wave, 16000,
+            DecodeOptions(lang="de", task="translate", strategy="greedy",
+                          max_depth=5, chunk_overlap_seconds=0.01),
+        )
+        assert tokens[:4] == tok.prompt_ids("de", task="translate")
+        assert tokens[2] == tok.translate

@@ -61,6 +61,10 @@ def cmd_transcribe(argv) -> int:
                         "times faster on long audio)")
     p.add_argument("--kv-quant", action="store_true",
                    help="int8 cross-KV cache (faster decode, tiny accuracy cost)")
+    p.add_argument("--task", choices=["transcribe", "translate"],
+                   default="transcribe",
+                   help="translate: X->English translation (multilingual "
+                        "models; uses the <|translate|> task token)")
     p.add_argument("--self-quant", action="store_true",
                    help="int8 self-KV cache with per-row scales (fastest "
                         "beam decode; gated by `whisper_tpu quant-check`)")
@@ -134,6 +138,7 @@ def cmd_transcribe(argv) -> int:
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
     opts = DecodeOptions(
         lang=args.lang,
+        task=args.task,
         strategy="greedy" if args.greedy else "beam",
         beam_size=args.beam_size,
         max_depth=args.max_depth,

@@ -116,7 +116,8 @@ class BatchTranscriber(Transcriber):
         if overlap >= n_window:
             overlap = n_window // 2
         prompt = jnp.asarray(
-            tok.prompt_ids(opt.lang, timestamps=opt.timestamps), jnp.int32
+            tok.prompt_ids(opt.lang, task=opt.task,
+                           timestamps=opt.timestamps), jnp.int32
         )
 
         # 1. collect windows: full-size ones go to the batch queue

@@ -70,7 +70,8 @@ class StreamingTranscriber:
             cfg.encoder_ctx_size - self.opt.padding
         )
         self._prompt = jnp.asarray(
-            tokenizer.prompt_ids(self.opt.lang, timestamps=True), jnp.int32
+            tokenizer.prompt_ids(self.opt.lang, task=self.opt.task,
+                                 timestamps=True), jnp.int32
         )
         self._buffer = np.zeros(0, np.float32)
         self._offset = 0.0  # stream time (s) of buffer[0]

@@ -53,6 +53,7 @@ class DecodeOptions:
     """Decoding knobs; defaults reproduce the reference exactly."""
 
     lang: str = "en"
+    task: str = "transcribe"  # "transcribe" | "translate" (to English)
     strategy: str = "beam"  # "beam" | "greedy"
     beam_size: int = 5  # src/transcribe.rs:232
     max_depth: int = 100  # src/transcribe.rs:233
@@ -264,7 +265,8 @@ class Transcriber:
             )
             overlap = n_window // 2
         prompt = jnp.asarray(
-            tok.prompt_ids(opt.lang, timestamps=opt.timestamps), jnp.int32
+            tok.prompt_ids(opt.lang, task=opt.task,
+                           timestamps=opt.timestamps), jnp.int32
         )
 
         tokens: List[int] = []
@@ -380,7 +382,9 @@ class Transcriber:
         overlap = int(sample_rate * opt.chunk_overlap_seconds)
         if overlap >= n_window:
             overlap = n_window // 2
-        prompt = jnp.asarray(tok.prompt_ids(opt.lang, timestamps=True), jnp.int32)
+        prompt = jnp.asarray(
+            tok.prompt_ids(opt.lang, task=opt.task, timestamps=True),
+            jnp.int32)
 
         segments = []
         for i, (start, end) in enumerate(
