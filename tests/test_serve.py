@@ -152,3 +152,74 @@ class TestRobustness:
         status, obj = _post(small_server, "/transcribe?lang=en&greedy=1",
                             body)
         assert status == 200
+
+
+@pytest.fixture(scope="module")
+def stream_server(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ssrv")
+    tok_path = str(d / "tokenizer.json")
+    build_test_tokenizer_json(tok_path)
+    tok = WhisperTokenizer(tok_path)
+    cfg = tiny_test_config(n_vocab=tok.vocab_size, n_audio_ctx=64,
+                           n_text_ctx=32)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+
+    from whisper_tpu.pipeline.transcribe import Transcriber
+
+    t = BatchTranscriber(params, cfg, tok, batch_size=2)
+    worker = serve_mod.BatchingWorker(t, max_batch=2, max_wait_s=0.02)
+    worker.start()
+    streams = serve_mod.StreamSessions(
+        Transcriber(params, cfg, tok), max_sessions=2)
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        serve_mod.make_handler(worker, 16000, streams=streams),
+    )
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_port}"
+    httpd.shutdown()
+
+
+class TestStreamingEndpoints:
+    def test_session_lifecycle(self, stream_server):
+        url = stream_server
+        code, out = _post(url, "/stream/start?lang=en&greedy=1", b"")
+        assert code == 200 and "session" in out
+        sid = out["session"]
+        block = (np.random.default_rng(0).standard_normal(17000)
+                 .astype("<f4").tobytes())
+        code, out = _post(url, f"/stream/{sid}/push", block)
+        assert code == 200 and isinstance(out["confirmed"], list)
+        code, out = _post(url, f"/stream/{sid}/finish", b"")
+        assert code == 200 and "text" in out
+        # session is gone after finish
+        code, _ = _post(url, f"/stream/{sid}/push", block)
+        assert code == 404
+
+    def test_s16_format_and_unknown_session(self, stream_server):
+        url = stream_server
+        code, out = _post(url, "/stream/start?lang=en&greedy=1", b"")
+        sid = out["session"]
+        block = (np.random.default_rng(1).standard_normal(17000) * 3000
+                 ).astype("<i2").tobytes()
+        code, out = _post(url, f"/stream/{sid}/push?format=s16", block)
+        assert code == 200
+        _post(url, f"/stream/{sid}/finish", b"")
+        code, _ = _post(url, "/stream/nope/finish", b"")
+        assert code == 404
+
+    def test_session_limit_409(self, stream_server):
+        url = stream_server
+        sids = []
+        codes = []
+        for _ in range(3):
+            code, out = _post(url, "/stream/start", b"")
+            codes.append(code)
+            if code == 200:
+                sids.append(out["session"])
+        assert codes.count(409) >= 1
+        for sid in sids:
+            _post(url, f"/stream/{sid}/finish", b"")

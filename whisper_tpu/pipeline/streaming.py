@@ -59,8 +59,13 @@ class StreamingTranscriber:
         options: Optional[DecodeOptions] = None,
         min_step_seconds: float = 1.0,
         confirm_margin_seconds: float = 0.3,
+        transcriber: Optional[Transcriber] = None,
     ):
-        self._t = Transcriber(params, cfg, tokenizer)
+        # A shared Transcriber lets many concurrent streams (e.g. server
+        # sessions) reuse ONE compiled window executable; params/cfg/
+        # tokenizer may then be None.
+        self._t = transcriber or Transcriber(params, cfg, tokenizer)
+        cfg, tokenizer = self._t.cfg, self._t.tok
         self.opt = dataclasses.replace(
             options or DecodeOptions(), timestamps=True
         )

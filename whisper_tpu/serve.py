@@ -9,7 +9,15 @@ so concurrent clients share the chip-efficient batched path.
 
 Endpoints:
   POST /transcribe?lang=en[&greedy=1]   body: WAV bytes -> {"text", "tokens"}
+  POST /stream/start?lang=en[&task=..][&greedy=1] -> {"session": id}
+  POST /stream/<id>/push?format=f32|s16  body: raw PCM block
+                                         -> {"confirmed": [segments]}
+  POST /stream/<id>/finish               -> {"confirmed": [...], "text": ...}
   GET  /healthz                          -> {"status": "ok", ...}
+
+Streaming sessions hold a StreamingTranscriber (local-agreement
+confirmation, pipeline/streaming.py); all sessions share one compiled
+window executable. Bounded by --max-streams with idle-TTL eviction.
 """
 
 from __future__ import annotations
@@ -92,9 +100,88 @@ class BatchingWorker(threading.Thread):
                     r.done.set()
 
 
+class StreamSessions:
+    """Stateful streaming sessions for the /stream endpoints.
+
+    Each session wraps a StreamingTranscriber; all sessions share ONE
+    Transcriber so the fixed-shape window executable is compiled once.
+    Bounded (max_sessions, 409 when full) and TTL-evicted; per-session
+    locks serialize pushes on the same stream while different sessions may
+    interleave freely.
+    """
+
+    def __init__(self, transcriber, max_sessions: int = 16,
+                 ttl_s: float = 300.0):
+        self.shared_t = transcriber
+        self.max_sessions = max_sessions
+        self.ttl_s = ttl_s
+        self._lock = threading.Lock()
+        self._sessions = {}  # id -> dict(st, lock, last_used)
+        self._next = 0
+
+    def start(self, options) -> Optional[str]:
+        from .pipeline.streaming import StreamingTranscriber
+
+        with self._lock:
+            self._evict_locked()
+            if len(self._sessions) >= self.max_sessions:
+                return None
+            sid = f"s{self._next}"
+            self._next += 1
+            st = StreamingTranscriber(
+                None, None, None, options=options,
+                transcriber=self.shared_t,
+            )
+            self._sessions[sid] = {
+                "st": st, "lock": threading.Lock(),
+                "last_used": time.monotonic(),
+            }
+            return sid
+
+    def _get(self, sid):
+        with self._lock:
+            s = self._sessions.get(sid)
+            if s is not None:
+                s["last_used"] = time.monotonic()
+            return s
+
+    def push(self, sid: str, samples: np.ndarray):
+        s = self._get(sid)
+        if s is None:
+            return None
+        with s["lock"]:
+            return s["st"].push(samples)
+
+    def finish(self, sid: str):
+        s = self._get(sid)
+        if s is None:
+            return None
+        with s["lock"]:
+            tail = s["st"].finish()
+            text = s["st"].text
+        with self._lock:
+            self._sessions.pop(sid, None)
+        return tail, text
+
+    def _evict_locked(self) -> None:
+        now = time.monotonic()
+        for sid in [k for k, v in self._sessions.items()
+                    if now - v["last_used"] > self.ttl_s]:
+            del self._sessions[sid]
+
+
+def _pcm_to_f32(data: bytes, fmt: str) -> np.ndarray:
+    """Raw PCM body -> float32 waveform (f32le or s16le)."""
+    if fmt == "s16":
+        return (np.frombuffer(data, "<i2").astype(np.float32)
+                / 32767.0)
+    return np.frombuffer(data, "<f4").astype(np.float32)
+
+
 def make_handler(worker: BatchingWorker, sample_rate: int,
                  max_body_bytes: int = 64 * 1024 * 1024,
-                 request_timeout_s: float = 120.0):
+                 request_timeout_s: float = 120.0,
+                 streams: Optional[StreamSessions] = None):
     from .io import wav as wavmod
 
     class Handler(BaseHTTPRequestHandler):
@@ -118,8 +205,85 @@ def make_handler(worker: BatchingWorker, sample_rate: int,
             else:
                 self._json(404, {"error": "not found"})
 
+        def _read_body(self) -> Optional[bytes]:
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._json(400, {"error": "bad Content-Length"})
+                return None
+            if length < 0 or length > max_body_bytes:
+                self._json(413, {"error": f"body exceeds {max_body_bytes} "
+                                          "bytes"})
+                return None
+            data = self.rfile.read(length) if length else b""
+            if len(data) < length:
+                self._json(400, {"error": "truncated body"})
+                return None
+            return data
+
+        def _do_stream(self, parsed) -> None:
+            if streams is None:
+                self._json(404, {"error": "streaming disabled"})
+                return
+            from .pipeline.transcribe import DecodeOptions
+
+            parts = parsed.path.split("/")  # ["", "stream", ...]
+            params = parse_qs(parsed.query)
+
+            def seg_json(segs):
+                return [{"start": round(s.start, 3), "end": round(s.end, 3),
+                         "text": s.text} for s in segs]
+
+            if parts[2:] == ["start"]:
+                opts = DecodeOptions(
+                    lang=params.get("lang", ["en"])[0],
+                    task=params.get("task", ["transcribe"])[0],
+                    strategy="greedy"
+                    if params.get("greedy", ["0"])[0] in ("1", "true")
+                    else "beam",
+                )
+                sid = streams.start(opts)
+                if sid is None:
+                    self._json(409, {"error": "too many open streams"})
+                else:
+                    self._json(200, {"session": sid})
+                return
+            if len(parts) == 4 and parts[3] in ("push", "finish"):
+                sid = parts[2]
+                if parts[3] == "push":
+                    data = self._read_body()
+                    if data is None:
+                        return
+                    fmt = params.get("format", ["f32"])[0]
+                    if fmt not in ("f32", "s16"):
+                        self._json(400, {"error": "format must be f32|s16"})
+                        return
+                    try:
+                        samples = _pcm_to_f32(data, fmt)
+                    except ValueError as e:
+                        self._json(400, {"error": f"bad pcm: {e}"})
+                        return
+                    out = streams.push(sid, samples)
+                    if out is None:
+                        self._json(404, {"error": "unknown session"})
+                    else:
+                        self._json(200, {"confirmed": seg_json(out)})
+                    return
+                res = streams.finish(sid)
+                if res is None:
+                    self._json(404, {"error": "unknown session"})
+                else:
+                    tail, text = res
+                    self._json(200, {"confirmed": seg_json(tail),
+                                     "text": text})
+                return
+            self._json(404, {"error": "not found"})
+
         def do_POST(self):
             parsed = urlparse(self.path)
+            if parsed.path.startswith("/stream/"):
+                self._do_stream(parsed)
+                return
             if parsed.path != "/transcribe":
                 self._json(404, {"error": "not found"})
                 return
@@ -174,7 +338,8 @@ def serve(model: str, host: str = "127.0.0.1", port: int = 8000,
           max_wait_s: float = 0.05, dtype: str = "bfloat16",
           ready_event: Optional[threading.Event] = None,
           max_body_bytes: int = 64 * 1024 * 1024,
-          request_timeout_s: float = 120.0):
+          request_timeout_s: float = 120.0,
+          max_streams: int = 16):
     import jax.numpy as jnp
 
     from .config import SAMPLE_RATE
@@ -193,10 +358,18 @@ def serve(model: str, host: str = "127.0.0.1", port: int = 8000,
     worker = BatchingWorker(t, max_batch=batch_size, max_wait_s=max_wait_s)
     worker.start()
 
+    from .pipeline.transcribe import Transcriber
+
+    streams = StreamSessions(
+        Transcriber(params, cfg, WhisperTokenizer(tok_path),
+                    dtype=jnp.bfloat16 if dtype == "bfloat16" else None),
+        max_sessions=max_streams,
+    )
+
     server = ThreadingHTTPServer(
         (host, port),
         make_handler(worker, SAMPLE_RATE, max_body_bytes=max_body_bytes,
-                     request_timeout_s=request_timeout_s),
+                     request_timeout_s=request_timeout_s, streams=streams),
     )
     print(f"whisper_tpu serving {model} on http://{host}:{server.server_port}")
     if ready_event is not None:
@@ -219,11 +392,14 @@ def main(argv=None) -> int:
                    help="reject request bodies larger than this (413)")
     p.add_argument("--request-timeout-s", type=float, default=120.0,
                    help="per-request transcription deadline (504)")
+    p.add_argument("--max-streams", type=int, default=16,
+                   help="concurrent streaming sessions (409 when full)")
     args = p.parse_args(argv)
     serve(args.model, args.host, args.port, args.tokenizer, args.batch_size,
           args.max_wait_ms / 1000.0, args.dtype,
           max_body_bytes=args.max_body_mb * 1024 * 1024,
-          request_timeout_s=args.request_timeout_s)
+          request_timeout_s=args.request_timeout_s,
+          max_streams=args.max_streams)
     return 0
 
 
