@@ -414,3 +414,23 @@ class TestBigW8A8Matmul:
             interpret=True)
         assert out.shape == (m, n)
         assert np.isfinite(np.asarray(out)).all()
+
+    def test_vmap_batched_weights_falls_back(self, rng):
+        """init_cache's per-layer vmap pattern: batched weights must take
+        the XLA path, not Pallas's default (wrong) batching rule."""
+        from whisper_tpu.ops.pallas.dequant_matmul import quantized_matmul_big
+
+        L, m, k, n = 3, 2048, 128, 128
+        x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+        wq = jnp.asarray(rng.integers(-127, 128, (L, k, n)), jnp.int8)
+        ws = jnp.full((L, n), 0.01, jnp.float32)
+        out = jax.vmap(
+            lambda w, s: quantized_matmul_big(
+                x, w, s, out_dtype=jnp.float32, interpret=True),
+        )(wq, ws)
+        ref = np.einsum(
+            "mk,lkn->lmn", np.asarray(x), np.asarray(wq, np.float32)
+        ) * np.asarray(ws)[:, None, :]
+        # bf16 GEMM tolerance; the default-Pallas-vmap bug this guards
+        # against was wrong by ~2.8 absolute (vs a ~5e-4 noise floor)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=5e-2, atol=0.1)

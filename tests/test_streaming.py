@@ -104,3 +104,27 @@ class TestStreaming:
         assert st._offset >= 0.05 - 1e-6
         # the unstable tail stays pending
         assert [s.text for s in st._prev] == ["tail"]
+
+    def test_finish_drains_multi_window_buffer(self, setup):
+        """finish() must decode EVERY window of pending audio, including
+        tail audio accumulated below the step threshold (a dropped-last-
+        words bug: finish used to decode only buffer[:n_window])."""
+        params, cfg, tok = setup
+        st = StreamingTranscriber(params, cfg, tok, options=_opts(),
+                                  min_step_seconds=1e9)  # never auto-decode
+        n_win = st._n_window
+        rng = np.random.default_rng(7)
+        st.push(rng.standard_normal(2 * n_win + 1000).astype(np.float32))
+        decoded_spans = []
+        orig = st._decode
+        def spy():
+            decoded_spans.append((st._offset,
+                                  min(len(st._buffer), n_win) / 16000.0))
+            return orig()
+        st._decode = spy
+        st.finish()
+        # at least 3 decodes (two full windows + the 1000-sample tail) and
+        # the final decode starts past the second window boundary
+        assert len(decoded_spans) == 3
+        assert decoded_spans[-1][0] >= 2 * n_win / 16000.0 - 1e-6
+        assert len(st._buffer) == 0

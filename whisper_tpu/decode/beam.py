@@ -304,6 +304,7 @@ def beam_search_jit(
         max_depth,
         suppress_until_len,
         kv_quant,
+        self_quant,
     )
 
 
@@ -319,7 +320,7 @@ class BatchedBeamState(NamedTuple):
     fin_len: jax.Array  # (W, K)
     fin_logp: jax.Array  # (W, K)
     logp_next: jax.Array  # (W, K, V)
-    self_k: jax.Array  # (L, W*K, C, d)
+    self_k: jax.Array  # (W*K, L, C, d), batch-major (see init_cache)
     self_v: jax.Array
 
 
@@ -518,5 +519,5 @@ def beam_search_batched_jit(
 ):
     return beam_search_batched(
         params, enc_out, prompt, cfg, eot_id, suppress_mask, beam_size,
-        max_depth, suppress_until_len, kv_quant,
+        max_depth, suppress_until_len, kv_quant, self_quant,
     )

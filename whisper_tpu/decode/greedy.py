@@ -146,4 +146,5 @@ def greedy_decode_jit(
         max_depth,
         suppress_until_len,
         kv_quant,
+        self_quant,
     )

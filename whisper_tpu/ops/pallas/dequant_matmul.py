@@ -200,6 +200,13 @@ def quantized_matmul_big(
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
     out_dtype = out_dtype or x.dtype
+    return _make_quantized_matmul_big(
+        block_m, block_n, jnp.dtype(out_dtype), interpret
+    )(x, wq, scale)
+
+
+def _quantized_matmul_big_call(x, wq, scale, block_m, block_n, out_dtype,
+                               interpret):
     m, k = x.shape
     _, n = wq.shape
     bn = _pick_bn(n, block_n)
@@ -231,3 +238,49 @@ def quantized_matmul_big(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(x, wq, scale.reshape(1, n))
+
+
+@functools.lru_cache(maxsize=8)
+def _make_quantized_matmul_big(block_m: int, block_n: int, out_dtype,
+                               interpret: bool):
+    """vmap-safe wrapper for the large-M kernel.
+
+    Without this, `jax.vmap` (e.g. init_cache's per-layer cross-KV
+    projection with stacked weights) hits Pallas's default batching rule,
+    which prepends a grid axis and breaks the program_id(1)==0
+    quantize-once trigger -- silently wrong results. Batched WEIGHTS fall
+    back to the plain XLA dequant GEMM (correct for any batching pattern);
+    a batched activation alone flattens into the M axis.
+    """
+
+    @jax.custom_batching.custom_vmap
+    def mm(x, wq, scale):
+        return _quantized_matmul_big_call(
+            x, wq, scale, block_m, block_n, out_dtype, interpret)
+
+    @mm.def_vmap
+    def _mm_vmap(axis_size, in_batched, x, wq, scale):
+        xb, wb, sb = in_batched
+        if wb or sb:
+            def xla_path(x_, wq_, scale_):
+                y = jax.lax.dot_general(
+                    x_.astype(jnp.bfloat16), wq_.astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                return (y * scale_).astype(out_dtype)
+
+            out = jax.vmap(
+                xla_path,
+                in_axes=(0 if xb else None, 0 if wb else None,
+                         0 if sb else None),
+            )(x, wq, scale)
+            return out, True
+        x = jnp.asarray(x)
+        if not xb:
+            x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+        w_, b_, kk = x.shape
+        out = mm(x.reshape(w_ * b_, kk), wq, scale)
+        return out.reshape(w_, b_, -1), True
+
+    return mm

@@ -110,11 +110,21 @@ class StreamingTranscriber:
         return self._step()
 
     def finish(self) -> List[Segment]:
-        """Decode whatever remains and confirm all of it."""
+        """Decode whatever remains and confirm all of it.
+
+        The buffer may hold more than one window of audio (pushes smaller
+        than `min_step_seconds` accumulate without decoding): drain full
+        windows first so no trailing audio is silently dropped.
+        """
+        tail: List[Segment] = []
+        while len(self._buffer) > self._n_window:
+            tail.extend(self._decode())  # first window's worth is final
+            self._trim_to(self._offset + self._n_window / SAMPLE_RATE)
+            self._prev = []
         if len(self._buffer) < 400:  # < n_fft: no decodable audio left
-            tail = list(self._prev)
+            tail.extend(self._prev)
         else:
-            tail = self._decode()
+            tail.extend(self._decode())
         self.confirmed.extend(tail)
         self._buffer = np.zeros(0, np.float32)
         self._prev = []
@@ -124,9 +134,9 @@ class StreamingTranscriber:
     # ------------------------------------------------------------------
     def _decode(self) -> List[Segment]:
         """One fixed-shape window decode of the current buffer."""
-        real = len(self._buffer)
+        real = min(len(self._buffer), self._n_window)
         window = np.zeros(self._n_window, np.float32)
-        window[:real] = self._buffer[: self._n_window]
+        window[:real] = self._buffer[:real]
         fn = self._t._window_fn(
             self._n_window, int(self._prompt.shape[0]), self.opt.strategy,
             self.opt.beam_size, self.opt.max_depth, self.opt.padding,

@@ -27,6 +27,7 @@ import io
 import json
 import os
 import queue
+import secrets
 import sys
 import threading
 import time
@@ -117,7 +118,6 @@ class StreamSessions:
         self.ttl_s = ttl_s
         self._lock = threading.Lock()
         self._sessions = {}  # id -> dict(st, lock, last_used)
-        self._next = 0
 
     def start(self, options) -> Optional[str]:
         from .pipeline.streaming import StreamingTranscriber
@@ -126,8 +126,9 @@ class StreamSessions:
             self._evict_locked()
             if len(self._sessions) >= self.max_sessions:
                 return None
-            sid = f"s{self._next}"
-            self._next += 1
+            # unguessable: session ids authorize access to the stream's
+            # audio and transcript on a multi-client daemon
+            sid = secrets.token_urlsafe(16)
             st = StreamingTranscriber(
                 None, None, None, options=options,
                 transcriber=self.shared_t,
@@ -235,9 +236,14 @@ def make_handler(worker: BatchingWorker, sample_rate: int,
                          "text": s.text} for s in segs]
 
             if parts[2:] == ["start"]:
+                task = params.get("task", ["transcribe"])[0]
+                if task not in ("transcribe", "translate"):
+                    self._json(400, {"error": "task must be transcribe|"
+                                              "translate"})
+                    return
                 opts = DecodeOptions(
                     lang=params.get("lang", ["en"])[0],
-                    task=params.get("task", ["transcribe"])[0],
+                    task=task,
                     strategy="greedy"
                     if params.get("greedy", ["0"])[0] in ("1", "true")
                     else "beam",
@@ -358,13 +364,9 @@ def serve(model: str, host: str = "127.0.0.1", port: int = 8000,
     worker = BatchingWorker(t, max_batch=batch_size, max_wait_s=max_wait_s)
     worker.start()
 
-    from .pipeline.transcribe import Transcriber
-
-    streams = StreamSessions(
-        Transcriber(params, cfg, WhisperTokenizer(tok_path),
-                    dtype=jnp.bfloat16 if dtype == "bfloat16" else None),
-        max_sessions=max_streams,
-    )
+    # BatchTranscriber is-a Transcriber: streaming sessions share its
+    # jit caches (and one tokenizer/suppress-mask) with the batch path
+    streams = StreamSessions(t, max_sessions=max_streams)
 
     server = ThreadingHTTPServer(
         (host, port),
