@@ -259,3 +259,20 @@ class TestInt4KV:
             self_quant_test=True,
         )
         assert report["greedy"]["token_match_rate"] >= 0.9
+
+    def test_int4_self_kv_gate(self, params):
+        """int4 self-KV (per-row scales) through the full agreement gate."""
+        from whisper_tpu.eval import agreement
+
+        cfg = tiny_test_config(
+            n_state=64, n_head=2, n_vocab=128, n_audio_ctx=64, n_text_ctx=32
+        )
+        p = M.init_params(jax.random.PRNGKey(2), cfg)
+        qp = quantize.quantize_params(p)
+        report = agreement.decode_agreement(
+            p, qp, cfg, eot_id=5, prompt=[1, 2, 3], max_depth=10,
+            n_windows=6, beam_size=3, kv_quant_test="int4",
+            self_quant_test="int4",
+        )
+        assert report["greedy"]["token_match_rate"] >= 0.99
+        assert report["beam"]["token_match_rate"] >= 0.99

@@ -456,8 +456,8 @@ class DecoderCache(NamedTuple):
     cross_v: jax.Array
 
 
-def _q8_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Per-row symmetric int8: x (..., d) -> (q int8 (..., d), scale (...)).
+def _q8_rows(x: jax.Array, qdt=jnp.int8) -> Tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8/int4: x (..., d) -> (q (..., d), scale (...)).
 
     One scale per cache ROW (position): rows are written once and never mix,
     so per-row scaling adds no cross-position error, and the decode kernel
@@ -466,12 +466,14 @@ def _q8_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     array drops the trailing axis ((B, L, C), not (..., 1)): Mosaic DMA
     slices reject size-1 lane dims, and a lane-major (..., C) layout keeps
     both the permute-DMA slabs and the kernel's (rb, 1, C) blocks aligned.
+    qdt=int4 stores packed S4 (per-row scales keep the 4-bit error tight).
     """
+    lim = 7.0 if jnp.dtype(qdt) == jnp.dtype(jnp.int4) else 127.0
     a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    scale = jnp.where(a > 0, a / 127.0, 1.0)
+    scale = jnp.where(a > 0, a / lim, 1.0)
     q = jnp.clip(
-        jnp.round(x.astype(jnp.float32) / scale), -127, 127
-    ).astype(jnp.int8)
+        jnp.round(x.astype(jnp.float32) / scale), -lim, lim
+    ).astype(qdt)
     return q, scale[..., 0]
 
 
@@ -740,8 +742,8 @@ def _decoder_step_fused(
         q1 = (q[:, 0].astype(jnp.float32) * scale).astype(q.dtype)
         if isinstance(self_k, QTensor):
             # int8 self-KV: quantize the new row per lane, carry q + scale.
-            kq, ks = _q8_rows(k)
-            vq, vs = _q8_rows(v)
+            kq, ks = _q8_rows(k, self_k.q.dtype)
+            vq, vs = _q8_rows(v, self_v.q.dtype)
             self_k = QTensor(
                 jax.lax.dynamic_update_slice(
                     self_k.q, kq[:, None], (0, l, pos, 0)),
@@ -839,8 +841,8 @@ def decoder_step(
         hn = layer_norm(h, p["attn_ln_g"], p["attn_ln_b"], eps)
         q, k, v = _qkv_proj(hn, p["qkv_w"], p["qkv_b"])
         if isinstance(k_cache, QTensor):
-            kq, ks = _q8_rows(k)
-            vq, vs = _q8_rows(v)
+            kq, ks = _q8_rows(k, k_cache.q.dtype)
+            vq, vs = _q8_rows(v, v_cache.q.dtype)
             k_cache = QTensor(
                 jax.lax.dynamic_update_slice_in_dim(
                     k_cache.q, kq, pos, axis=1),
