@@ -461,7 +461,12 @@ def beam_search_batched(
             fin_tokens=jnp.where(f2, s.fin_tokens, fin_tokens),
             fin_len=jnp.where(f1, s.fin_len, fin_len),
             fin_logp=jnp.where(f1, s.fin_logp, fin_logp),
-            logp_next=jnp.where(f2, s.logp_next, logp_next),
+            # logp_next needs no freeze: a stopped window's RESULT leaves
+            # (tokens/logp/valid/fin_*) are frozen above, its stop rule
+            # reads only those, and the candidates computed from a stale
+            # logp_next next step are discarded by the same masks -- so the
+            # (W, K, V) select (25 MB/step at W24) is pure waste.
+            logp_next=logp_next,
             self_k=cache.self_k,
             self_v=cache.self_v,
         )
