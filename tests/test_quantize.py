@@ -269,6 +269,15 @@ class TestInt4KV:
         )
         p = M.init_params(jax.random.PRNGKey(2), cfg)
         qp = quantize.quantize_params(p)
+
+        # The option must actually materialize S4 storage (it silently
+        # allocated int8 until round 3): check the cache dtypes directly.
+        enc = jnp.zeros((1, 4, 64), jnp.float32)
+        cache = M.init_cache(p, enc, cfg, self_quant="int4", kv_quant="int4")
+        assert cache.self_k.q.dtype == jnp.int4
+        assert cache.self_v.q.dtype == jnp.int4
+        assert cache.cross_k.q.dtype == jnp.int4
+
         report = agreement.decode_agreement(
             p, qp, cfg, eot_id=5, prompt=[1, 2, 3], max_depth=10,
             n_windows=6, beam_size=3, kv_quant_test="int4",

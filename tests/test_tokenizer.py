@@ -148,3 +148,40 @@ class TestFullScaleLayout:
         assert full.is_special(50257)  # eot
         assert full.is_special(51864)  # last timestamp
         assert not full.is_special(0)
+
+    def test_haw_reachable(self, full, tok):
+        """The 99th language: "haw" sits between "tt" and "ln" (id 50352)
+        in the trained vocabulary but is absent from the reference's table
+        (src/token.rs:50-58). It must resolve against a tokenizer that
+        carries it, and fall back to a KeyError against one that doesn't."""
+        assert full.language_token("haw") == 50352
+        assert "haw" in full.available_languages()
+        assert len(full.available_languages()) == 99
+        # the small test tokenizer lacks haw: recognized code, missing token
+        with pytest.raises(KeyError, match="no token"):
+            tok.language_token("haw")
+        assert "haw" not in tok.available_languages()
+        # a made-up code is still rejected as invalid
+        with pytest.raises(KeyError, match="Invalid language"):
+            full.language_token("xx")
+
+    def test_haw_in_detection(self, full):
+        """detect_language scores every language the tokenizer carries,
+        including haw (pipeline/detect.py builds its id list from
+        available_languages, not the reference's 98-entry table)."""
+        import jax
+        import jax.numpy as jnp
+
+        from whisper_tpu.config import tiny_test_config
+        from whisper_tpu.models import whisper as M
+        from whisper_tpu.pipeline.detect import detect_language
+
+        cfg = tiny_test_config(
+            n_state=32, n_head=2, n_vocab=full.vocab_size,
+            n_audio_ctx=8, n_text_ctx=8,
+        )
+        p = M.init_params(jax.random.PRNGKey(0), cfg)
+        enc = jnp.zeros((1, 8, 32), jnp.float32)
+        best, dist = detect_language(p, enc, cfg, full)[0]
+        assert "haw" in dist and len(dist) == 99
+        assert abs(sum(dist.values()) - 1.0) < 1e-3

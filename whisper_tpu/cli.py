@@ -81,7 +81,7 @@ def cmd_transcribe(argv) -> int:
     from .config import SAMPLE_RATE, WhisperConfig
     from .io import checkpoint, native as wav_native, wav
     from .pipeline.transcribe import DecodeOptions, Transcriber
-    from .text.tokenizer import LANGUAGES, WhisperTokenizer
+    from .text.tokenizer import LANGUAGES_FULL, WhisperTokenizer
 
     print("Loading waveform...")  # main.rs:109 contract
     try:
@@ -131,7 +131,10 @@ def cmd_transcribe(argv) -> int:
         print(f"Failed to load whisper model file: {e}", file=sys.stderr)
         return 1
 
-    if args.lang not in LANGUAGES:
+    # Full 99-language table (incl. haw, which the reference's table omits,
+    # src/token.rs:50-58); whether the code resolves against THIS tokenizer
+    # is checked by language_token at prompt construction.
+    if args.lang not in LANGUAGES_FULL:
         print(f"Invalid language abbreviation: {args.lang}", file=sys.stderr)
         return 1
 

@@ -542,6 +542,8 @@ def init_cache(
         # on the decode kernels' DMA behavior).
         from ..quantize import QTensor
 
+        if kv_quant not in (True, "int8", "int4"):
+            raise ValueError(f"unsupported kv_quant: {kv_quant!r}")
         bits = 4 if kv_quant == "int4" else 8
         lim = float(2 ** (bits - 1) - 1)
         qdt = jnp.int4 if bits == 4 else jnp.int8
@@ -560,16 +562,21 @@ def init_cache(
     c = cache_len if cache_len is not None else dec_cfg.n_text_ctx
     c = min(c, dec_cfg.n_text_ctx)
     if self_quant:
-        # int8 self-KV with per-row scales (B, L, C, 1): halves the self
-        # cache stream AND the beam-reshuffle permute traffic.
+        # int8/int4 self-KV with per-row scales (B, L, C): halves (or
+        # quarters) the self cache stream AND the beam-reshuffle permute
+        # traffic. self_quant="int4" stores TPU-native packed S4; _q8_rows
+        # picks its limit from this dtype at append time.
         from ..quantize import QTensor
 
+        if self_quant not in (True, "int8", "int4"):
+            raise ValueError(f"unsupported self_quant: {self_quant!r}")
+        sdt = jnp.int4 if self_quant == "int4" else jnp.int8
         self_k = QTensor(
-            jnp.zeros((b, L, c, d), jnp.int8),
+            jnp.zeros((b, L, c, d), sdt),
             jnp.ones((b, L, c), jnp.float32),
         )
         self_v = QTensor(
-            jnp.zeros((b, L, c, d), jnp.int8),
+            jnp.zeros((b, L, c, d), sdt),
             jnp.ones((b, L, c), jnp.float32),
         )
     else:

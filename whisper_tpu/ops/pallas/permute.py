@@ -142,6 +142,14 @@ def permute_lanes_arrays(
     else:
         if chunk_mask is None:
             chunk_mask = tuple(a.ndim >= 4 for a in arrays)
+        for a, m in zip(arrays, chunk_mask):
+            # The prefix copy rounds valid up to whole chunks; a partial
+            # final chunk would index rows past C (out-of-bounds DMA).
+            if m and a.shape[2] % chunk != 0:
+                raise ValueError(
+                    f"chunked array row count {a.shape[2]} must be a "
+                    f"multiple of chunk={chunk}"
+                )
         kernel = functools.partial(
             _permute_prefix_kernel, b, n, chunk, tuple(chunk_mask))
         scalars = (

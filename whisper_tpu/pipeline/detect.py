@@ -2,8 +2,10 @@
 language as a CLI argument, src/bin/transcribe/main.rs:97-105).
 
 Standard Whisper language ID: run ONE decoder step on the prompt `[SOT]` and
-read the probability mass over the 98 language tokens at the next position.
-One jitted program per encoder length; cost is one decode step.
+read the probability mass over the language tokens at the next position
+(all 99 incl. "haw" when the loaded tokenizer carries it; the reference's
+table stops at 98 -- src/token.rs:50-58). One jitted program per encoder
+length; cost is one decode step.
 """
 
 from __future__ import annotations
@@ -18,7 +20,7 @@ import jax.numpy as jnp
 
 from ..config import WhisperConfig
 from ..models import whisper as M
-from ..text.tokenizer import LANGUAGES, WhisperTokenizer
+from ..text.tokenizer import WhisperTokenizer
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -40,8 +42,9 @@ def detect_language(
     Probabilities are softmax over language tokens only, like the OpenAI
     implementation's detect_language.
     """
+    languages = tokenizer.available_languages()
     lang_ids = np.asarray(
-        [tokenizer.language_token(c) for c in LANGUAGES], np.int32
+        [tokenizer.language_token(c) for c in languages], np.int32
     )
     logits = np.asarray(
         _lang_logits(params, enc_out, jnp.int32(tokenizer.sot), cfg),
@@ -54,6 +57,6 @@ def detect_language(
 
     out = []
     for row in probs:
-        dist = {code: float(p) for code, p in zip(LANGUAGES, row)}
-        out.append((LANGUAGES[int(row.argmax())], dist))
+        dist = {code: float(p) for code, p in zip(languages, row)}
+        out.append((languages[int(row.argmax())], dist))
     return out

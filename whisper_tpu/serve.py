@@ -46,6 +46,9 @@ class _Request:
         self.done = threading.Event()
         self.result: Optional[tuple] = None
         self.error: Optional[str] = None
+        # set by the handler when its waiter gave up (504): the worker
+        # drops abandoned requests instead of burning chip time on them
+        self.abandoned = False
 
 
 class BatchingWorker(threading.Thread):
@@ -60,6 +63,7 @@ class BatchingWorker(threading.Thread):
         self.max_batch = max_batch
         self.max_wait_s = max_wait_s
         self.processed = 0
+        self.dropped = 0  # abandoned (504) requests skipped pre-dispatch
 
     def run(self) -> None:
         from .pipeline.transcribe import DecodeOptions
@@ -82,6 +86,19 @@ class BatchingWorker(threading.Thread):
                 else:
                     self.q.put(nxt)
                     break
+            # Under sustained overload a request can sit queued past its
+            # waiter's deadline; transcribing it anyway would waste chip
+            # time exactly when it's scarcest. Drop members whose waiter
+            # already 504ed before dispatching the batch.
+            live = [r for r in batch if not r.abandoned]
+            self.dropped += len(batch) - len(live)
+            for r in batch:
+                if r.abandoned:
+                    r.done.set()
+            batch = live
+            if not batch:
+                continue
+            req = batch[0]
             try:
                 opts = DecodeOptions(
                     lang=req.lang,
@@ -202,7 +219,8 @@ def make_handler(worker: BatchingWorker, sample_rate: int,
         def do_GET(self):
             if urlparse(self.path).path == "/healthz":
                 self._json(200, {"status": "ok",
-                                 "processed": worker.processed})
+                                 "processed": worker.processed,
+                                 "dropped": worker.dropped})
             else:
                 self._json(404, {"error": "not found"})
 
@@ -327,7 +345,8 @@ def make_handler(worker: BatchingWorker, sample_rate: int,
                 self._json(503, {"error": "server overloaded, retry later"})
                 return
             if not req.done.wait(timeout=request_timeout_s):
-                req.error = "timeout"  # worker will still drain it
+                req.abandoned = True  # worker skips it pre-dispatch
+                req.error = "timeout"
                 self._json(504, {"error": "transcription timed out"})
                 return
             if req.error is not None:

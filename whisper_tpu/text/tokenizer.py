@@ -133,9 +133,24 @@ class WhisperTokenizer:
         return self._required(SpecialToken.START_OF_PREV)
 
     def language_token(self, code: str) -> int:
-        if code not in LANGUAGES:
+        """Id of <|code|>.
+
+        Validates against the full 99-language table (LANGUAGES_FULL): the
+        reference's table omits "haw" (src/token.rs:50-58) even though the
+        trained multilingual vocabulary has it at id 50352; codes beyond the
+        reference's 98 resolve iff the loaded tokenizer actually carries the
+        token (a KeyError from _required otherwise).
+        """
+        if code not in LANGUAGES_FULL:
             raise KeyError(f"Invalid language abbreviation: {code}")
         return self._required(SpecialToken.language(code))
+
+    def available_languages(self) -> tuple:
+        """Language codes (reference order + haw) present in this tokenizer."""
+        return tuple(
+            c for c in LANGUAGES_FULL
+            if self.token_to_id(SpecialToken.language(c)) is not None
+        )
 
     # -- suppress mask ------------------------------------------------------
     def suppress_mask(self) -> np.ndarray:
