@@ -334,3 +334,38 @@ class TestBeamPrimitives:
         v2, i2 = jax.lax.top_k(x, 3)
         assert jnp.array_equal(jnp.isinf(v1), jnp.isinf(v2))
         assert jnp.array_equal(v1[0, 0], v2[0, 0]) and i1[0, 0] == i2[0, 0]
+
+    def test_two_level_top_k_matches_iterative(self):
+        """The two-level segmented top-k (large-N path) is element-for-
+        element identical to the iterative form, including tie-breaks and
+        the -inf duplicate-0 quirk."""
+        rng = np.random.default_rng(1)
+        # large N, NOT a multiple of the 128 segment, duplicated values to
+        # force cross-segment ties, plus -inf rows/tails
+        n = 5 * 128 + 37
+        x = rng.standard_normal((6, n)).astype(np.float32)
+        x[:, 1::3] = x[:, 0::3][:, : len(x[0, 1::3])]  # many exact ties
+        x[2] = -np.inf
+        x[3, 10:] = -np.inf
+        x[4, :200] = 7.0  # a 200-wide tie plateau spanning segments
+        xj = jnp.asarray(x)
+        v1, i1 = dbeam._top_k(xj, 5)
+        v2, i2 = dbeam._top_k_iter(xj, 5)
+        assert x.shape[-1] > 4 * 128  # the two-level path is actually taken
+        assert jnp.array_equal(jnp.isneginf(v1), jnp.isneginf(v2))
+        finite = ~np.isneginf(np.asarray(v1))
+        assert np.array_equal(np.asarray(v1)[finite], np.asarray(v2)[finite])
+        assert np.array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_two_level_top_k_segment_boundary_ties(self):
+        """k-th value tied across included/excluded segments resolves to
+        the lowest global index, exactly like lax.top_k."""
+        x = np.zeros((1, 6 * 128), np.float32)
+        # identical maxima in many segments; lowest-index elements must win
+        for s in range(6):
+            x[0, s * 128 + 7] = 5.0
+        x[0, 300] = 9.0
+        xj = jnp.asarray(x)
+        v1, i1 = dbeam._top_k(xj, 4)
+        v2, i2 = jax.lax.top_k(xj, 4)
+        assert jnp.array_equal(v1, v2) and jnp.array_equal(i1, i2)

@@ -39,7 +39,7 @@ from ..models import whisper as M
 
 NEG_INF = float("-inf")
 
-def _top_k(x, k):
+def _top_k_iter(x, k):
     """Exact top-k over the last axis via k iterative argmax passes.
 
     XLA's sort-based `lax.top_k` over the (W, K*V) beam candidate matrix
@@ -47,6 +47,13 @@ def _top_k(x, k):
     of 259k, five max+mask passes are cheaper and exactly equivalent
     (ties: argmax picks the lowest index, matching lax.top_k's stable
     order over distinct-index candidates).
+
+    Divergence from lax.top_k: if a row has fewer than k finite entries,
+    the all--inf tail yields argmax = 0 repeatedly, so the returned
+    indices contain DUPLICATE 0s where lax.top_k would return distinct
+    indices. Harmless here (-inf slots never carry results: selection and
+    freeze logic key on the logp values), but consumers of the index array
+    must not assume distinctness.
     """
     vals, idxs = [], []
     iota = jnp.arange(x.shape[-1])
@@ -56,6 +63,49 @@ def _top_k(x, k):
         idxs.append(i.astype(jnp.int32))
         x = jnp.where(iota == i[..., None], -jnp.inf, x)
     return jnp.stack(vals, -1), jnp.stack(idxs, -1)
+
+
+def _top_k(x, k, seg: int = 128):
+    """Exact top-k, two-level: segment maxima -> top-k segments -> top-k.
+
+    The k iterative argmax passes of `_top_k_iter` each stream the full
+    (W, K*V) candidate matrix (k reads + k masked writes ~ 250 MB/step at
+    large-v2 W24); here ONE max pass reduces each 128-lane segment, the
+    top-k SEGMENTS are found on the (W, N/128) maxima, and the final top-k
+    runs over the k*128 gathered candidates. Exactness: any true top-k
+    element's segment max is >= that element, so fewer than k other
+    segments can rank strictly above its segment -- with the same
+    lowest-index tie order on both levels (segments are re-sorted
+    ascending before the gather, making gathered position order = global
+    index order), the result is element-for-element identical to
+    `_top_k_iter`, including tie-breaks. The -inf-tail duplicate-0 quirk
+    is reproduced explicitly (see `_top_k_iter`'s docstring).
+    """
+    n = x.shape[-1]
+    if n <= 4 * seg:
+        return _top_k_iter(x, k)
+    pad = (-n) % seg
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)],
+                    constant_values=-jnp.inf)
+    nseg = (n + pad) // seg
+    xs = x.reshape(*x.shape[:-1], nseg, seg)
+    seg_max = jnp.max(xs, axis=-1)  # (..., nseg), one full-stream pass
+    # lax.top_k, NOT _top_k_iter: the segment indices must be DISTINCT even
+    # when segment maxima tie at -inf (the iterative form's duplicate-0
+    # quirk would gather the same segment k times and drop real candidates).
+    # Small input (n/128 per row), stable lowest-index tie order.
+    _, seg_idx = jax.lax.top_k(seg_max, k)
+    seg_idx = jnp.sort(seg_idx, axis=-1)  # ascending: position = index order
+    gathered = jnp.take_along_axis(xs, seg_idx[..., None], axis=-2)
+    vals, local = _top_k_iter(gathered.reshape(*x.shape[:-1], k * seg), k)
+    gi = (
+        jnp.take_along_axis(seg_idx, local // seg, axis=-1) * seg
+        + local % seg
+    ).astype(jnp.int32)
+    # all--inf rows: mimic the iterative form's duplicate index 0
+    gi = jnp.where(jnp.isneginf(vals), 0, gi)
+    return vals, gi
 
 
 def _cache_gather(self_k, self_v, gparent, valid_len=None):
@@ -119,6 +169,77 @@ def _masked_log_softmax(
     return jax.nn.log_softmax(logits, axis=-1)
 
 
+def apply_timestamp_rules(
+    logits: jax.Array,  # (B, V) f32, already suppress-masked
+    tokens: jax.Array,  # (B, ctx) i32 current sequences (prompt included)
+    seq_len: jax.Array,  # i32 scalar: current length (next write position)
+    prompt_len: int,
+    ts_begin: int,  # id of <|0.00|>; every id >= ts_begin is a timestamp
+    eot_id: int,
+    max_initial_idx: int,  # first sampled timestamp capped at ts_begin+this
+) -> jax.Array:
+    """The standard Whisper timestamp logit constraints, in-graph.
+
+    New capability (the reference always decodes <|notimestamps|>,
+    src/transcribe.rs:203); the rules follow OpenAI Whisper's
+    ApplyTimestampRules so emitted segments are well-formed:
+      1. pairs: after a single (opening) timestamp the next token must be a
+         timestamp or EOT; after a closing pair the next must NOT be one;
+      2. monotonic: timestamps never decrease (equal allowed only for the
+         pair-closing token);
+      3. the FIRST sampled token is a timestamp, <= max_initial_idx;
+      4. if the total timestamp probability exceeds the best text token's,
+         a timestamp is forced (the sum-of-logprobs rule).
+    """
+    neg = NEG_INF
+    V = logits.shape[-1]
+    ids = jnp.arange(V)
+    is_ts = ids >= ts_begin  # (V,)
+
+    last = tokens[:, seq_len - 1]  # (B,) seq_len >= prompt_len >= 1
+    penult = tokens[:, jnp.maximum(seq_len - 2, 0)]
+    last_is_ts = (seq_len >= prompt_len + 1) & (last >= ts_begin)
+    pen_is_ts = (seq_len >= prompt_len + 2) & (penult >= ts_begin)
+
+    # 1. pair rules
+    closed = last_is_ts & pen_is_ts  # <|a|><|b|> just closed: no 3rd stamp
+    opened = last_is_ts & ~pen_is_ts  # single stamp open: ts or EOT only
+    logits = jnp.where(closed[:, None] & is_ts[None, :], neg, logits)
+    logits = jnp.where(
+        opened[:, None] & ~is_ts[None, :] & (ids != eot_id)[None, :],
+        neg, logits,
+    )
+
+    # 2. monotonicity: floor = max emitted timestamp (+1 once its pair
+    #    closed, so the next OPENING stamp strictly advances)
+    ctx = tokens.shape[1]
+    pos = jnp.arange(ctx)
+    sampled = (pos >= prompt_len) & (pos < seq_len)
+    ts_vals = jnp.where(sampled[None, :] & (tokens >= ts_begin), tokens, -1)
+    ts_last = jnp.max(ts_vals, axis=1)  # (B,) -1 when none emitted yet
+    floor = jnp.where(opened, ts_last, ts_last + 1)
+    logits = jnp.where(
+        (ts_last >= 0)[:, None] & is_ts[None, :]
+        & (ids[None, :] < floor[:, None]),
+        neg, logits,
+    )
+
+    # 3. first sampled position: timestamps only, capped
+    first = seq_len == prompt_len
+    logits = jnp.where(first & ~is_ts[None, :], neg, logits)
+    logits = jnp.where(
+        first & (ids[None, :] > ts_begin + max_initial_idx), neg, logits
+    )
+
+    # 4. sum-of-logprobs rule
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    ts_lp = jax.nn.logsumexp(jnp.where(is_ts[None, :], lp, neg), axis=-1)
+    text_max = jnp.max(jnp.where(is_ts[None, :], neg, lp), axis=-1)
+    force_ts = ts_lp > text_max
+    logits = jnp.where(force_ts[:, None] & ~is_ts[None, :], neg, logits)
+    return logits
+
+
 def beam_search(
     params: M.Params,
     enc_out: jax.Array,  # (1, Sa, d)
@@ -131,18 +252,33 @@ def beam_search(
     suppress_until_len: int = 5,
     kv_quant: bool = False,
     self_quant: bool = False,
+    ts_begin: Optional[int] = None,
+    max_initial_ts_idx: int = 50,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run beam search; returns (tokens (n_text_ctx,), length, log_prob).
 
     The returned sequence includes the prompt, like the reference where the
     initial BeamNode holds the prompt (src/transcribe.rs:201-220) and the
     final seq is decoded whole (src/transcribe.rs:309-312,380).
+
+    `ts_begin` (the <|0.00|> id) enables the in-graph timestamp constraints
+    (apply_timestamp_rules) for timestamped decoding.
     """
     K = beam_size
     dec_cfg = cfg.text_decoder_config
     V = dec_cfg.n_vocab
     ctx = dec_cfg.n_text_ctx
     P = prompt.shape[0]
+
+    def _logp(logits, tokens, seq_len):
+        x = logits.astype(jnp.float32)
+        if suppress_mask is not None:
+            x = jnp.where(seq_len <= suppress_until_len, x + suppress_mask, x)
+        if ts_begin is not None:
+            x = apply_timestamp_rules(
+                x, tokens, seq_len, P, ts_begin, eot_id, max_initial_ts_idx
+            )
+        return jax.nn.log_softmax(x, axis=-1)
 
     # ---- prefill: all K lanes carry the same prompt; only lane 0 is live.
     tokens0 = jnp.zeros((K, ctx), jnp.int32).at[:, :P].set(prompt[None, :])
@@ -155,9 +291,7 @@ def beam_search(
         params, tokens0[:, :P], jnp.int32(0), cache, cfg
     )
     cross_k, cross_v = cache.cross_k, cache.cross_v  # loop-invariant closure
-    logp_next = _masked_log_softmax(
-        logits[:, -1], jnp.int32(P), suppress_mask, suppress_until_len
-    )
+    logp_next = _logp(logits[:, -1], tokens0, jnp.int32(P))
 
     state = BeamState(
         depth=jnp.int32(0),
@@ -222,9 +356,7 @@ def beam_search(
         logits, cache = M.decoder_step(
             params, tok[:, None], s.cur_len, cache, cfg
         )
-        logp_next = _masked_log_softmax(
-            logits[:, -1], s.cur_len + 1, suppress_mask, suppress_until_len
-        )
+        logp_next = _logp(logits[:, -1], new_tokens, s.cur_len + 1)
 
         return BeamState(
             depth=s.depth + 1,
@@ -278,6 +410,8 @@ def beam_search(
         "suppress_until_len",
         "kv_quant",
         "self_quant",
+        "ts_begin",
+        "max_initial_ts_idx",
     ),
 )
 def beam_search_jit(
@@ -292,6 +426,8 @@ def beam_search_jit(
     suppress_until_len: int = 5,
     kv_quant: bool = False,
     self_quant: bool = False,
+    ts_begin: Optional[int] = None,
+    max_initial_ts_idx: int = 50,
 ):
     return beam_search(
         params,
@@ -305,6 +441,8 @@ def beam_search_jit(
         suppress_until_len,
         kv_quant,
         self_quant,
+        ts_begin,
+        max_initial_ts_idx,
     )
 
 

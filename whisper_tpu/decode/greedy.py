@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..config import WhisperConfig
 from ..models import whisper as M
-from .beam import _masked_log_softmax
+from .beam import _masked_log_softmax, apply_timestamp_rules
 
 
 class GreedyState(NamedTuple):
@@ -48,16 +48,30 @@ def greedy_decode(
     suppress_until_len: int = 5,
     kv_quant: bool = False,
     self_quant: bool = False,
+    ts_begin: Optional[int] = None,
+    max_initial_ts_idx: int = 50,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Greedy decode; returns (tokens (B, n_text_ctx), lengths (B,), sum_logp).
 
     Sequences end with EOT (appended implicitly when predicted); streams that
     finish early idle until the last stream finishes (fixed-shape loop).
+    `ts_begin` (the <|0.00|> id) enables the in-graph timestamp constraints
+    (decode/beam.apply_timestamp_rules) for timestamped decoding.
     """
     dec_cfg = cfg.text_decoder_config
     ctx = dec_cfg.n_text_ctx
     P = prompt.shape[0]
     B = batch or enc_out.shape[0]
+
+    def _logp(logits, tokens, seq_len):
+        x = logits.astype(jnp.float32)
+        if suppress_mask is not None:
+            x = jnp.where(seq_len <= suppress_until_len, x + suppress_mask, x)
+        if ts_begin is not None:
+            x = apply_timestamp_rules(
+                x, tokens, seq_len, P, ts_begin, eot_id, max_initial_ts_idx
+            )
+        return jax.nn.log_softmax(x, axis=-1)
 
     tokens0 = jnp.zeros((B, ctx), jnp.int32).at[:, :P].set(prompt[None, :])
     cache_len = min(ctx, -(-(P + max_depth) // 128) * 128)
@@ -65,9 +79,7 @@ def greedy_decode(
                          kv_quant=kv_quant, self_quant=self_quant)
     logits, cache = M.decoder_step(params, tokens0[:, :P], jnp.int32(0), cache, cfg)
     cross_k, cross_v = cache.cross_k, cache.cross_v  # loop-invariant closure
-    logp_next = _masked_log_softmax(
-        logits[:, -1], jnp.int32(P), suppress_mask, suppress_until_len
-    )
+    logp_next = _logp(logits[:, -1], tokens0, jnp.int32(P))
 
     state = GreedyState(
         tokens=tokens0,
@@ -99,9 +111,7 @@ def greedy_decode(
 
         full = M.DecoderCache(s.self_k, s.self_v, cross_k, cross_v)
         logits, cache = M.decoder_step(params, tok[:, None], s.seq_len, full, cfg)
-        logp_next = _masked_log_softmax(
-            logits[:, -1], s.seq_len + 1, suppress_mask, suppress_until_len
-        )
+        logp_next = _logp(logits[:, -1], tokens, s.seq_len + 1)
         return GreedyState(
             tokens=tokens,
             length=length,
@@ -120,7 +130,8 @@ def greedy_decode(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "eot_id", "batch", "max_depth",
-                     "suppress_until_len", "kv_quant", "self_quant"),
+                     "suppress_until_len", "kv_quant", "self_quant",
+                     "ts_begin", "max_initial_ts_idx"),
 )
 def greedy_decode_jit(
     params,
@@ -134,6 +145,8 @@ def greedy_decode_jit(
     suppress_until_len: int = 5,
     kv_quant: bool = False,
     self_quant: bool = False,
+    ts_begin: Optional[int] = None,
+    max_initial_ts_idx: int = 50,
 ):
     return greedy_decode(
         params,
@@ -147,4 +160,6 @@ def greedy_decode_jit(
         suppress_until_len,
         kv_quant,
         self_quant,
+        ts_begin,
+        max_initial_ts_idx,
     )

@@ -41,22 +41,42 @@ def segments_from_tokens(
     Non-timestamp special tokens (prompt, EOT) are skipped. Returns [] when
     the sequence carries no text.
     """
-    segments: List[Segment] = []
+    return [s for s, _ in segments_with_positions(tokens, tok, offset_s, window_s)]
+
+
+def segments_with_positions(
+    tokens: Sequence[int],
+    tok: WhisperTokenizer,
+    offset_s: float = 0.0,
+    window_s: float = 30.0,
+) -> List:
+    """Like segments_from_tokens, but each segment carries the POSITIONS of
+    its text tokens within `tokens`: returns [(Segment, [pos, ...])].
+
+    The positions drive token-overlap stitching across windows
+    (pipeline/transcribe.transcribe_with_timestamps): when the stitcher
+    splices two windows' raw token lists at an index, segments are trimmed
+    at exactly that index instead of being dropped wholesale.
+    """
+    out: List = []
     cur_tokens: List[int] = []
+    cur_pos: List[int] = []
     cur_start = offset_s
 
     def flush(end_s: float) -> None:
-        nonlocal cur_tokens, cur_start
+        nonlocal cur_tokens, cur_pos, cur_start
         if cur_tokens:
             text = tok.decode(cur_tokens, skip_special=True)
             if text.strip():
-                segments.append(
-                    Segment(cur_start, end_s, text, list(cur_tokens))
+                out.append(
+                    (Segment(cur_start, end_s, text, list(cur_tokens)),
+                     list(cur_pos))
                 )
         cur_tokens = []
+        cur_pos = []
 
     open_segment = False
-    for t in tokens:
+    for i, t in enumerate(tokens):
         t = int(t)
         if tok.is_timestamp(t):
             ts = offset_s + tok.timestamp_seconds(t)
@@ -71,5 +91,6 @@ def segments_from_tokens(
             continue
         else:
             cur_tokens.append(t)
+            cur_pos.append(i)
     flush(offset_s + window_s)
-    return segments
+    return out

@@ -141,11 +141,13 @@ class StreamingTranscriber:
             self._n_window, int(self._prompt.shape[0]), self.opt.strategy,
             self.opt.beam_size, self.opt.max_depth, self.opt.padding,
             self.opt.suppress_until_len, self.opt.kv_quant,
-            self.opt.self_quant,
+            self.opt.self_quant, timestamps=True,
+            max_initial_ts_idx=max(
+                0, int(round(self.opt.max_initial_timestamp / 0.02))),
         )
         toks_dev, length = fn(
             self._t.params, jnp.asarray(window), self._prompt,
-            self._t._suppress,
+            self._t._suppress_ts,
         )
         tokens = [int(t) for t in np.asarray(toks_dev)[: int(length)]]
         real_s = real / SAMPLE_RATE

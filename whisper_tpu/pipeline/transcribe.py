@@ -63,6 +63,7 @@ class DecodeOptions:
     stitch_min_overlaps: int = 3  # src/transcribe.rs:57
     suppress_until_len: int = 5  # src/transcribe.rs:271
     timestamps: bool = False
+    max_initial_timestamp: float = 1.0  # s; cap on the first emitted stamp
     kv_quant: bool = False  # cross-KV cache quant: True/"int8", or "int4"
     self_quant: bool = False  # int8 self-KV cache with per-row scales
 
@@ -137,6 +138,21 @@ class Transcriber:
         """
         if attention == "auto":
             attention = "flash" if jax.default_backend() == "tpu" else "xla"
+        if (mesh is not None and mesh.shape.get("tp", 1) > 1
+                and attention == "flash"):
+            # The Pallas decode/flash kernels are opaque custom calls GSPMD
+            # cannot partition over the head axis: feeding tp-sharded
+            # params/caches into them would at best force a replication
+            # all-gather and at worst fail to lower. Until the kernels are
+            # shard_map'ed over heads, tensor-parallel meshes take the XLA
+            # attention path, which GSPMD partitions cleanly.
+            log.warning(
+                "tensor-parallel mesh (tp=%d): forcing attention='xla' "
+                "(the Pallas attention kernels are unpartitioned custom "
+                "calls; see test_parallel.py::TestTpAttentionGuard)",
+                mesh.shape["tp"],
+            )
+            attention = "xla"
         cfg = dataclasses.replace(cfg, attention=attention)
         self._matmul_precision = matmul_precision
         if tokenizer.vocab_size != cfg.text_decoder_config.n_vocab:
@@ -169,6 +185,17 @@ class Transcriber:
         self.cfg = cfg
         self.tok = tokenizer
         self._suppress = jnp.asarray(tokenizer.suppress_mask())
+        # timestamped decoding keeps timestamp tokens OUT of the suppress
+        # set (they must be emittable; the in-graph timestamp rules govern
+        # them instead) -- matching OpenAI Whisper's suppress list.
+        try:
+            self._ts_begin: Optional[int] = tokenizer.timestamp_begin
+            m = np.asarray(tokenizer.suppress_mask()).copy()
+            m[self._ts_begin:] = 0.0
+            self._suppress_ts = jnp.asarray(m)
+        except KeyError:
+            self._ts_begin = None
+            self._suppress_ts = self._suppress
         # per-instance jit cache (a functools.lru_cache on the method would
         # key on `self` at class level and pin every Transcriber forever --
         # a real leak under the serving daemon)
@@ -179,19 +206,31 @@ class Transcriber:
         self, n_samples: int, prompt_len: int, strategy: str, beam_size: int,
         max_depth: int, padding: int, suppress_until_len: int,
         kv_quant: bool = False, self_quant: bool = False,
+        timestamps: bool = False, max_initial_ts_idx: int = 50,
     ) -> Callable:
         """One jitted program: waveform window -> (tokens, length).
 
         Compiled per distinct (window length, options); the full-size window
-        dominates, so steady state reuses a single executable.
+        dominates, so steady state reuses a single executable. With
+        `timestamps`, the decode loops run the in-graph timestamp logit
+        constraints (decode/beam.apply_timestamp_rules).
         """
         key = ("window", n_samples, prompt_len, strategy, beam_size,
-               max_depth, padding, suppress_until_len, kv_quant, self_quant)
+               max_depth, padding, suppress_until_len, kv_quant, self_quant,
+               timestamps, max_initial_ts_idx)
         if key in self._fn_cache:
             return self._fn_cache[key]
         cfg = self.cfg
         enc_ctx = cfg.encoder_ctx_size
         eot = self.tok.eot
+        ts_begin = None
+        if timestamps:
+            if self._ts_begin is None:
+                raise ValueError(
+                    "timestamps=True but the tokenizer has no timestamp "
+                    "tokens (<|0.00|>...)"
+                )
+            ts_begin = self._ts_begin
 
         def run(params, wave, prompt, suppress):
             mel = prep_audio(wave[None, :])  # (1, n_mels, F)
@@ -206,12 +245,14 @@ class Transcriber:
                     suppress_mask=suppress, beam_size=beam_size,
                     max_depth=max_depth, suppress_until_len=suppress_until_len,
                     kv_quant=kv_quant, self_quant=self_quant,
+                    ts_begin=ts_begin, max_initial_ts_idx=max_initial_ts_idx,
                 )
                 return toks, length
             toks, lengths, _ = dgreedy.greedy_decode(
                 params, enc, prompt, cfg, eot_id=eot, suppress_mask=suppress,
                 max_depth=max_depth, suppress_until_len=suppress_until_len,
                 kv_quant=kv_quant, self_quant=self_quant,
+                ts_begin=ts_begin, max_initial_ts_idx=max_initial_ts_idx,
             )
             return toks[0], lengths[0]
 
@@ -367,14 +408,17 @@ class Transcriber:
         """Timestamped transcription: returns (text, segments).
 
         New capability (the reference always decodes with <|notimestamps|>,
-        src/transcribe.rs:203): the prompt omits <|notimestamps|>, the model
-        emits <|x.xx|> tokens, and each window's tokens are split into
+        src/transcribe.rs:203): the prompt omits <|notimestamps|>, the
+        in-graph timestamp rules (decode/beam.apply_timestamp_rules) govern
+        the emitted <|x.xx|> tokens, and each window's tokens are split into
         [Segment(start, end, text)] with absolute times (window offset + x.xx,
-        pipeline/segments.py). Windows overlap by `chunk_overlap_seconds`;
-        segments starting inside a later window's overlapped head are dropped as
-        duplicates of the previous window's tail.
+        pipeline/segments.py). Overlapping windows are joined by the SAME
+        token-overlap stitcher as the plain path (find_chunk_overlap,
+        src/transcribe.rs:76-110 semantics), with segments trimmed at the
+        exact splice index -- no boundary segment is silently dropped or
+        duplicated.
         """
-        from .segments import segments_from_tokens
+        from .segments import segments_with_positions
 
         opt = dataclasses.replace(options or DecodeOptions(), timestamps=True)
         cfg, tok = self.cfg, self.tok
@@ -386,7 +430,8 @@ class Transcriber:
             tok.prompt_ids(opt.lang, task=opt.task, timestamps=True),
             jnp.int32)
 
-        segments = []
+        all_tokens: List[int] = []  # stitched raw tokens (plain-path parity)
+        segments: List = []  # [Segment, [global text-token positions]]
         for i, (start, end) in enumerate(
             window_waveform(waveform, sample_rate, n_window, overlap)
         ):
@@ -397,19 +442,62 @@ class Transcriber:
                 len(window), int(prompt.shape[0]), opt.strategy, opt.beam_size,
                 opt.max_depth, opt.padding, opt.suppress_until_len,
                 opt.kv_quant, opt.self_quant,
+                timestamps=True,
+                max_initial_ts_idx=max(
+                    0, int(round(opt.max_initial_timestamp / 0.02))),
             )
             toks_dev, length = fn(self.params, jnp.asarray(window), prompt,
-                                  self._suppress)
+                                  self._suppress_ts)
             new_tokens = [int(t) for t in np.asarray(toks_dev)[: int(length)]]
             offset = start / sample_rate
             window_s = (end - start) / sample_rate
-            for seg in segments_from_tokens(new_tokens, tok, offset, window_s):
-                if i > 0 and seg.start < offset + opt.chunk_overlap_seconds:
-                    continue  # duplicate of the previous window's tail
-                segments.append(seg)
+            new_segs = segments_with_positions(new_tokens, tok, offset, window_s)
 
-        text = " ".join(s.text.strip() for s in segments)
-        return text, segments
+            spliced = find_chunk_overlap(
+                all_tokens, new_tokens, opt.stitch_max_offsets,
+                opt.stitch_min_overlaps,
+            )
+            if spliced is not None:
+                pi, ci = spliced
+                all_tokens = all_tokens[:pi] + new_tokens[ci:]
+                # trim previous segments at the splice: drop text tokens at
+                # global positions >= pi (they are superseded by the new
+                # window's reading of the same audio)
+                trimmed = []
+                for seg, pos in segments:
+                    keep = [(t, p) for t, p in zip(seg.tokens, pos) if p < pi]
+                    if not keep:
+                        continue
+                    if len(keep) != len(seg.tokens):
+                        toks_k = [t for t, _ in keep]
+                        seg = dataclasses.replace(
+                            seg, tokens=toks_k,
+                            text=tok.decode(toks_k, skip_special=True),
+                        )
+                    trimmed.append((seg, [p for _, p in keep]))
+                segments = trimmed
+                shift = pi - ci  # window position p -> global p + shift
+                for seg, pos in new_segs:
+                    keep = [(t, p) for t, p in zip(seg.tokens, pos) if p >= ci]
+                    if not keep:
+                        continue
+                    if len(keep) != len(seg.tokens):
+                        toks_k = [t for t, _ in keep]
+                        seg = dataclasses.replace(
+                            seg, tokens=toks_k,
+                            text=tok.decode(toks_k, skip_special=True),
+                        )
+                    segments.append((seg, [p + shift for _, p in keep]))
+            else:
+                base = len(all_tokens)
+                all_tokens = all_tokens + new_tokens
+                segments += [
+                    (seg, [p + base for p in pos]) for seg, pos in new_segs
+                ]
+
+        segs = [s for s, _ in segments if s.text.strip()]
+        text = " ".join(s.text.strip() for s in segs)
+        return text, segs
 
 
 def waveform_to_text(
