@@ -7,11 +7,13 @@ streams, bf16 weights, fixed decode depth (no early EOT exit) so the work is
 deterministic and the number is a lower bound on real transcription speed
 (real decodes emit EOT long before the depth cap).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+primary model (large-v2 greedy), with "beam" and "tiny_en" sub-records so
+BOTH BASELINE models appear in the round artifact.
 vs_baseline is value / 50 -- the BASELINE.json target of >=50x real-time per
 chip (set for large-v2; reported for whatever model is benched, see metric).
 
-The default configuration is int8 weights + int8 cross-KV cache -- the
+The default configuration is int8 weights + int4 cross-KV cache -- the
 fastest config that clears the quantization token-agreement gate
 (tests/test_quantize.py::TestAgreementGate and `whisper_tpu quant-check`:
 token-identical greedy AND beam decode vs bf16, see docs/PERFORMANCE.md).
@@ -29,10 +31,10 @@ Env knobs:
                             with per-row scales on the beam run only)
   WHISPER_TPU_BENCH_BEAM   (beam width; default 5, 0 disables the beam run)
   WHISPER_TPU_BENCH_BEAM_BATCH (windows in the beam run; default 24)
-
-The JSON line's primary metric is the greedy multi-stream xRT; the reference
-decode config (beam=5, src/transcribe.rs:232-233) is measured too and
-reported in the same line under "beam".
+  WHISPER_TPU_BENCH_SECOND (secondary model; default tiny.en, "none" skips)
+  WHISPER_TPU_BENCH_SECOND_BATCH (streams for the secondary; default 128 --
+                            tiny.en decode is tiny, throughput keeps scaling)
+  WHISPER_TPU_BENCH_SECOND_BEAM_BATCH (windows; default 64)
 """
 
 from __future__ import annotations
@@ -45,26 +47,20 @@ import time
 import numpy as np
 
 
-def main() -> int:
+def bench_model(model_name: str, batch: int, steps: int, reps: int,
+                quant: str, kv_quant, self_kv: str, beam_size: int,
+                beam_batch: int):
+    """Bench one model preset; returns a dict with greedy (+ beam) xRT."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
-    cache_dir = os.path.expanduser("~/.cache/whisper_tpu/xla")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     from whisper_tpu.config import preset
+    from whisper_tpu.decode import beam as dbeam
+    from whisper_tpu.decode import greedy
     from whisper_tpu.models import whisper as M
     from whisper_tpu.ops.audio import max_waveform_samples, prep_audio
-    from whisper_tpu.decode import greedy
-
-    model_name = os.environ.get("WHISPER_TPU_BENCH_MODEL", "large-v2")
-    batch = int(os.environ.get("WHISPER_TPU_BENCH_BATCH", "64"))
-    steps = int(os.environ.get("WHISPER_TPU_BENCH_STEPS", "100"))
-    reps = int(os.environ.get("WHISPER_TPU_BENCH_REPS", "3"))
-
-    import dataclasses
 
     cfg = preset(model_name)
     if jax.default_backend() == "tpu":
@@ -73,15 +69,6 @@ def main() -> int:
           f"device={jax.devices()[0].device_kind}", file=sys.stderr)
 
     params = M.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    kv_env = os.environ.get("WHISPER_TPU_BENCH_KV", "int4")
-    kv_quant = kv_env if kv_env in ("int8", "int4") else False
-    # int8 self-KV (per-row scales): a clear win for beam (halves the
-    # reshuffle permute + cache stream); measured neutral for greedy at b32
-    # (the per-step scale-relayout overhead cancels the bandwidth saving),
-    # so it defaults on for the beam run only.
-    self_kv = os.environ.get("WHISPER_TPU_BENCH_SELFKV", "beam")
-    quant = os.environ.get("WHISPER_TPU_BENCH_QUANT", "int8")
-    quant = "" if quant in ("none", "bf16", "0") else quant
     if quant in ("int8", "int4"):
         from whisper_tpu.quantize import quantize_params
 
@@ -89,8 +76,6 @@ def main() -> int:
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     print(f"# params: {n_params/1e6:.0f}M (bf16{'+int8' if quant else ''})",
           file=sys.stderr)
-
-    from whisper_tpu.decode import beam as dbeam
 
     # one window of the production pipeline, batched over streams
     padding = 10
@@ -153,24 +138,61 @@ def main() -> int:
 
     suffix = (f"_{quant}" if quant else "") + (
         "_kv4" if kv_quant == "int4" else "_kv8" if kv_quant else "")
+    tag = model_name.replace(".", "_").replace("-", "_")
     record = {
-        "metric": f"xrt_{model_name}_b{batch}_greedy{steps}{suffix}",
+        "metric": f"xrt_{tag}_b{batch}_greedy{steps}{suffix}",
         "value": round(xrt, 2),
         "unit": "audio_s_per_s_per_chip",
         "vs_baseline": round(xrt / 50.0, 3),
     }
-
-    beam_size = int(os.environ.get("WHISPER_TPU_BENCH_BEAM", "5"))
     if beam_size > 1:
-        # W=8 measured best on v5e (sweep: W8 43.6x, W12 41.9x, W16 OOM)
-        beam_batch = int(os.environ.get("WHISPER_TPU_BENCH_BEAM_BATCH", "24"))
         beam_xrt, _ = run_config("beam", beam_batch, beam_size)
         record["beam"] = {
-            "metric": (f"xrt_{model_name}_b{beam_batch}_beam{beam_size}_"
+            "metric": (f"xrt_{tag}_b{beam_batch}_beam{beam_size}_"
                        f"{steps}{suffix}"),
             "value": round(beam_xrt, 2),
             "vs_baseline": round(beam_xrt / 50.0, 3),
         }
+    return record
+
+
+def main() -> int:
+    import jax
+
+    cache_dir = os.path.expanduser("~/.cache/whisper_tpu/xla")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    model_name = os.environ.get("WHISPER_TPU_BENCH_MODEL", "large-v2")
+    batch = int(os.environ.get("WHISPER_TPU_BENCH_BATCH", "64"))
+    steps = int(os.environ.get("WHISPER_TPU_BENCH_STEPS", "100"))
+    reps = int(os.environ.get("WHISPER_TPU_BENCH_REPS", "3"))
+    kv_env = os.environ.get("WHISPER_TPU_BENCH_KV", "int4")
+    kv_quant = kv_env if kv_env in ("int8", "int4") else False
+    # int8 self-KV (per-row scales): a clear win for beam (halves the
+    # reshuffle permute + cache stream); measured neutral for greedy at b32
+    # (the per-step scale-relayout overhead cancels the bandwidth saving),
+    # so it defaults on for the beam run only.
+    self_kv = os.environ.get("WHISPER_TPU_BENCH_SELFKV", "beam")
+    quant = os.environ.get("WHISPER_TPU_BENCH_QUANT", "int8")
+    quant = "" if quant in ("none", "bf16", "0") else quant
+    beam_size = int(os.environ.get("WHISPER_TPU_BENCH_BEAM", "5"))
+    # W=24 measured best for large-v2 beam on v5e (docs/PERFORMANCE.md)
+    beam_batch = int(os.environ.get("WHISPER_TPU_BENCH_BEAM_BATCH", "24"))
+
+    record = bench_model(model_name, batch, steps, reps, quant, kv_quant,
+                         self_kv, beam_size, beam_batch)
+
+    # The secondary BASELINE model (tiny.en) rides the same artifact line.
+    second = os.environ.get("WHISPER_TPU_BENCH_SECOND", "tiny.en")
+    if second not in ("", "none", model_name):
+        sbatch = int(os.environ.get("WHISPER_TPU_BENCH_SECOND_BATCH", "128"))
+        sbeam_batch = int(
+            os.environ.get("WHISPER_TPU_BENCH_SECOND_BEAM_BATCH", "64"))
+        srec = bench_model(second, sbatch, steps, reps, quant, kv_quant,
+                           self_kv, beam_size, sbeam_batch)
+        record[second.replace(".", "_").replace("-", "_")] = srec
 
     print(json.dumps(record))
     return 0

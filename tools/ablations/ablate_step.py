@@ -1,3 +1,5 @@
+import sys, os as _os
+sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), '..', '..'))
 import os, time, sys
 os.makedirs(os.path.expanduser("~/.cache/whisper_tpu/xla"), exist_ok=True)
 import jax, jax.numpy as jnp, numpy as np, dataclasses, functools

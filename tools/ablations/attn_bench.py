@@ -1,4 +1,6 @@
 """Microbench: stacked decode-attention kernel, row-major vs transposed K."""
+import sys, os as _os
+sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), '..', '..'))
 import os, time, sys
 import jax, jax.numpy as jnp, numpy as np, functools
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/whisper_tpu/xla"))

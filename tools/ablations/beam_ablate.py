@@ -1,4 +1,6 @@
 """Beam-step ablation. variants: full | nogather | fasttopk | both"""
+import sys, os as _os
+sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), '..', '..'))
 import os, time, sys
 import jax, jax.numpy as jnp, numpy as np, dataclasses, functools
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/whisper_tpu/xla"))

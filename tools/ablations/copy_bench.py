@@ -1,3 +1,5 @@
+import sys, os as _os
+sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), '..', '..'))
 import os, time
 import jax, jax.numpy as jnp, numpy as np
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/whisper_tpu/xla"))
