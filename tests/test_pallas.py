@@ -380,6 +380,72 @@ class TestGroupedCrossAttention:
                 so[:, :, :rows], jnp.take(ks, p, axis=0)[:, :, :rows])
 
 
+class TestValidPrefixRead:
+    """`c_used` valid-prefix block reads of the stacked decode kernel: with
+    every pos < c_used the result must be bit-identical to the full-C read
+    (the excluded rows are masked to -inf weight either way)."""
+
+    def test_plain_matches_full(self, rng):
+        from whisper_tpu.ops.pallas.decode_attention import (
+            decode_attention_stacked,
+        )
+
+        b, l, c, d, nh = 4, 2, 128, 128, 4
+        k = jnp.asarray(rng.standard_normal((b, l, c, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((b, l, c, d)), jnp.bfloat16)
+        q = jnp.asarray(rng.standard_normal((b, d)), jnp.bfloat16)
+        for pos, cu in ((0, 32), (30, 32), (31, 32), (63, 64), (95, 96)):
+            pos_b = jnp.full((b,), pos, jnp.int32)
+            out = decode_attention_stacked(
+                q, k, v, pos_b, jnp.int32(1), nh, interpret=True,
+                batch_major=True, c_used=cu)
+            ref = decode_attention_stacked(
+                q, k, v, pos_b, jnp.int32(1), nh, interpret=True,
+                batch_major=True)
+            assert jnp.array_equal(out, ref), (pos, cu)
+
+    def test_scaled_matches_full(self, rng):
+        from whisper_tpu.ops.pallas.decode_attention import (
+            decode_attention_stacked,
+        )
+
+        b, l, c, d, nh = 4, 2, 64, 128, 4
+        k = jnp.asarray(rng.integers(-127, 128, (b, l, c, d)), jnp.int8)
+        v = jnp.asarray(rng.integers(-127, 128, (b, l, c, d)), jnp.int8)
+        ks = jnp.asarray(
+            rng.uniform(0.01, 0.05, (b, l, c)).astype(np.float32))
+        vs = jnp.asarray(
+            rng.uniform(0.01, 0.05, (b, l, c)).astype(np.float32))
+        q = jnp.asarray(rng.standard_normal((b, d)), jnp.bfloat16)
+        for pos, cu in ((5, 32), (31, 32), (40, 64)):
+            pos_b = jnp.full((b,), pos, jnp.int32)
+            out = decode_attention_stacked(
+                q, k, v, pos_b, jnp.int32(0), nh, interpret=True,
+                batch_major=True, k_rowscale=ks, v_rowscale=vs, c_used=cu)
+            ref = decode_attention_stacked(
+                q, k, v, pos_b, jnp.int32(0), nh, interpret=True,
+                batch_major=True, k_rowscale=ks, v_rowscale=vs)
+            assert jnp.array_equal(out, ref), (pos, cu)
+
+    def test_misaligned_falls_back(self, rng):
+        from whisper_tpu.ops.pallas.decode_attention import (
+            decode_attention_stacked,
+        )
+
+        b, l, c, d, nh = 2, 1, 64, 128, 4
+        k = jnp.asarray(rng.standard_normal((b, l, c, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((b, l, c, d)), jnp.bfloat16)
+        q = jnp.asarray(rng.standard_normal((b, d)), jnp.bfloat16)
+        pos_b = jnp.full((b,), 3, jnp.int32)
+        out = decode_attention_stacked(
+            q, k, v, pos_b, jnp.int32(0), nh, interpret=True,
+            batch_major=True, c_used=48)  # not a 32-multiple -> full read
+        ref = decode_attention_stacked(
+            q, k, v, pos_b, jnp.int32(0), nh, interpret=True,
+            batch_major=True)
+        assert jnp.array_equal(out, ref)
+
+
 class TestBigW8A8Matmul:
     """Large-M tiled W8A8 kernel (encoder shapes; dequant_matmul.py)."""
 

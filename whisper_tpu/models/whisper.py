@@ -26,6 +26,7 @@ TPU-first design (NOT a port of the Burn module graph):
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
@@ -732,6 +733,27 @@ def _decoder_step_fused(
     pos_self = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (b,))
     pos_cross = jnp.full((b,), sa - 1, jnp.int32)
 
+    # Valid-prefix self-attention read: only cache rows [0, pos] hold data,
+    # and the dead tail's DMA is the decode step's single largest avoidable
+    # cost (+1.0 ms/step per 128 dead rows at large-v2 b32 -- see
+    # docs/PERFORMANCE.md cache-length probe). A static ladder of c_used
+    # block sizes, selected per step by lax.switch on pos, lets early steps
+    # stream only a sublane-aligned prefix of the cache; every branch b
+    # guarantees pos < ladder[b] (cross-attention is unaffected: all sa
+    # rows are always valid).
+    c_self = (cache.self_k.q if isinstance(cache.self_k, QTensor)
+              else cache.self_k).shape[2]
+    prefix_g = math.ceil(math.ceil(c_self / 4) / 32) * 32  # ~4 32-aligned branches
+    if c_self % 32 == 0 and prefix_g < c_self:
+        prefix_ladder = sorted(
+            {min((i + 1) * prefix_g, c_self)
+             for i in range(-(-c_self // prefix_g))}
+        )
+        prefix_idx = jnp.minimum(
+            jnp.asarray(pos, jnp.int32) // prefix_g, len(prefix_ladder) - 1)
+    else:
+        prefix_ladder, prefix_idx = [c_self], None
+
     # Per-layer xs: weight slices (consumed by XLA GEMMs, which stage their
     # operands through VMEM anyway) plus the layer counter and the tiny
     # per-layer cross-KV quantization scales.
@@ -763,11 +785,21 @@ def _decoder_step_fused(
                 jax.lax.dynamic_update_slice(
                     self_v.scale, vs[:, None], (0, l, pos)),
             )
-            attn = decode_attention_stacked(
-                q1, self_k.q, self_v.q, pos_self, l, n_head,
-                batch_major=True,
-                k_rowscale=self_k.scale, v_rowscale=self_v.scale,
-            )
+            def _self_attn_q(cu, q1=q1, sk=self_k, sv=self_v, l=l):
+                return decode_attention_stacked(
+                    q1, sk.q, sv.q, pos_self, l, n_head,
+                    batch_major=True,
+                    k_rowscale=sk.scale, v_rowscale=sv.scale, c_used=cu,
+                )
+
+            if prefix_idx is None:
+                attn = _self_attn_q(c_self)
+            else:
+                attn = jax.lax.switch(
+                    prefix_idx,
+                    [functools.partial(_self_attn_q, cu)
+                     for cu in prefix_ladder],
+                )
         else:
             self_k = jax.lax.dynamic_update_slice(
                 self_k, k[:, None].astype(self_k.dtype), (0, l, pos, 0)
@@ -775,9 +807,20 @@ def _decoder_step_fused(
             self_v = jax.lax.dynamic_update_slice(
                 self_v, v[:, None].astype(self_v.dtype), (0, l, pos, 0)
             )
-            attn = decode_attention_stacked(
-                q1, self_k, self_v, pos_self, l, n_head, batch_major=True
-            )
+            def _self_attn(cu, q1=q1, sk=self_k, sv=self_v, l=l):
+                return decode_attention_stacked(
+                    q1, sk, sv, pos_self, l, n_head, batch_major=True,
+                    c_used=cu,
+                )
+
+            if prefix_idx is None:
+                attn = _self_attn(c_self)
+            else:
+                attn = jax.lax.switch(
+                    prefix_idx,
+                    [functools.partial(_self_attn, cu)
+                     for cu in prefix_ladder],
+                )
         h = h + _linear(attn[:, None, :], p["attn_o_w"], p["attn_o_b"])
 
         hn = layer_norm(h, p["cross_ln_g"], p["cross_ln_b"], eps)

@@ -396,8 +396,8 @@ def _decode_attn_stacked_group_kernel(
 
 
 def _decode_attn_stacked_scaled_kernel(
-    rb, lb, layer_ref, pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, e_ref,
-    et_ref, o_ref
+    rb, lb, cu, layer_ref, pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+    e_ref, et_ref, o_ref
 ):
     # Batch-major int8 self-KV path: per-row scale blocks (rb, lb, c) cover
     # lb layers (Pallas requires the second-minor block dim divisible by 8,
@@ -411,8 +411,11 @@ def _decode_attn_stacked_scaled_kernel(
     # per-row (C, 1) columns are then free static lane slices. A per-row
     # transpose variant cost ~0.9 ms/step at large-v2 b32 (2048 tiny
     # relayouts); this form does 2.
-    kst = jnp.transpose(ks_ref[:, li])  # (C, rb) f32
-    vst = jnp.transpose(vs_ref[:, li])
+    # Scale blocks stay whole-C (C sits in the lane dim, which Mosaic DMA
+    # cannot sub-128-slice; at 4 B/row they are ~0.3% of the traffic) --
+    # slice to the k/v blocks' c_used rows after the transpose.
+    kst = jnp.transpose(ks_ref[:, li])[:cu]  # (cu, rb) f32
+    vst = jnp.transpose(vs_ref[:, li])[:cu]
     for j in range(rb):
         o = _attend(
             pos_ref[i * rb + j],
@@ -471,6 +474,7 @@ def decode_attention_stacked(
     kv_rep: int = 1,  # q rows per kv row: kv row j serves q rows [j*r, j*r+r)
     k_rowscale: jax.Array | None = None,  # (B, L, C) f32 int8 row scales
     v_rowscale: jax.Array | None = None,  # (batch-major only)
+    c_used: int | None = None,  # static: attend only over rows [0, c_used)
 ) -> jax.Array:
     """Single-query attention over ONE layer of a layer-stacked KV cache.
 
@@ -487,6 +491,12 @@ def decode_attention_stacked(
     buffer with zero staging copies.
 
     Returns (B, D) in v_cache.dtype (or q.dtype when v_cache is int8).
+
+    `c_used` (static, 32-multiple) restricts the k/v block reads to cache
+    rows [0, c_used): the CALLER must guarantee every pos < c_used (rows at
+    or past c_used are never fetched, so no mask can save a violation).
+    Per-row scale blocks stay whole-C (lane-dim DMA granularity) and are
+    sliced in-kernel. Values outside [1, C] or misaligned fall back to C.
     """
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
@@ -500,6 +510,16 @@ def decode_attention_stacked(
             f"q batch {b} != kv batch {bk} * kv_rep {kv_rep}"
         )
 
+    # Valid-prefix read: when the caller guarantees every pos < c_used, the
+    # k/v BlockSpecs cover only the first c_used cache rows -- the DMA
+    # engine never touches the dead tail (the decode step's dominant HBM
+    # traffic is these cache streams; see docs/PERFORMANCE.md cache-length
+    # probe: +128 dead rows = +1.0 ms/step at large-v2 b32). Blocks must
+    # stay sublane-aligned (int8 needs 32-row multiples).
+    cu = c if c_used is None else min(c_used, c)
+    if cu != c and (cu <= 0 or cu % 32 != 0):
+        cu = c
+
     # Batch rows per grid step: larger blocks amortize per-grid-step fixed
     # costs; bounded so the double-buffered k+v blocks (4*rb*c*d bytes) plus
     # kernel temporaries stay within the raised 64 MB VMEM budget below.
@@ -512,7 +532,7 @@ def decode_attention_stacked(
         rb = 1
         for cand in (8, 4, 2):  # rb=4 best on v5e (docs/PERFORMANCE.md)
             if (cand <= rb_cap and b % cand == 0
-                    and 4 * cand * c * d * k_cache.dtype.itemsize
+                    and 4 * cand * cu * d * k_cache.dtype.itemsize
                     < 40 * 2**20):
                 rb = cand
                 break
@@ -522,7 +542,7 @@ def decode_attention_stacked(
         wb = 1
         for cand in (4, 2):
             if (cand <= wb_cap and bk % cand == 0
-                    and 4 * cand * c * d * k_cache.dtype.itemsize
+                    and 4 * cand * cu * d * k_cache.dtype.itemsize
                     < 40 * 2**20):
                 wb = cand
                 break
@@ -545,7 +565,7 @@ def decode_attention_stacked(
     )
 
     kv_spec = pl.BlockSpec(
-        (wb, 1, c, d) if batch_major else (1, wb, c, d),
+        (wb, 1, cu, d) if batch_major else (1, wb, cu, d),
         (lambda i, lr, pr: (i, lr[0], 0, 0)) if batch_major
         else (lambda i, lr, pr: (lr[0], i, 0, 0)),
         memory_space=pltpu.VMEM,
@@ -570,7 +590,7 @@ def decode_attention_stacked(
             jnp.asarray(_head_sum_matrix_t(d, n_head)),
         ]
         kernel = functools.partial(
-            _decode_attn_stacked_scaled_kernel, rb, lb)
+            _decode_attn_stacked_scaled_kernel, rb, lb, cu)
     elif gm is not None:
         sel, e_mul, et_mul, np_ = gm
         consts = [jnp.asarray(sel), jnp.asarray(e_mul), jnp.asarray(et_mul)]
@@ -606,9 +626,9 @@ def decode_attention_stacked(
             q.dtype if v_cache.dtype in (jnp.int8, jnp.int4) else v_cache.dtype,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * (bk if gm is not None else b) * c * d * 2,
-            bytes_accessed=2 * bk * c * d * k_cache.dtype.itemsize,
-            transcendentals=(bk if gm is not None else b) * c * 128,
+            flops=2 * (bk if gm is not None else b) * cu * d * 2,
+            bytes_accessed=2 * bk * cu * d * k_cache.dtype.itemsize,
+            transcendentals=(bk if gm is not None else b) * cu * 128,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
