@@ -21,8 +21,33 @@ import jax
 # and ignores the JAX_PLATFORMS env var; the config knob does win.
 jax.config.update("jax_platforms", "cpu")
 
+import subprocess
+
 import numpy as np
 import pytest
+
+# Build the native IO library up front (module level: test files evaluate
+# skipif marks like test_flac's `flac_available()` at IMPORT time, before any
+# fixture runs -- on a fresh checkout the whole FLAC suite silently skipped
+# whenever it collected before test_native's build fixture had run).
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+try:
+    _r = subprocess.run(
+        ["make", "-C", os.path.join(_repo, "native")],
+        capture_output=True, timeout=300,
+    )
+    if _r.returncode == 0:
+        import whisper_tpu.io.native as _native
+
+        if _native._LIB is None:
+            _native._LIB = _native._load_lib()
+            if _native._LIB is not None:
+                try:
+                    _native._bind_flac(_native._LIB)
+                except AttributeError:  # old .so without the FLAC symbols
+                    pass
+except (OSError, subprocess.TimeoutExpired):  # no make: tests skip as before
+    pass
 
 
 @pytest.fixture(scope="session")

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -733,17 +734,26 @@ def _decoder_step_fused(
     pos_self = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (b,))
     pos_cross = jnp.full((b,), sa - 1, jnp.int32)
 
-    # Valid-prefix self-attention read: only cache rows [0, pos] hold data,
-    # and the dead tail's DMA is the decode step's single largest avoidable
-    # cost (+1.0 ms/step per 128 dead rows at large-v2 b32 -- see
-    # docs/PERFORMANCE.md cache-length probe). A static ladder of c_used
-    # block sizes, selected per step by lax.switch on pos, lets early steps
-    # stream only a sublane-aligned prefix of the cache; every branch b
-    # guarantees pos < ladder[b] (cross-attention is unaffected: all sa
-    # rows are always valid).
+    # Valid-prefix self-attention read: only cache rows [0, pos] hold data;
+    # a static ladder of c_used block sizes, selected per step by lax.switch
+    # on pos, lets early steps stream only a sublane-aligned prefix of the
+    # cache; every branch b guarantees pos < ladder[b] (cross-attention is
+    # unaffected: all sa rows are always valid). Same-session on-chip A/B at
+    # large-v2 (docs/PERFORMANCE.md valid-prefix study): +0.9% on the int8
+    # self-KV beam config but -1.4% on bf16 greedy (the 4-branch switch in
+    # the loop body costs more than the skipped tail DMA saves there, and
+    # triples the greedy program's compile time), so the ladder defaults on
+    # only for quantized self-KV. WHISPER_TPU_PREFIX_RUNGS overrides the
+    # branch count (0/1 disables).
     c_self = (cache.self_k.q if isinstance(cache.self_k, QTensor)
               else cache.self_k).shape[2]
-    prefix_g = math.ceil(math.ceil(c_self / 4) / 32) * 32  # ~4 32-aligned branches
+    default_rungs = 4 if isinstance(cache.self_k, QTensor) else 1
+    n_rungs = int(
+        os.environ.get("WHISPER_TPU_PREFIX_RUNGS", str(default_rungs)))
+    prefix_g = (
+        math.ceil(math.ceil(c_self / n_rungs) / 32) * 32 if n_rungs > 1
+        else c_self
+    )  # 32-aligned rung granularity
     if c_self % 32 == 0 and prefix_g < c_self:
         prefix_ladder = sorted(
             {min((i + 1) * prefix_g, c_self)
