@@ -41,7 +41,7 @@ from whisper_tpu.config import preset
 from whisper_tpu.models import whisper as M
 from whisper_tpu.ops.pallas.decode_attention import decode_attention_stacked
 from whisper_tpu.ops.pallas.permute import permute_lanes_arrays
-from whisper_tpu.quantize import quantize_params
+from whisper_tpu.quantize import QTensor, quantize_params
 import whisper_tpu.decode.beam as BM
 
 cfg = dataclasses.replace(preset("large-v2"), attention="flash")
@@ -63,11 +63,19 @@ print(f"# step_decomp: W={W} K={K} B={B} C={C} pos={POS} selfq={SELFQ} "
 
 rng = np.random.default_rng(0)
 kvdt = {"int8": jnp.int8, "int4": jnp.int4, "bf16": jnp.bfloat16}[KV]
-ck = jnp.asarray(rng.integers(-7, 8, (L, W, SA, D)), jnp.int8).astype(kvdt)
-cv = jnp.asarray(rng.integers(-7, 8, (L, W, SA, D)), jnp.int8).astype(kvdt)
+def _ri(shape):
+    return rng.integers(-7, 8, shape, dtype=np.int8)
+
+
+# int4 arrays cannot cross a jit boundary on axon (device_put recursion,
+# CLAUDE.md); keep the host copies int8 and cast INSIDE the jitted chains.
+# The cast is loop-invariant (hoisted out of the fori_loop), so it adds
+# ~1/N of one cast per measured call -- noted, not corrected.
+ck8 = jnp.asarray(_ri((L, W, SA, D)))
+cv8 = jnp.asarray(_ri((L, W, SA, D)))
 sdt = jnp.int8 if SELFQ else jnp.bfloat16
-sk = jnp.asarray(rng.integers(-7, 8, (B, L, C, D)), jnp.int8).astype(sdt)
-sv = jnp.asarray(rng.integers(-7, 8, (B, L, C, D)), jnp.int8).astype(sdt)
+sk = jnp.asarray(_ri((B, L, C, D))).astype(sdt)
+sv = jnp.asarray(_ri((B, L, C, D))).astype(sdt)
 ks = jnp.asarray(rng.random((B, L, C)), jnp.float32)
 vs = jnp.asarray(rng.random((B, L, C)), jnp.float32)
 q0 = jnp.asarray(rng.standard_normal((B, D)), jnp.bfloat16)
@@ -81,12 +89,10 @@ params = quantize_params(
 
 
 def chain(f, *args):
-    """f chained N times on-device; returns min wall seconds per call."""
+    """f chained N times on-device (fori_loop: compile once, not N copies);
+    returns min wall seconds per call."""
     def run(*a):
-        out = a
-        for _ in range(N):
-            out = f(*out)
-        return out
+        return jax.lax.fori_loop(0, N, lambda _, o: f(*o), a)
     jf = jax.jit(run)
     r = jf(*args)
     np.asarray(jax.tree.leaves(r)[0]).ravel()[:2]
@@ -99,23 +105,28 @@ def chain(f, *args):
     return min(reps) / N
 
 
+# Layer loops are fori_loop with a TRACED layer index -- ONE kernel
+# lowering per program, exactly like the production scan (32 unrolled
+# pallas_calls made Mosaic compile 32 copies through the tunnel: >18 min).
 def self32(q):
-    for i in range(L):
+    def body(i, q):
         o = decode_attention_stacked(
-            q, sk, sv, pos_self, jnp.int32(i), NH, batch_major=True,
+            q, sk, sv, pos_self, i, NH, batch_major=True,
             **(dict(k_rowscale=ks, v_rowscale=vs) if SELFQ else {}),
         )
-        q = (q + o.astype(q.dtype) * jnp.bfloat16(1e-3))[:, :D]
-    return (q,)
+        return (q + o.astype(q.dtype) * jnp.bfloat16(1e-3))[:, :D]
+    return (jax.lax.fori_loop(0, L, body, q),)
 
 
 def cross32(q):
     rep = B // W
-    for i in range(L):
+    ck, cv = ck8.astype(kvdt), cv8.astype(kvdt)
+
+    def body(i, q):
         o = decode_attention_stacked(
-            q, ck, cv, pos_cross, jnp.int32(i), NH, kv_rep=rep)
-        q = (q + o.astype(q.dtype) * jnp.bfloat16(1e-3))[:, :D]
-    return (q,)
+            q, ck, cv, pos_cross, i, NH, kv_rep=rep)
+        return (q + o.astype(q.dtype) * jnp.bfloat16(1e-3))[:, :D]
+    return (jax.lax.fori_loop(0, L, body, q),)
 
 
 def permute1(k, v, kss, vss):
@@ -138,9 +149,15 @@ def logits_tail(x, logp):
 
 
 def full_step(tok, pos, k, v, kss, vss):
+    if KV == "bf16":
+        ck, cv = ck8.astype(jnp.bfloat16), cv8.astype(jnp.bfloat16)
+    else:  # quantized cross-KV rides a QTensor with per-(L, d) scales
+        one = jnp.ones((L, D), jnp.float32)
+        ck = QTensor(ck8.astype(kvdt), one)
+        cv = QTensor(cv8.astype(kvdt), one)
     cache = M.DecoderCache(
-        BM.QTensor(k, kss) if SELFQ else k,
-        BM.QTensor(v, vss) if SELFQ else v,
+        QTensor(k, kss) if SELFQ else k,
+        QTensor(v, vss) if SELFQ else v,
         ck, cv)
     lg, cache2 = M.decoder_step(params, tok, pos, cache, cfg)
     nk = cache2.self_k.q if SELFQ else cache2.self_k
