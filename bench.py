@@ -85,7 +85,7 @@ def bench_model(model_name: str, batch: int, steps: int, reps: int,
 
     def make_window_fn(strategy, beam_size=5):
         def window_fn(params, wave):
-            mel = prep_audio(wave, per_sample_max=True)
+            mel = prep_audio(wave, per_sample_max=True, n_mels=cfg.n_mels)
             mel = jnp.pad(mel, ((0, 0), (0, 0), (0, padding)))
             enc = M.encoder_forward(params, mel.astype(jnp.bfloat16), cfg)
             # eot_id=-1: no token matches, so all streams run `steps` decode

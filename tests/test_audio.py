@@ -104,6 +104,20 @@ class TestPrepAudio:
         assert mel.shape == (1, N_MELS, audio.num_frames(n))
         assert mel.shape[2] <= 100
 
+    def test_128_mel_frontend(self, rng):
+        """large-v3 family: 128-mel filterbank through the same pipeline
+        (capability beyond the reference's fixed-80 frontend,
+        src/audio.rs:44-46)."""
+        n = audio.max_waveform_samples(50)
+        x = _waveform(rng, n)
+        mel = audio.prep_audio(jnp.asarray(x), n_mels=128)
+        assert mel.shape == (1, 128, audio.num_frames(n))
+        m = np.asarray(audio.mel_filters(16000.0, n_mels=128))
+        assert m.shape[0] == 128
+        # Slaney analytic properties hold at 128 exactly as at 80
+        assert (m >= 0).all() and np.isfinite(m).all()
+        assert (m.sum(axis=1) > 0).all()  # every filter is non-empty
+
     def test_max_waveform_samples_bound(self):
         # Reference formula: HOP*(n+1) + is_odd(N_FFT) - 1 (src/audio.rs:12-17).
         for n_frame_max in [10, 100, 1490]:

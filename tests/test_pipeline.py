@@ -501,3 +501,27 @@ class TestQuantizedPipelineOptions:
         )
         assert tokens[:4] == tok.prompt_ids("de", task="translate")
         assert tokens[2] == tok.translate
+
+
+class TestV3Frontend:
+    """128-mel (large-v3 family) threading: Transcriber must build its
+    window program with cfg.n_mels, not the default-80 filterbank."""
+
+    def test_transcribe_128_mels(self, tmp_path):
+        tok_path = str(tmp_path / "tokenizer.json")
+        build_test_tokenizer_json(tok_path)
+        tok = WhisperTokenizer(tok_path)
+        cfg = tiny_test_config(
+            n_vocab=tok.vocab_size, n_audio_ctx=64, n_text_ctx=32,
+            n_state=8, n_mels=128,
+        )
+        params = M.init_params(jax.random.PRNGKey(0), cfg)
+        assert params["encoder"]["conv1_w"].shape[1] == 128
+        t = Transcriber(params, cfg, tok)
+        wave = np.random.default_rng(0).standard_normal(4000).astype(
+            np.float32)
+        text, tokens = t.transcribe(
+            wave, 16000, DecodeOptions(strategy="greedy", max_depth=4),
+        )
+        assert isinstance(text, str)
+        assert tokens[:4] == tok.prompt_ids("en")

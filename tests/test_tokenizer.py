@@ -185,3 +185,80 @@ class TestFullScaleLayout:
         best, dist = detect_language(p, enc, cfg, full)[0]
         assert "haw" in dist and len(dist) == 99
         assert abs(sum(dist.values()) - 1.0) < 1e-3
+
+
+class TestV3Layout:
+    """large-v3 layout (beyond the reference, which predates v3): <|yue|>
+    joins the language block at 50358 and every later special token shifts
+    up by one (vocab 51866)."""
+
+    @pytest.fixture(scope="class")
+    def v3(self, tmp_path_factory):
+        from whisper_tpu.text.tokenizer import build_full_scale_tokenizer_json
+
+        path = str(tmp_path_factory.mktemp("v3tok") / "tokenizer.json")
+        build_full_scale_tokenizer_json(path, v3=True)
+        return WhisperTokenizer(path)
+
+    def test_v3_ids(self, v3):
+        assert v3.vocab_size == 51866
+        assert v3.eot == 50257
+        assert v3.sot == 50258
+        assert v3.language_token("en") == 50259
+        assert v3.language_token("haw") == 50352  # unshifted: before yue
+        assert v3.language_token("yue") == 50358
+        assert v3.translate == 50359
+        assert v3.transcribe == 50360
+        assert v3.start_of_prev == 50362
+        assert v3.no_timestamps == 50364
+        assert v3.timestamp_begin == 50365
+        assert v3.token_to_id("<|30.00|>") == 51865
+
+    def test_v3_prompt_and_languages(self, v3, tmp_path):
+        from whisper_tpu.text.tokenizer import build_full_scale_tokenizer_json
+
+        assert v3.prompt_ids("yue") == [50258, 50358, 50360, 50364]
+        assert len(v3.available_languages()) == 100
+        # v2-layout tokenizers reject yue at the token level, not the table
+        v2_path = str(tmp_path / "tokenizer.json")
+        build_full_scale_tokenizer_json(v2_path)
+        v2 = WhisperTokenizer(v2_path)
+        with pytest.raises(KeyError, match="no token"):
+            v2.language_token("yue")
+        assert "yue" not in v2.available_languages()
+
+    def test_v3_suppress_mask(self, v3):
+        mask = v3.suppress_mask()
+        assert mask.shape == (51866,)
+        suppressed = np.where(np.isneginf(mask))[0]
+        # 2 + 100 langs + 6 + 1501 timestamps
+        assert (suppressed == np.arange(50257, 51866)).all()
+
+
+class TestPresetsV3:
+    def test_large_v3_config(self):
+        from whisper_tpu.config import preset
+
+        cfg = preset("large-v3")
+        assert cfg.n_mels == 128
+        assert cfg.text_decoder_config.n_vocab == 51866
+        assert cfg.audio_encoder_config.n_audio_layer == 32
+        assert cfg.text_decoder_config.n_text_layer == 32
+
+        turbo = preset("large-v3-turbo")
+        assert turbo.n_mels == 128
+        assert turbo.audio_encoder_config.n_audio_layer == 32
+        assert turbo.text_decoder_config.n_text_layer == 4
+        assert turbo.text_decoder_config.n_vocab == 51866
+
+        with pytest.raises(KeyError, match="English-only"):
+            preset("large-v3.en")
+
+    def test_v2_presets_unchanged(self):
+        from whisper_tpu.config import preset
+
+        cfg = preset("large-v2")
+        assert cfg.n_mels == 80
+        assert cfg.text_decoder_config.n_vocab == 51865
+        assert preset("tiny.en").text_decoder_config.n_vocab == 51864
+        assert preset("medium").text_decoder_config.n_text_layer == 24

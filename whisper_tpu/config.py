@@ -72,6 +72,12 @@ class WhisperConfig:
         return self.audio_encoder_config.n_audio_state
 
     @property
+    def n_mels(self) -> int:
+        """Mel filterbank size the frontend must produce for this model
+        (80 everywhere in the reference; 128 for the large-v3 family)."""
+        return self.audio_encoder_config.n_mels
+
+    @property
     def encoder_ctx_size(self) -> int:
         """Reference: `Whisper::encoder_ctx_size` (src/model/mod.rs:64-66)."""
         return self.audio_encoder_config.n_audio_ctx
@@ -124,26 +130,37 @@ class WhisperConfig:
 # implicitly via dumped checkpoint shapes (src/model/load.rs:206-227,257-272);
 # we expose them for convenience and testing.
 _PRESETS = {
-    # name: (n_mels, n_audio_ctx, n_state, n_head, n_layer, n_vocab_multi)
-    "tiny": (80, 1500, 384, 6, 4),
-    "base": (80, 1500, 512, 8, 6),
-    "small": (80, 1500, 768, 12, 12),
-    "medium": (80, 1500, 1024, 16, 24),
-    "large": (80, 1500, 1280, 20, 32),
-    "large-v2": (80, 1500, 1280, 20, 32),
+    # name: (n_mels, n_audio_ctx, n_state, n_head, n_layer, n_text_layer)
+    "tiny": (80, 1500, 384, 6, 4, 4),
+    "base": (80, 1500, 512, 8, 6, 6),
+    "small": (80, 1500, 768, 12, 12, 12),
+    "medium": (80, 1500, 1024, 16, 24, 24),
+    "large": (80, 1500, 1280, 20, 32, 32),
+    "large-v2": (80, 1500, 1280, 20, 32, 32),
+    # Beyond the reference (which predates v3, src/model/load.rs:206-227):
+    # 128-mel frontend, 51866-token vocab (<|yue|> appended); turbo keeps the
+    # v3 encoder but distills the decoder to 4 layers.
+    "large-v3": (128, 1500, 1280, 20, 32, 32),
+    "large-v3-turbo": (128, 1500, 1280, 20, 32, 4),
 }
 _N_VOCAB_MULTILINGUAL = 51865
+_N_VOCAB_MULTILINGUAL_V3 = 51866  # +<|yue|>
 _N_VOCAB_ENGLISH = 51864
 
 
 def preset(name: str) -> WhisperConfig:
-    """Config for a standard Whisper size, e.g. 'tiny.en', 'base', 'large-v2'."""
+    """Config for a standard Whisper size, e.g. 'tiny.en', 'base', 'large-v3'."""
     english = name.endswith(".en")
     base_name = name[:-3] if english else name
     if base_name not in _PRESETS:
         raise KeyError(f"Unknown model preset: {name}")
-    n_mels, n_ctx, n_state, n_head, n_layer = _PRESETS[base_name]
-    n_vocab = _N_VOCAB_ENGLISH if english else _N_VOCAB_MULTILINGUAL
+    v3 = base_name.startswith("large-v3")
+    if english and v3:
+        raise KeyError(f"no English-only variant of {base_name}")
+    n_mels, n_ctx, n_state, n_head, n_layer, n_text_layer = _PRESETS[base_name]
+    n_vocab = (_N_VOCAB_ENGLISH if english
+               else _N_VOCAB_MULTILINGUAL_V3 if v3
+               else _N_VOCAB_MULTILINGUAL)
     return WhisperConfig(
         audio_encoder_config=AudioEncoderConfig(
             n_mels=n_mels,
@@ -157,7 +174,7 @@ def preset(name: str) -> WhisperConfig:
             n_text_ctx=448,
             n_text_state=n_state,
             n_text_head=n_head,
-            n_text_layer=n_layer,
+            n_text_layer=n_text_layer,
         ),
     )
 

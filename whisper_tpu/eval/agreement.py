@@ -59,7 +59,7 @@ def _decode_windows(
     enc_ctx = cfg.encoder_ctx_size
 
     def run(params, waves, prompt, suppress):
-        mel = prep_audio(waves, per_sample_max=True)
+        mel = prep_audio(waves, per_sample_max=True, n_mels=cfg.n_mels)
         keep = min(mel.shape[2], enc_ctx - padding)
         mel = jnp.pad(mel[:, :, :keep], ((0, 0), (0, 0), (0, padding)))
         enc = M.encoder_forward(params, mel, cfg)
@@ -148,7 +148,7 @@ def decode_agreement(
     toks = jnp.asarray(
         rng.integers(0, cfg.text_decoder_config.n_vocab, (2, 8)), jnp.int32
     )
-    mel = prep_audio(waves[:2], per_sample_max=True)
+    mel = prep_audio(waves[:2], per_sample_max=True, n_mels=cfg.n_mels)
     keep = min(mel.shape[2], cfg.encoder_ctx_size - padding)
     mel = jnp.pad(mel[:, :, :keep], ((0, 0), (0, 0), (0, padding)))
 

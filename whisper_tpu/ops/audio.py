@@ -206,8 +206,13 @@ def prep_audio(
     waveform: jax.Array,
     sample_rate: float = 16_000.0,
     per_sample_max: bool = False,
+    n_mels: int = N_MELS,
 ) -> jax.Array:
     """Waveform (B, n_samples) -> log-mel spectrogram (B, n_mels, n_frames).
+
+    `n_mels` selects the filterbank size: 80 (all reference models) or 128
+    (large-v3 family -- beyond the reference, whose frontend is fixed at 80,
+    src/audio.rs:44-46; the Slaney construction is identical at both sizes).
 
     Parity target: `prep_audio` (src/audio.rs:34-56):
       1. GEMM-DFT STFT -> power spectrum, drop last frame (src/audio.rs:40-42)
@@ -224,7 +229,7 @@ def prep_audio(
     power = real * real + imag * imag  # (B, n_freq, F)
     power = power[:, :, :-1]  # drop last frame (src/audio.rs:42)
 
-    mel = mel_filters(sample_rate)  # (n_mels, n_freq)
+    mel = mel_filters(sample_rate, n_mels=n_mels)  # (n_mels, n_freq)
     mel_spec = jax.lax.dot_general(
         mel,
         power,

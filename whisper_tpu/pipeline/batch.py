@@ -72,7 +72,7 @@ class BatchTranscriber(Transcriber):
         eot = self.tok.eot
 
         def run(params, waves, prompt, suppress):  # waves (B, n_samples)
-            mel = prep_audio(waves, per_sample_max=True)
+            mel = prep_audio(waves, per_sample_max=True, n_mels=cfg.n_mels)
             keep = min(mel.shape[2], enc_ctx - padding)
             mel = jnp.pad(mel[:, :, :keep], ((0, 0), (0, 0), (0, padding)))
             enc = M.encoder_forward(params, mel, cfg)

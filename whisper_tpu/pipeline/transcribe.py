@@ -233,7 +233,7 @@ class Transcriber:
             ts_begin = self._ts_begin
 
         def run(params, wave, prompt, suppress):
-            mel = prep_audio(wave[None, :])  # (1, n_mels, F)
+            mel = prep_audio(wave[None, :], n_mels=cfg.n_mels)  # (1, n_mels, F)
             n_frames = mel.shape[2]
             keep = min(n_frames, enc_ctx - padding)
             mel = mel[:, :, :keep]
@@ -274,7 +274,7 @@ class Transcriber:
         window = np.asarray(waveform[:n_window], np.float32)
         if len(window) < 400:
             raise ValueError("audio too short for language detection")
-        mel = prep_audio(jnp.asarray(window)[None, :])
+        mel = prep_audio(jnp.asarray(window)[None, :], n_mels=self.cfg.n_mels)
         enc = M.encoder_forward(self.params, mel.astype(
             self.params["decoder"]["tok_emb"].dtype), self.cfg)
         return _detect(self.params, enc, self.cfg, self.tok)[0]

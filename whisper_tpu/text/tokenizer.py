@@ -135,20 +135,22 @@ class WhisperTokenizer:
     def language_token(self, code: str) -> int:
         """Id of <|code|>.
 
-        Validates against the full 99-language table (LANGUAGES_FULL): the
+        Validates against the 100-language union table (LANGUAGES_V3): the
         reference's table omits "haw" (src/token.rs:50-58) even though the
-        trained multilingual vocabulary has it at id 50352; codes beyond the
-        reference's 98 resolve iff the loaded tokenizer actually carries the
-        token (a KeyError from _required otherwise).
+        trained multilingual vocabulary has it at id 50352, and predates
+        large-v3's "yue"; codes beyond the reference's 98 resolve iff the
+        loaded tokenizer actually carries the token (a KeyError from
+        _required otherwise).
         """
-        if code not in LANGUAGES_FULL:
+        if code not in LANGUAGES_V3:
             raise KeyError(f"Invalid language abbreviation: {code}")
         return self._required(SpecialToken.language(code))
 
     def available_languages(self) -> tuple:
-        """Language codes (reference order + haw) present in this tokenizer."""
+        """Language codes (reference order + haw + yue) present in this
+        tokenizer."""
         return tuple(
-            c for c in LANGUAGES_FULL
+            c for c in LANGUAGES_V3
             if self.token_to_id(SpecialToken.language(c)) is not None
         )
 
@@ -260,8 +262,12 @@ LANGUAGES_FULL: tuple = (
     + LANGUAGES[LANGUAGES.index("ln"):]
 )
 
+# large-v3 appends Cantonese after the v2 table: 100 language tokens at
+# 50259..50358, shifting every later special token up by one (vocab 51866).
+LANGUAGES_V3: tuple = LANGUAGES_FULL + ("yue",)
 
-def build_full_scale_tokenizer_json(path: str) -> None:
+
+def build_full_scale_tokenizer_json(path: str, v3: bool = False) -> None:
     """Write a FULL-SCALE whisper-layout tokenizer.json (vocab 51865).
 
     The base vocabulary is synthetic (50257 placeholder word pieces -- the
@@ -278,6 +284,11 @@ def build_full_scale_tokenizer_json(path: str) -> None:
     suppress mask) to their true values, so the id-level semantics are
     validated at real scale without the real file (src/token.rs:297-324
     documents the same added-token set).
+
+    `v3=True` writes the large-v3 layout instead (vocab 51866): <|yue|>
+    joins the language block at 50358 and every later special token shifts
+    up by one (<|translate|> 50359 ... <|notimestamps|> 50364,
+    timestamps 50365..51865).
     """
     from tokenizers import AddedToken, Tokenizer, models
 
@@ -286,7 +297,8 @@ def build_full_scale_tokenizer_json(path: str) -> None:
     tok = Tokenizer(models.BPE(vocab=vocab, merges=[]))
 
     specials = [SpecialToken.END_OF_TEXT, SpecialToken.START_OF_TRANSCRIPT]
-    specials += [SpecialToken.language(c) for c in LANGUAGES_FULL]
+    specials += [SpecialToken.language(c)
+                 for c in (LANGUAGES_V3 if v3 else LANGUAGES_FULL)]
     specials += [
         SpecialToken.TRANSLATE,
         SpecialToken.TRANSCRIBE,
