@@ -500,3 +500,186 @@ class TestBigW8A8Matmul:
         # bf16 GEMM tolerance; the default-Pallas-vmap bug this guards
         # against was wrong by ~2.8 absolute (vs a ~5e-4 noise floor)
         np.testing.assert_allclose(np.asarray(out), ref, rtol=5e-2, atol=0.1)
+
+
+class TestFusedPermuteAttention:
+    """decode_attention_permute_fused == permute + append + stacked scaled
+    attention, bit-identically (int8 self-KV beam path)."""
+
+    def _mk(self, rng, b, l, c, d):
+        k = jnp.asarray(rng.integers(-127, 128, (b, l, c, d)), jnp.int8)
+        v = jnp.asarray(rng.integers(-127, 128, (b, l, c, d)), jnp.int8)
+        ks = jnp.asarray(
+            rng.uniform(0.01, 0.05, (b, l, c)).astype(np.float32))
+        vs = jnp.asarray(
+            rng.uniform(0.01, 0.05, (b, l, c)).astype(np.float32))
+        return k, v, ks, vs
+
+    def _reference(self, k, v, ks, vs, nk, nv, nks, nvs, parents, pos,
+                   layer, q, nh, cu):
+        """Unfused semantics: permute by parents, append at pos, attend."""
+        from whisper_tpu.ops.pallas.decode_attention import (
+            decode_attention_stacked,
+        )
+
+        b = k.shape[0]
+        kp = jnp.take(k, parents, axis=0)
+        vp = jnp.take(v, parents, axis=0)
+        ksp = jnp.take(ks, parents, axis=0)
+        vsp = jnp.take(vs, parents, axis=0)
+        li = int(layer)
+        kp = kp.at[:, li, pos].set(nk)
+        vp = vp.at[:, li, pos].set(nv)
+        ksp = ksp.at[:, li, pos].set(nks)
+        vsp = vsp.at[:, li, pos].set(nvs)
+        pos_b = jnp.full((b,), pos, jnp.int32)
+        out = decode_attention_stacked(
+            q, kp, vp, pos_b, jnp.int32(li), nh, interpret=True,
+            batch_major=True, k_rowscale=ksp, v_rowscale=vsp, c_used=cu)
+        return out, kp, vp, ksp, vsp
+
+    @pytest.mark.parametrize("pos,cu", [(0, 32), (17, 32), (31, 32),
+                                        (40, 64), (63, 64)])
+    def test_matches_unfused(self, rng, pos, cu):
+        from whisper_tpu.ops.pallas.permute_attention import (
+            decode_attention_permute_fused,
+        )
+
+        beam_k, nw, l, c, d, nh = 5, 3, 2, 64, 128, 4
+        b = beam_k * nw
+        k, v, ks, vs = self._mk(rng, b, l, c, d)
+        q = jnp.asarray(rng.standard_normal((b, d)), jnp.bfloat16)
+        nk = jnp.asarray(rng.integers(-127, 128, (b, d)), jnp.int8)
+        nv = jnp.asarray(rng.integers(-127, 128, (b, d)), jnp.int8)
+        nks = jnp.asarray(rng.uniform(0.01, 0.05, (b,)).astype(np.float32))
+        nvs = jnp.asarray(rng.uniform(0.01, 0.05, (b,)).astype(np.float32))
+        # window-local parents (the beam contract)
+        parents = jnp.asarray(
+            rng.integers(0, beam_k, (b,))
+            + (np.arange(b) // beam_k) * beam_k, jnp.int32)
+        layer = 1
+
+        out, ko, vo, kso, vso = decode_attention_permute_fused(
+            q, k, v, ks, vs, nk, nv, nks, nvs, parents,
+            jnp.int32(pos), jnp.int32(layer), nh, beam_k, c_used=cu,
+            interpret=True)
+        ref, kr, vr, ksr, vsr = self._reference(
+            k, v, ks, vs, nk, nv, nks, nvs, parents, pos, layer, q, nh, cu)
+
+        assert jnp.array_equal(out, ref)
+        # permuted+appended cache rows [0, cu) of the touched layer match;
+        # untouched layers must be preserved verbatim (aliasing semantics)
+        assert jnp.array_equal(ko[:, layer, :cu], kr[:, layer, :cu])
+        assert jnp.array_equal(vo[:, layer, :cu], vr[:, layer, :cu])
+        assert jnp.array_equal(kso[:, layer], ksr[:, layer])
+        assert jnp.array_equal(vso[:, layer], vsr[:, layer])
+        other = 1 - layer
+        assert jnp.array_equal(ko[:, other], k[:, other])
+        assert jnp.array_equal(vo[:, other], v[:, other])
+        assert jnp.array_equal(kso[:, other], ks[:, other])
+        assert jnp.array_equal(vso[:, other], vs[:, other])
+
+    def test_single_window_and_identity_parents(self, rng):
+        from whisper_tpu.ops.pallas.permute_attention import (
+            decode_attention_permute_fused,
+        )
+
+        beam_k, l, c, d, nh = 4, 1, 32, 128, 4
+        b = beam_k
+        k, v, ks, vs = self._mk(rng, b, l, c, d)
+        q = jnp.asarray(rng.standard_normal((b, d)), jnp.bfloat16)
+        nk = jnp.asarray(rng.integers(-127, 128, (b, d)), jnp.int8)
+        nv = jnp.asarray(rng.integers(-127, 128, (b, d)), jnp.int8)
+        nks = jnp.asarray(rng.uniform(0.01, 0.05, (b,)).astype(np.float32))
+        nvs = jnp.asarray(rng.uniform(0.01, 0.05, (b,)).astype(np.float32))
+        parents = jnp.arange(b, dtype=jnp.int32)  # identity reshuffle
+
+        out, ko, vo, kso, vso = decode_attention_permute_fused(
+            q, k, v, ks, vs, nk, nv, nks, nvs, parents,
+            jnp.int32(7), jnp.int32(0), nh, beam_k, interpret=True)
+        ref, kr, vr, ksr, vsr = self._reference(
+            k, v, ks, vs, nk, nv, nks, nvs, parents, 7, 0, q, nh, c)
+        assert jnp.array_equal(out, ref)
+        assert jnp.array_equal(ko, kr)
+        assert jnp.array_equal(kso, ksr)
+
+
+class TestFusedReshuffleIntegration:
+    """decoder_step(parents=...) (the fused beam path) == explicit permute
+    then decoder_step, and the full batched beam search is token-identical
+    with the fusion on vs off."""
+
+    def test_step_matches_explicit_permute(self, rng):
+        import dataclasses
+
+        from whisper_tpu.config import tiny_test_config
+        from whisper_tpu.models import whisper as M
+        from whisper_tpu.quantize import QTensor
+
+        cfg = dataclasses.replace(
+            tiny_test_config(n_state=128, n_head=2, n_vocab=64,
+                             n_text_ctx=64),
+            attention="flash")
+        params = M.init_params(jax.random.PRNGKey(0), cfg)
+        K, W = 3, 2
+        B = K * W
+        enc = jnp.asarray(rng.standard_normal((W, 16, 128)).astype(np.float32))
+        toks = jnp.asarray(rng.integers(0, 64, (B, 4)).astype(np.int32))
+
+        cache = M.init_cache(params, enc, cfg, batch=B, cache_len=32,
+                             self_quant=True)
+        _, cache = M.decoder_step(params, toks, jnp.int32(0), cache, cfg)
+
+        parents = jnp.asarray(
+            rng.integers(0, K, (B,)) + (np.arange(B) // K) * K, jnp.int32)
+        one = jnp.asarray(rng.integers(0, 64, (B, 1)).astype(np.int32))
+
+        lf, cf = M.decoder_step(params, one, jnp.int32(4), cache, cfg,
+                                parents=parents)
+
+        def perm(qt):
+            return QTensor(jnp.take(qt.q, parents, axis=0),
+                           jnp.take(qt.scale, parents, axis=0))
+
+        cache_p = M.DecoderCache(perm(cache.self_k), perm(cache.self_v),
+                                 cache.cross_k, cache.cross_v)
+        lx, cx = M.decoder_step(params, one, jnp.int32(4), cache_p, cfg)
+
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(lx), atol=1e-5)
+        # caches agree on the written prefix (rows [0, 5))
+        assert jnp.array_equal(cf.self_k.q[:, :, :5], cx.self_k.q[:, :, :5])
+        assert jnp.array_equal(cf.self_v.q[:, :, :5], cx.self_v.q[:, :, :5])
+        np.testing.assert_allclose(
+            np.asarray(cf.self_k.scale[:, :, :5]),
+            np.asarray(cx.self_k.scale[:, :, :5]))
+
+    def test_batched_beam_tokens_fused_vs_not(self, rng, monkeypatch):
+        import dataclasses
+
+        from whisper_tpu.config import tiny_test_config
+        from whisper_tpu.decode.beam import beam_search_batched
+        from whisper_tpu.models import whisper as M
+
+        cfg = dataclasses.replace(
+            tiny_test_config(n_state=128, n_head=2, n_vocab=64,
+                             n_text_ctx=64),
+            attention="flash")
+        params = M.init_params(jax.random.PRNGKey(0), cfg)
+        enc = jnp.asarray(rng.standard_normal((2, 16, 128)).astype(np.float32))
+        prompt = jnp.asarray([1, 2], jnp.int32)
+
+        results = {}
+        for fused in ("1", "0"):
+            monkeypatch.setenv("WHISPER_TPU_FUSED_PERMUTE", fused)
+            toks, lens, logps = beam_search_batched(
+                params, enc, prompt, cfg, eot_id=0, beam_size=3,
+                max_depth=8, self_quant=True)
+            results[fused] = (np.asarray(toks), np.asarray(lens),
+                              np.asarray(logps))
+
+        t1, l1, p1 = results["1"]
+        t0, l0, p0 = results["0"]
+        assert np.array_equal(l1, l0)
+        for w in range(t1.shape[0]):
+            assert np.array_equal(t1[w, :l1[w]], t0[w, :l0[w]]), w
+        np.testing.assert_allclose(p1, p0, atol=1e-5)

@@ -108,6 +108,21 @@ def _top_k(x, k, seg: int = 128):
     return vals, gi
 
 
+def _fuse_reshuffle(self_k, cfg) -> bool:
+    """True when the beam reshuffle should ride the fused decode kernel
+    (flash attention + quantized self-KV; WHISPER_TPU_FUSED_PERMUTE=0
+    forces the separate permute kernel for A/B)."""
+    import os
+
+    from ..quantize import QTensor
+
+    return (
+        cfg.attention == "flash"
+        and isinstance(self_k, QTensor)
+        and os.environ.get("WHISPER_TPU_FUSED_PERMUTE", "1") != "0"
+    )
+
+
 def _cache_gather(self_k, self_v, gparent, valid_len=None):
     """Beam reshuffle of the batch-major (B, L, C, d) self-KV pair -- a
     Pallas block-DMA permute kernel. Every XLA formulation of this pure
@@ -347,15 +362,25 @@ def beam_search(
         new_eot = (tok == eot_id) & new_valid
 
         # beam reshuffle: gather the SELF cache only (cross is shared and
-        # unordered across lanes)
-        self_k, self_v = _cache_gather(
-            s.self_k, s.self_v, parent, valid_len=s.cur_len)
-        cache = M.DecoderCache(self_k, self_v, cross_k, cross_v)
+        # unordered across lanes). On the flash + quantized-self path the
+        # reshuffle is FUSED into the decode kernel (one cache pass instead
+        # of permute-read + permute-write + attention-read; see
+        # ops/pallas/permute_attention.py); parents are window-local here
+        # by construction (one window).
+        if _fuse_reshuffle(s.self_k, cfg):
+            cache = M.DecoderCache(s.self_k, s.self_v, cross_k, cross_v)
+            logits, cache = M.decoder_step(
+                params, tok[:, None], s.cur_len, cache, cfg, parents=parent
+            )
+        else:
+            self_k, self_v = _cache_gather(
+                s.self_k, s.self_v, parent, valid_len=s.cur_len)
+            cache = M.DecoderCache(self_k, self_v, cross_k, cross_v)
 
-        # (c) run the decoder on the appended token to get next-step logits.
-        logits, cache = M.decoder_step(
-            params, tok[:, None], s.cur_len, cache, cfg
-        )
+            # (c) run the decoder on the appended token for next-step logits.
+            logits, cache = M.decoder_step(
+                params, tok[:, None], s.cur_len, cache, cfg
+            )
         logp_next = _logp(logits[:, -1], new_tokens, s.cur_len + 1)
 
         return BeamState(
@@ -572,14 +597,23 @@ def beam_search_batched(
         new_valid = new_logp > NEG_INF
         new_eot = (tok == eot_id) & new_valid
 
-        # (c) beam reshuffle of the flat self cache (global lane indices)
+        # (c) beam reshuffle of the flat self cache (global lane indices);
+        # fused into the decode kernel on the flash + quantized-self path
+        # (parents stay window-local: parent is an in-window index).
         gparent = (parent + jnp.arange(W)[:, None] * K).reshape(B)
-        self_k, self_v = _cache_gather(
-            s.self_k, s.self_v, gparent, valid_len=s.cur_len)
-        full = M.DecoderCache(self_k, self_v, cross_k, cross_v)
-        logits, cache = M.decoder_step(
-            params, tok.reshape(B, 1), s.cur_len, full, cfg
-        )
+        if _fuse_reshuffle(s.self_k, cfg):
+            full = M.DecoderCache(s.self_k, s.self_v, cross_k, cross_v)
+            logits, cache = M.decoder_step(
+                params, tok.reshape(B, 1), s.cur_len, full, cfg,
+                parents=gparent,
+            )
+        else:
+            self_k, self_v = _cache_gather(
+                s.self_k, s.self_v, gparent, valid_len=s.cur_len)
+            full = M.DecoderCache(self_k, self_v, cross_k, cross_v)
+            logits, cache = M.decoder_step(
+                params, tok.reshape(B, 1), s.cur_len, full, cfg
+            )
         logp_next = _masked_log_softmax(
             logits[:, -1], s.cur_len + 1, suppress_mask, suppress_until_len
         ).reshape(W, K, V)

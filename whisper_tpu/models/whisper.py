@@ -691,6 +691,7 @@ def _decoder_step_fused(
     pos: jax.Array,  # scalar int32
     cache: DecoderCache,
     cfg: WhisperConfig,
+    parents: Optional[jax.Array] = None,  # (B,) i32 window-local beam parents
 ) -> Tuple[jax.Array, DecoderCache]:
     """Steady-state (S=1) decode step over layer-STACKED KV caches.
 
@@ -779,7 +780,37 @@ def _decoder_step_fused(
         hn = layer_norm(h, p["attn_ln_g"], p["attn_ln_b"], eps)
         q, k, v = _qkv_proj(hn, p["qkv_w"], p["qkv_b"])
         q1 = (q[:, 0].astype(jnp.float32) * scale).astype(q.dtype)
-        if isinstance(self_k, QTensor):
+        if isinstance(self_k, QTensor) and parents is not None:
+            # Fused beam path: reshuffle-by-parents + append + attention in
+            # ONE cache pass (ops/pallas/permute_attention.py) -- replaces
+            # the separate permute kernel, the two dynamic-update-slice
+            # appends, and the attention read. parents are window-local
+            # with kv_rep lanes per window (the fused kernel's contract).
+            from ..ops.pallas.permute_attention import (
+                decode_attention_permute_fused,
+            )
+
+            kq, ks = _q8_rows(k[:, 0], self_k.q.dtype)
+            vq, vs = _q8_rows(v[:, 0], self_v.q.dtype)
+
+            def _fused(cu, q1=q1, sk=self_k, sv=self_v, l=l,
+                       kq=kq, ks=ks, vq=vq, vs=vs):
+                return decode_attention_permute_fused(
+                    q1, sk.q, sv.q, sk.scale, sv.scale, kq, vq, ks, vs,
+                    parents, pos, l, n_head, beam_k=max(kv_rep, 1),
+                    c_used=cu,
+                )
+
+            if prefix_idx is None:
+                attn, nkq, nvq, nks, nvs = _fused(c_self)
+            else:
+                attn, nkq, nvq, nks, nvs = jax.lax.switch(
+                    prefix_idx,
+                    [functools.partial(_fused, cu) for cu in prefix_ladder],
+                )
+            self_k = QTensor(nkq, nks)
+            self_v = QTensor(nvq, nvs)
+        elif isinstance(self_k, QTensor):
             # int8 self-KV: quantize the new row per lane, carry q + scale.
             kq, ks = _q8_rows(k, self_k.q.dtype)
             vq, vs = _q8_rows(v, self_v.q.dtype)
@@ -872,15 +903,32 @@ def decoder_step(
     pos: jax.Array,  # scalar int32
     cache: DecoderCache,
     cfg: WhisperConfig,
+    parents: Optional[jax.Array] = None,  # (B,) i32 beam parents (see below)
 ) -> Tuple[jax.Array, DecoderCache]:
     """Run the decoder on S new tokens using/updating the KV cache.
 
     Returns (logits (B, S, V), updated cache). S=1 is the steady-state decode
     step; S=prompt_len is prefill. Numerically equivalent to the reference's
     full recompute (causal masking makes cached and full attention identical).
+
+    `parents` (beam reshuffle, window-local indices) folds the self-KV cache
+    permute into the decode step: supported only on the S=1 flash path with
+    a quantized (QTensor) self cache, where the fused Pallas kernel performs
+    reshuffle + append + attention in one cache pass. The returned cache is
+    the permuted-and-appended one.
     """
     if tokens.shape[1] == 1 and cfg.attention == "flash":
-        return _decoder_step_fused(params, tokens, pos, cache, cfg)
+        if parents is not None and not isinstance(cache.self_k, QTensor):
+            raise ValueError(
+                "fused beam reshuffle (parents=...) requires a quantized "
+                "self-KV cache (self_quant)"
+            )
+        return _decoder_step_fused(params, tokens, pos, cache, cfg, parents)
+    if parents is not None:
+        raise ValueError(
+            "parents= is only supported on the S=1 flash decode path; "
+            "permute the cache explicitly before this call"
+        )
     dec = params["decoder"]
     dec_cfg = cfg.text_decoder_config
     n_head, eps = dec_cfg.n_text_head, cfg.ln_eps
