@@ -178,8 +178,9 @@ def main() -> int:
     quant = os.environ.get("WHISPER_TPU_BENCH_QUANT", "int8")
     quant = "" if quant in ("none", "bf16", "0") else quant
     beam_size = int(os.environ.get("WHISPER_TPU_BENCH_BEAM", "5"))
-    # W=24 measured best for large-v2 beam on v5e (docs/PERFORMANCE.md)
-    beam_batch = int(os.environ.get("WHISPER_TPU_BENCH_BEAM_BATCH", "24"))
+    # W=48 measured best for large-v2 beam with the fused reshuffle kernel
+    # (W24 253.4 / W32 256.3 / W48 262.0 / W64 249.7 x RT; docs/PERFORMANCE.md)
+    beam_batch = int(os.environ.get("WHISPER_TPU_BENCH_BEAM_BATCH", "48"))
 
     record = bench_model(model_name, batch, steps, reps, quant, kv_quant,
                          self_kv, beam_size, beam_batch)
