@@ -525,3 +525,42 @@ class TestV3Frontend:
         )
         assert isinstance(text, str)
         assert tokens[:4] == tok.prompt_ids("en")
+
+
+class TestInitialPrompt:
+    """initial_prompt conditioning (new capability): text after
+    <|startofprev|> prepended to every window's prompt, suppression window
+    widened by the conditioning length, conditioning stripped from output."""
+
+    def test_build_prompt(self, setup):
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        base, n0 = t._build_prompt(DecodeOptions(lang="en"))
+        assert n0 == 0
+        assert [int(x) for x in base] == tok.prompt_ids("en")
+
+        opt = DecodeOptions(lang="en", initial_prompt="abc")
+        full, n = t._build_prompt(opt)
+        full = [int(x) for x in full]
+        assert n >= 2  # <|startofprev|> + at least one text token
+        assert full[0] == tok.start_of_prev
+        assert full[n:] == tok.prompt_ids("en")
+        assert full[1:n] == tok.encode(" abc")
+        # cap: a huge prompt is trimmed to n_text_ctx//2 - 1 tokens
+        big = DecodeOptions(lang="en", initial_prompt="x" * 500)
+        _, nbig = t._build_prompt(big)
+        assert nbig <= cfg.decoder_ctx_size // 2 - 1
+
+    def test_transcribe_strips_conditioning(self, setup):
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        wave = np.random.default_rng(0).standard_normal(5000).astype(
+            np.float32)
+        opt = DecodeOptions(lang="en", strategy="greedy", max_depth=4,
+                            initial_prompt="hi", chunk_overlap_seconds=0.01)
+        text, tokens = t.transcribe(wave, 16000, opt)
+        # output tokens start at the standard prompt -- no <|startofprev|>,
+        # no conditioning text tokens
+        assert tokens[:4] == tok.prompt_ids("en")
+        assert tok.start_of_prev not in tokens
+        assert isinstance(text, str)

@@ -68,6 +68,10 @@ def cmd_transcribe(argv) -> int:
     p.add_argument("--self-quant", action="store_true",
                    help="int8 self-KV cache with per-row scales (fastest "
                         "beam decode; gated by `whisper_tpu quant-check`)")
+    p.add_argument("--initial-prompt", default=None,
+                   help="condition the decoder on this text (domain terms, "
+                        "names, style) via <|startofprev|>; applied to every "
+                        "window, stripped from the output")
     p.add_argument("-v", "--verbose", action="count", default=0)
     args = p.parse_args(argv)
 
@@ -147,6 +151,7 @@ def cmd_transcribe(argv) -> int:
         max_depth=args.max_depth,
         kv_quant=args.kv_quant,
         self_quant=args.self_quant,
+        initial_prompt=args.initial_prompt,
     )
     t0 = time.perf_counter()
     if args.parallel_windows:

@@ -115,10 +115,8 @@ class BatchTranscriber(Transcriber):
         overlap = int(sample_rate * opt.chunk_overlap_seconds)
         if overlap >= n_window:
             overlap = n_window // 2
-        prompt = jnp.asarray(
-            tok.prompt_ids(opt.lang, task=opt.task,
-                           timestamps=opt.timestamps), jnp.int32
-        )
+        prompt, n_cond = self._build_prompt(opt)
+        sup_len = opt.suppress_until_len + n_cond
 
         # 1. collect windows: full-size ones go to the batch queue
         full: List[Tuple[int, int, np.ndarray]] = []  # (stream, window_idx, wave)
@@ -143,7 +141,7 @@ class BatchTranscriber(Transcriber):
         B = self.batch_size
         fn = self._batch_window_fn(
             n_window, int(prompt.shape[0]), opt.strategy, opt.beam_size,
-            opt.max_depth, opt.padding, opt.suppress_until_len, opt.kv_quant,
+            opt.max_depth, opt.padding, sup_len, opt.kv_quant,
             opt.self_quant,
         )
         for i in range(0, len(full), B):
@@ -157,20 +155,22 @@ class BatchTranscriber(Transcriber):
                                self._suppress)
             toks, lengths = np.asarray(toks), np.asarray(lengths)
             for j, (s, w, _) in enumerate(group):
-                results[(s, w)] = [int(t) for t in toks[j, : lengths[j]]]
+                results[(s, w)] = [
+                    int(t) for t in toks[j, : lengths[j]]][n_cond:]
             log.info("batch %d-%d/%d windows done", i, i + len(group), len(full))
 
         # 3. tail windows, one at a time through the single-window path
         for s, w, chunk in tail:
             sfn = self._window_fn(
                 len(chunk), int(prompt.shape[0]), opt.strategy, opt.beam_size,
-                opt.max_depth, opt.padding, opt.suppress_until_len,
+                opt.max_depth, opt.padding, sup_len,
                 opt.kv_quant,
                 opt.self_quant,
             )
             toks_dev, length = sfn(self.params, jnp.asarray(chunk), prompt,
                                    self._suppress)
-            results[(s, w)] = [int(t) for t in np.asarray(toks_dev)[: int(length)]]
+            results[(s, w)] = [
+                int(t) for t in np.asarray(toks_dev)[: int(length)]][n_cond:]
 
         # 4. per-stream stitching (src/transcribe.rs:56-63 semantics)
         out: List[Tuple[str, List[int]]] = []

@@ -74,10 +74,7 @@ class StreamingTranscriber:
         self._n_window = max_waveform_samples(
             cfg.encoder_ctx_size - self.opt.padding
         )
-        self._prompt = jnp.asarray(
-            tokenizer.prompt_ids(self.opt.lang, task=self.opt.task,
-                                 timestamps=True), jnp.int32
-        )
+        self._prompt, self._n_cond = self._t._build_prompt(self.opt)
         self._buffer = np.zeros(0, np.float32)
         self._offset = 0.0  # stream time (s) of buffer[0]
         self._pending = 0  # samples accumulated since the last decode
@@ -140,7 +137,7 @@ class StreamingTranscriber:
         fn = self._t._window_fn(
             self._n_window, int(self._prompt.shape[0]), self.opt.strategy,
             self.opt.beam_size, self.opt.max_depth, self.opt.padding,
-            self.opt.suppress_until_len, self.opt.kv_quant,
+            self.opt.suppress_until_len + self._n_cond, self.opt.kv_quant,
             self.opt.self_quant, timestamps=True,
             max_initial_ts_idx=max(
                 0, int(round(self.opt.max_initial_timestamp / 0.02))),
@@ -150,6 +147,7 @@ class StreamingTranscriber:
             self._t._suppress_ts,
         )
         tokens = [int(t) for t in np.asarray(toks_dev)[: int(length)]]
+        tokens = tokens[self._n_cond :]  # drop the conditioning prefix
         real_s = real / SAMPLE_RATE
         segs = segments_from_tokens(
             tokens, self._t.tok, offset_s=self._offset, window_s=real_s

@@ -66,6 +66,14 @@ class DecodeOptions:
     max_initial_timestamp: float = 1.0  # s; cap on the first emitted stamp
     kv_quant: bool = False  # cross-KV cache quant: True/"int8", or "int4"
     self_quant: bool = False  # int8 self-KV cache with per-row scales
+    # Text to condition the decoder on (domain vocabulary, names, style):
+    # encoded after <|startofprev|>, capped at n_text_ctx//2 - 1 tokens, and
+    # prepended to EVERY window's prompt. New capability beyond the
+    # reference (which computes then discards trailing context,
+    # src/transcribe.rs:43-50); fixed per-window conditioning keeps one
+    # compiled executable per prompt length. Conditioning tokens are
+    # stripped from the output.
+    initial_prompt: Optional[str] = None
 
 
 def find_chunk_overlap(
@@ -202,6 +210,30 @@ class Transcriber:
         self._fn_cache: dict = {}
 
     # ------------------------------------------------------------------
+    def _build_prompt(self, opt: "DecodeOptions"):
+        """Decode prompt ids for `opt`, plus the conditioning-prefix length.
+
+        With `opt.initial_prompt`, the prompt becomes
+        [<|startofprev|>, *encode(" " + text)][-cap:] + standard prompt
+        (cap = n_text_ctx//2 - 1, OpenAI's window). Returns (ids (P,) i32,
+        n_cond) -- callers strip the first n_cond tokens from each window's
+        output and widen the suppression window by n_cond so the rule stays
+        relative to the first sampled position (reference: seq_len <= 5
+        against a 4-token prompt, src/transcribe.rs:271-275).
+        """
+        ids = self.tok.prompt_ids(
+            opt.lang, task=opt.task, timestamps=opt.timestamps)
+        n_cond = 0
+        if opt.initial_prompt:
+            cap = self.cfg.decoder_ctx_size // 2 - 1
+            cond = [self.tok.start_of_prev] + self.tok.encode(
+                " " + opt.initial_prompt.strip())
+            cond = cond[-cap:]
+            ids = cond + ids
+            n_cond = len(cond)
+        return jnp.asarray(ids, jnp.int32), n_cond
+
+    # ------------------------------------------------------------------
     def _window_fn(
         self, n_samples: int, prompt_len: int, strategy: str, beam_size: int,
         max_depth: int, padding: int, suppress_until_len: int,
@@ -305,10 +337,8 @@ class Transcriber:
                 "to half a window", overlap, n_window,
             )
             overlap = n_window // 2
-        prompt = jnp.asarray(
-            tok.prompt_ids(opt.lang, task=opt.task,
-                           timestamps=opt.timestamps), jnp.int32
-        )
+        prompt, n_cond = self._build_prompt(opt)
+        sup_len = opt.suppress_until_len + n_cond
 
         tokens: List[int] = []
         text = ""
@@ -335,7 +365,7 @@ class Transcriber:
                 return None
             fn = self._window_fn(
                 len(window), int(prompt.shape[0]), opt.strategy, opt.beam_size,
-                opt.max_depth, opt.padding, opt.suppress_until_len,
+                opt.max_depth, opt.padding, sup_len,
                 opt.kv_quant, opt.self_quant,
             )
             with prec_ctx:
@@ -355,6 +385,7 @@ class Transcriber:
             # like the reference (src/transcribe.rs:43-50,195-201).
             _prev_ctx = [t for t in reversed(tokens) if not tok.is_special(t)][:5][::-1]
             new_tokens = [int(t) for t in np.asarray(toks_dev)[: int(length)]]
+            new_tokens = new_tokens[n_cond:]  # drop the conditioning prefix
 
             spliced = find_chunk_overlap(
                 tokens, new_tokens, opt.stitch_max_offsets, opt.stitch_min_overlaps
@@ -426,9 +457,8 @@ class Transcriber:
         overlap = int(sample_rate * opt.chunk_overlap_seconds)
         if overlap >= n_window:
             overlap = n_window // 2
-        prompt = jnp.asarray(
-            tok.prompt_ids(opt.lang, task=opt.task, timestamps=True),
-            jnp.int32)
+        prompt, n_cond = self._build_prompt(opt)
+        sup_len = opt.suppress_until_len + n_cond
 
         all_tokens: List[int] = []  # stitched raw tokens (plain-path parity)
         segments: List = []  # [Segment, [global text-token positions]]
@@ -440,7 +470,7 @@ class Transcriber:
                 continue
             fn = self._window_fn(
                 len(window), int(prompt.shape[0]), opt.strategy, opt.beam_size,
-                opt.max_depth, opt.padding, opt.suppress_until_len,
+                opt.max_depth, opt.padding, sup_len,
                 opt.kv_quant, opt.self_quant,
                 timestamps=True,
                 max_initial_ts_idx=max(
@@ -449,6 +479,7 @@ class Transcriber:
             toks_dev, length = fn(self.params, jnp.asarray(window), prompt,
                                   self._suppress_ts)
             new_tokens = [int(t) for t in np.asarray(toks_dev)[: int(length)]]
+            new_tokens = new_tokens[n_cond:]  # drop the conditioning prefix
             offset = start / sample_rate
             window_s = (end - start) / sample_rate
             new_segs = segments_with_positions(new_tokens, tok, offset, window_s)
