@@ -1,10 +1,13 @@
 """Long-form pipeline tests: stitching, windowing, end-to-end transcribe
 (SURVEY.md §4 item 5, with a random tiny model standing in for real weights)."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from whisper_tpu.config import tiny_test_config
 from whisper_tpu.models import whisper as M
@@ -564,3 +567,92 @@ class TestInitialPrompt:
         assert tokens[:4] == tok.prompt_ids("en")
         assert tok.start_of_prev not in tokens
         assert isinstance(text, str)
+
+
+class TestRobustDecoding:
+    """OpenAI-style fallback ladder (new capability): temperature sampling,
+    no-speech detection, compression-ratio / logprob quality gates."""
+
+    def test_compression_ratio(self):
+        from whisper_tpu.pipeline.transcribe import compression_ratio
+
+        assert compression_ratio("") == 0.0
+        loopy = "the same thing " * 50
+        normal = "a perfectly ordinary sentence with varied words"
+        assert compression_ratio(loopy) > compression_ratio(normal)
+        assert compression_ratio(loopy) > 2.4
+
+    def test_greedy_temperature_sampling(self, setup):
+        params, cfg, tok = setup
+        from whisper_tpu.decode.greedy import greedy_decode
+
+        enc = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 16, 8)),
+            jnp.float32)
+        prompt = jnp.asarray(tok.prompt_ids("en"), jnp.int32)
+        with pytest.raises(ValueError, match="PRNG"):
+            greedy_decode(params, enc, prompt, cfg, eot_id=tok.eot,
+                          max_depth=4, temperature=0.7)
+        key = jax.random.PRNGKey(0)
+        t1, l1, p1 = greedy_decode(params, enc, prompt, cfg, eot_id=tok.eot,
+                                   max_depth=4, temperature=0.7, rng=key)
+        t2, l2, p2 = greedy_decode(params, enc, prompt, cfg, eot_id=tok.eot,
+                                   max_depth=4, temperature=0.7, rng=key)
+        # deterministic given the key
+        assert jnp.array_equal(t1, t2) and jnp.array_equal(l1, l2)
+        # sum_logp accumulates UNSCALED logprobs (negative)
+        assert float(p1.max()) <= 0.0
+
+    def test_nospeech_prob_outputs(self, setup):
+        params, cfg, tok = setup
+        from whisper_tpu.decode.beam import beam_search
+        from whisper_tpu.decode.greedy import greedy_decode
+        from whisper_tpu.text.tokenizer import SpecialToken
+
+        ns_id = tok.special_token(SpecialToken.NO_SPEECH)
+        assert ns_id is not None
+        enc = jnp.asarray(
+            np.random.default_rng(0).standard_normal((1, 16, 8)), jnp.float32)
+        prompt = jnp.asarray(tok.prompt_ids("en"), jnp.int32)
+        *_, ns = greedy_decode(params, enc, prompt, cfg, eot_id=tok.eot,
+                               max_depth=3, nospeech_id=ns_id)
+        assert ns.shape == (1,) and 0.0 <= float(ns[0]) <= 1.0
+        *_, nsb = beam_search(params, enc, prompt, cfg, eot_id=tok.eot,
+                              beam_size=2, max_depth=3, nospeech_id=ns_id)
+        assert 0.0 <= float(nsb) <= 1.0
+        # greedy and beam read the same prefill position
+        np.testing.assert_allclose(float(ns[0]), float(nsb), rtol=1e-5)
+
+    def test_ladder_first_temp_passes(self, setup):
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        wave = np.random.default_rng(0).standard_normal(5000).astype(
+            np.float32)
+        base = DecodeOptions(strategy="greedy", max_depth=4,
+                             chunk_overlap_seconds=0.01)
+        text0, tokens0 = t.transcribe(wave, 16000, base)
+        # permissive thresholds: ladder accepts temps[0], tokens identical
+        opt = dataclasses.replace(
+            base, temperature=(0.0, 0.5),
+            compression_ratio_threshold=1e9, logprob_threshold=None)
+        text1, tokens1 = t.transcribe(wave, 16000, opt)
+        assert tokens1 == tokens0 and text1 == text0
+
+    def test_ladder_falls_back_and_no_speech(self, setup):
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        wave = np.random.default_rng(0).standard_normal(5000).astype(
+            np.float32)
+        # impossible logprob threshold: every temp fails, last one returned
+        opt = DecodeOptions(strategy="greedy", max_depth=4,
+                            chunk_overlap_seconds=0.01,
+                            temperature=(0.0, 0.8),
+                            logprob_threshold=100.0,
+                            compression_ratio_threshold=None)
+        text, tokens = t.transcribe(wave, 16000, opt)
+        assert isinstance(text, str) and len(tokens) >= 4
+        # no-speech gate: threshold 0 accepts every window as silence once
+        # the logprob check fails -> empty transcript
+        opt_ns = dataclasses.replace(opt, no_speech_threshold=0.0)
+        text_ns, tokens_ns = t.transcribe(wave, 16000, opt_ns)
+        assert tokens_ns == [] and text_ns == ""

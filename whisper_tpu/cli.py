@@ -68,6 +68,14 @@ def cmd_transcribe(argv) -> int:
     p.add_argument("--self-quant", action="store_true",
                    help="int8 self-KV cache with per-row scales (fastest "
                         "beam decode; gated by `whisper_tpu quant-check`)")
+    p.add_argument("--temperature", default="0",
+                   help="decode temperature; a comma list (e.g. "
+                        "'0,0.2,0.4,0.6,0.8,1.0') enables the quality "
+                        "fallback ladder (compression-ratio + logprob "
+                        "checks; sampling at temps > 0)")
+    p.add_argument("--no-speech-threshold", type=float, default=None,
+                   help="skip windows whose p(<|nospeech|>) exceeds this "
+                        "and whose logprob check failed")
     p.add_argument("--initial-prompt", default=None,
                    help="condition the decoder on this text (domain terms, "
                         "names, style) via <|startofprev|>; applied to every "
@@ -152,6 +160,11 @@ def cmd_transcribe(argv) -> int:
         kv_quant=args.kv_quant,
         self_quant=args.self_quant,
         initial_prompt=args.initial_prompt,
+        temperature=(
+            tuple(float(x) for x in args.temperature.split(","))
+            if "," in args.temperature else float(args.temperature)
+        ),
+        no_speech_threshold=args.no_speech_threshold,
     )
     t0 = time.perf_counter()
     if args.parallel_windows:

@@ -269,7 +269,9 @@ def beam_search(
     self_quant: bool = False,
     ts_begin: Optional[int] = None,
     max_initial_ts_idx: int = 50,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    nospeech_id: Optional[int] = None,  # also return p(<|nospeech|>) at SOT
+    sot_pos: int = 0,  # prompt index of <|startoftranscript|>
+) -> Tuple[jax.Array, ...]:
     """Run beam search; returns (tokens (n_text_ctx,), length, log_prob).
 
     The returned sequence includes the prompt, like the reference where the
@@ -277,7 +279,9 @@ def beam_search(
     final seq is decoded whole (src/transcribe.rs:309-312,380).
 
     `ts_begin` (the <|0.00|> id) enables the in-graph timestamp constraints
-    (apply_timestamp_rules) for timestamped decoding.
+    (apply_timestamp_rules) for timestamped decoding. `nospeech_id` appends
+    a 4th output: p(<|nospeech|>) from the prefill logits at the SOT
+    position (no-speech detection; new capability beyond the reference).
     """
     K = beam_size
     dec_cfg = cfg.text_decoder_config
@@ -306,6 +310,10 @@ def beam_search(
         params, tokens0[:, :P], jnp.int32(0), cache, cfg
     )
     cross_k, cross_v = cache.cross_k, cache.cross_v  # loop-invariant closure
+    ns_prob = None
+    if nospeech_id is not None:
+        ns_prob = jax.nn.softmax(
+            logits[0, sot_pos].astype(jnp.float32), axis=-1)[nospeech_id]
     logp_next = _logp(logits[:, -1], tokens0, jnp.int32(P))
 
     state = BeamState(
@@ -422,6 +430,8 @@ def beam_search(
     tokens = jnp.where(take_fin, fin_tokens, state.cur_tokens[best_active])
     length = jnp.where(take_fin, fin_len, state.cur_len)
     logp = jnp.where(take_fin, best_fin_logp, active_logp[best_active])
+    if ns_prob is not None:
+        return tokens, length.astype(jnp.int32), logp, ns_prob
     return tokens, length.astype(jnp.int32), logp
 
 
@@ -437,6 +447,8 @@ def beam_search(
         "self_quant",
         "ts_begin",
         "max_initial_ts_idx",
+        "nospeech_id",
+        "sot_pos",
     ),
 )
 def beam_search_jit(
@@ -453,6 +465,8 @@ def beam_search_jit(
     self_quant: bool = False,
     ts_begin: Optional[int] = None,
     max_initial_ts_idx: int = 50,
+    nospeech_id: Optional[int] = None,
+    sot_pos: int = 0,
 ):
     return beam_search(
         params,
@@ -468,6 +482,8 @@ def beam_search_jit(
         self_quant,
         ts_begin,
         max_initial_ts_idx,
+        nospeech_id,
+        sot_pos,
     )
 
 
@@ -499,6 +515,8 @@ def beam_search_batched(
     suppress_until_len: int = 5,
     kv_quant: bool = False,
     self_quant: bool = False,
+    nospeech_id: Optional[int] = None,  # also return p(<|nospeech|>) (W,)
+    sot_pos: int = 0,
 ):
     """Beam-search W windows in ONE flat while_loop (no vmap).
 
@@ -532,6 +550,12 @@ def beam_search_batched(
         params, tokens0[:, :P], jnp.int32(0), cache, cfg
     )
     cross_k, cross_v = cache.cross_k, cache.cross_v  # loop-invariant closure
+    ns_prob = None
+    if nospeech_id is not None:
+        # one value per window: lanes share the prompt, take lane 0
+        ns_prob = jax.nn.softmax(
+            logits[::K, sot_pos].astype(jnp.float32), axis=-1
+        )[:, nospeech_id]
     logp_next = _masked_log_softmax(
         logits[:, -1], jnp.int32(P), suppress_mask, suppress_until_len
     ).reshape(W, K, V)
@@ -680,21 +704,26 @@ def beam_search_batched(
     tokens = jnp.where(take_fin[:, None], fin_tokens, act_tokens)
     length = jnp.where(take_fin, fin_len, s.cur_len_w)
     logp = jnp.where(take_fin, best_fin_logp, act_logp)
+    if ns_prob is not None:
+        return tokens, length.astype(jnp.int32), logp, ns_prob
     return tokens, length.astype(jnp.int32), logp
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "eot_id", "beam_size", "max_depth",
-                     "suppress_until_len", "kv_quant", "self_quant"),
+                     "suppress_until_len", "kv_quant", "self_quant",
+                     "nospeech_id", "sot_pos"),
 )
 def beam_search_batched_jit(
     params, enc_out, prompt, cfg: WhisperConfig, eot_id: int,
     suppress_mask=None, beam_size: int = 5, max_depth: int = 100,
     suppress_until_len: int = 5, kv_quant: bool = False,
-    self_quant: bool = False,
+    self_quant: bool = False, nospeech_id: Optional[int] = None,
+    sot_pos: int = 0,
 ):
     return beam_search_batched(
         params, enc_out, prompt, cfg, eot_id, suppress_mask, beam_size,
-        max_depth, suppress_until_len, kv_quant, self_quant,
+        max_depth, suppress_until_len, kv_quant, self_quant, nospeech_id,
+        sot_pos,
     )

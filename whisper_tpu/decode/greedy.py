@@ -50,14 +50,27 @@ def greedy_decode(
     self_quant: bool = False,
     ts_begin: Optional[int] = None,
     max_initial_ts_idx: int = 50,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    temperature: float = 0.0,  # static: 0 = argmax, >0 = sampling
+    rng: Optional[jax.Array] = None,  # PRNG key, required when temperature>0
+    nospeech_id: Optional[int] = None,  # also return p(<|nospeech|>) at SOT
+    sot_pos: int = 0,  # prompt index of <|startoftranscript|>
+) -> Tuple[jax.Array, ...]:
     """Greedy decode; returns (tokens (B, n_text_ctx), lengths (B,), sum_logp).
 
     Sequences end with EOT (appended implicitly when predicted); streams that
     finish early idle until the last stream finishes (fixed-shape loop).
     `ts_begin` (the <|0.00|> id) enables the in-graph timestamp constraints
     (decode/beam.apply_timestamp_rules) for timestamped decoding.
+
+    New capability (OpenAI-style robust decoding, beyond the reference):
+    `temperature > 0` samples each token from softmax(logits/T) (one PRNG
+    fold per position; `sum_logp` still accumulates UNSCALED logprobs, the
+    quality signal the fallback ladder thresholds). `nospeech_id` appends a
+    4th output: p(<|nospeech|>) from the prefill logits at the SOT position
+    (the standard no-speech detection signal).
     """
+    if temperature > 0.0 and rng is None:
+        raise ValueError("temperature > 0 requires a PRNG key (rng=...)")
     dec_cfg = cfg.text_decoder_config
     ctx = dec_cfg.n_text_ctx
     P = prompt.shape[0]
@@ -79,6 +92,14 @@ def greedy_decode(
                          kv_quant=kv_quant, self_quant=self_quant)
     logits, cache = M.decoder_step(params, tokens0[:, :P], jnp.int32(0), cache, cfg)
     cross_k, cross_v = cache.cross_k, cache.cross_v  # loop-invariant closure
+    ns_prob = None
+    if nospeech_id is not None:
+        # p(<|nospeech|>) at the SOT position (logits there predict the
+        # language token; OpenAI reads no-speech probability off the same
+        # position): softmax over the raw (unsuppressed) distribution.
+        ns_prob = jax.nn.softmax(
+            logits[:, sot_pos].astype(jnp.float32), axis=-1
+        )[:, nospeech_id]
     logp_next = _logp(logits[:, -1], tokens0, jnp.int32(P))
 
     state = GreedyState(
@@ -98,7 +119,13 @@ def greedy_decode(
         return (~jnp.all(s.done)) & (s.seq_len < max_len)
 
     def body(s: GreedyState) -> GreedyState:
-        tok = jnp.argmax(s.logp_next, axis=-1).astype(jnp.int32)
+        if temperature > 0.0:
+            tok = jax.random.categorical(
+                jax.random.fold_in(rng, s.seq_len),
+                s.logp_next / temperature, axis=-1,
+            ).astype(jnp.int32)
+        else:
+            tok = jnp.argmax(s.logp_next, axis=-1).astype(jnp.int32)
         tok_logp = jnp.take_along_axis(s.logp_next, tok[:, None], axis=-1)[:, 0]
         # finished streams keep emitting EOT into the pad region
         tok = jnp.where(s.done, eot_id, tok)
@@ -124,6 +151,8 @@ def greedy_decode(
         )
 
     state = jax.lax.while_loop(cond, body, state)
+    if ns_prob is not None:
+        return state.tokens, state.length, state.sum_logp, ns_prob
     return state.tokens, state.length, state.sum_logp
 
 
@@ -131,7 +160,8 @@ def greedy_decode(
     jax.jit,
     static_argnames=("cfg", "eot_id", "batch", "max_depth",
                      "suppress_until_len", "kv_quant", "self_quant",
-                     "ts_begin", "max_initial_ts_idx"),
+                     "ts_begin", "max_initial_ts_idx", "temperature",
+                     "nospeech_id", "sot_pos"),
 )
 def greedy_decode_jit(
     params,
@@ -147,6 +177,10 @@ def greedy_decode_jit(
     self_quant: bool = False,
     ts_begin: Optional[int] = None,
     max_initial_ts_idx: int = 50,
+    temperature: float = 0.0,
+    rng=None,
+    nospeech_id: Optional[int] = None,
+    sot_pos: int = 0,
 ):
     return greedy_decode(
         params,
@@ -162,4 +196,8 @@ def greedy_decode_jit(
         self_quant,
         ts_begin,
         max_initial_ts_idx,
+        temperature,
+        rng,
+        nospeech_id,
+        sot_pos,
     )

@@ -66,6 +66,22 @@ class DecodeOptions:
     max_initial_timestamp: float = 1.0  # s; cap on the first emitted stamp
     kv_quant: bool = False  # cross-KV cache quant: True/"int8", or "int4"
     self_quant: bool = False  # int8 self-KV cache with per-row scales
+    # --- robust decoding (OpenAI-style fallback ladder; new capability,
+    # the reference decodes once at beam=5 with no quality checks) ---
+    # temperature: a float decodes once; a TUPLE enables the fallback
+    # ladder: each window decodes at temps[0] (beam/greedy per `strategy`),
+    # and re-decodes at the next temperature (always sampling) while the
+    # quality checks fail. Checks: gzip compression ratio of the window
+    # text > compression_ratio_threshold (repetition loop), or mean sampled
+    # token logprob < logprob_threshold. no_speech_threshold (opt-in)
+    # accepts a silent window (emits nothing) when p(<|nospeech|>) at SOT
+    # exceeds it AND the logprob check failed. Ladder applies to
+    # `Transcriber.transcribe`; other pipelines decode at temps[0].
+    temperature: object = 0.0  # float | tuple of floats
+    compression_ratio_threshold: Optional[float] = 2.4
+    logprob_threshold: Optional[float] = -1.0
+    no_speech_threshold: Optional[float] = None
+    seed: int = 0  # PRNG seed for sampling temperatures
     # Text to condition the decoder on (domain vocabulary, names, style):
     # encoded after <|startofprev|>, capped at n_text_ctx//2 - 1 tokens, and
     # prepended to EVERY window's prompt. New capability beyond the
@@ -108,6 +124,17 @@ def find_chunk_overlap(
     if max_overlap >= min_n_overlaps:
         return max_overlap_indices
     return None
+
+
+def compression_ratio(text: str) -> float:
+    """len(utf-8) / len(zlib-compressed): > ~2.4 flags a repetition loop
+    (the standard Whisper decode-quality heuristic)."""
+    import zlib
+
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
 
 
 def window_waveform(
@@ -293,6 +320,62 @@ class Transcriber:
         return fn
 
     # ------------------------------------------------------------------
+    def _window_fn_q(
+        self, n_samples: int, prompt_len: int, strategy: str, beam_size: int,
+        max_depth: int, padding: int, suppress_until_len: int,
+        kv_quant: bool = False, self_quant: bool = False,
+        temperature: float = 0.0, sot_pos: int = 0,
+    ) -> Callable:
+        """Quality-returning window program for the fallback ladder:
+        (params, wave, prompt, suppress, rng) -> (tokens, length, sum_logp,
+        ns_prob). ns_prob = p(<|nospeech|>) at the SOT position, or -1 when
+        the tokenizer lacks the token. temperature > 0 forces sampling
+        (greedy machinery), matching OpenAI's ladder semantics."""
+        key = ("window_q", n_samples, prompt_len, strategy, beam_size,
+               max_depth, padding, suppress_until_len, kv_quant, self_quant,
+               temperature, sot_pos)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        cfg = self.cfg
+        enc_ctx = cfg.encoder_ctx_size
+        eot = self.tok.eot
+        from ..text.tokenizer import SpecialToken
+
+        ns_id = self.tok.special_token(SpecialToken.NO_SPEECH)
+
+        def run(params, wave, prompt, suppress, rng):
+            mel = prep_audio(wave[None, :], n_mels=cfg.n_mels)
+            keep = min(mel.shape[2], enc_ctx - padding)
+            mel = jnp.pad(mel[:, :, :keep], ((0, 0), (0, 0), (0, padding)))
+            enc = M.encoder_forward(params, mel, cfg)
+            if strategy == "beam" and temperature == 0.0:
+                out = dbeam.beam_search(
+                    params, enc, prompt, cfg, eot_id=eot,
+                    suppress_mask=suppress, beam_size=beam_size,
+                    max_depth=max_depth,
+                    suppress_until_len=suppress_until_len,
+                    kv_quant=kv_quant, self_quant=self_quant,
+                    nospeech_id=ns_id, sot_pos=sot_pos,
+                )
+                toks, length, logp = out[:3]
+                ns = out[3] if ns_id is not None else jnp.float32(-1.0)
+                return toks, length, logp, ns
+            out = dgreedy.greedy_decode(
+                params, enc, prompt, cfg, eot_id=eot, suppress_mask=suppress,
+                max_depth=max_depth, suppress_until_len=suppress_until_len,
+                kv_quant=kv_quant, self_quant=self_quant,
+                temperature=temperature, rng=rng,
+                nospeech_id=ns_id, sot_pos=sot_pos,
+            )
+            toks, lengths, logps = out[:3]
+            ns = out[3][0] if ns_id is not None else jnp.float32(-1.0)
+            return toks[0], lengths[0], logps[0], ns
+
+        fn = jax.jit(run)
+        self._fn_cache[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
     def detect_language(self, waveform: np.ndarray,
                         sample_rate: int = SAMPLE_RATE):
         """Identify the spoken language from the first audio window.
@@ -339,6 +422,13 @@ class Transcriber:
             overlap = n_window // 2
         prompt, n_cond = self._build_prompt(opt)
         sup_len = opt.suppress_until_len + n_cond
+        temps = (
+            tuple(float(t) for t in opt.temperature)
+            if isinstance(opt.temperature, (tuple, list))
+            else (float(opt.temperature),)
+        )
+        use_ladder = (len(temps) > 1 or temps[0] != 0.0
+                      or opt.no_speech_threshold is not None)
 
         tokens: List[int] = []
         text = ""
@@ -357,12 +447,60 @@ class Transcriber:
         # before window i's result is fetched. XLA dispatch is async: the
         # device starts i+1 while the host fetches/stitches i, hiding the
         # device->host tunnel latency and host-side stitching per window.
+        def decode_ladder(i, window):
+            """Fallback ladder (new capability): decode at temps[0]; while
+            the quality checks fail, re-decode at the next (sampling)
+            temperature. Returns the window's final stripped token list."""
+            P = int(prompt.shape[0])
+            for ti, T in enumerate(temps):
+                fn = self._window_fn_q(
+                    len(window), P, opt.strategy, opt.beam_size,
+                    opt.max_depth, opt.padding, sup_len, opt.kv_quant,
+                    opt.self_quant, temperature=T, sot_pos=n_cond,
+                )
+                rng = jax.random.fold_in(
+                    jax.random.PRNGKey(opt.seed), i * 131 + ti)
+                with prec_ctx:
+                    toks_dev, length, logp, ns = fn(
+                        self.params, jnp.asarray(window), prompt,
+                        self._suppress, rng,
+                    )
+                length = int(length)
+                toks = [int(t) for t in np.asarray(toks_dev)[:length]][n_cond:]
+                n_sampled = max(length - P, 1)
+                avg_lp = float(logp) / n_sampled
+                ns = float(ns)
+                lp_failed = (opt.logprob_threshold is not None
+                             and avg_lp < opt.logprob_threshold)
+                if (opt.no_speech_threshold is not None and ns >= 0.0
+                        and ns > opt.no_speech_threshold
+                        and (opt.logprob_threshold is None or lp_failed)):
+                    log.info("chunk %d: no speech (p=%.2f), skipping", i, ns)
+                    return []
+                cr = compression_ratio(
+                    tok.decode(toks, skip_special=True))
+                ok = not lp_failed and not (
+                    opt.compression_ratio_threshold is not None
+                    and cr > opt.compression_ratio_threshold)
+                if ok or ti == len(temps) - 1:
+                    if ti:
+                        log.info("chunk %d: accepted at temperature %.1f "
+                                 "(avg_logprob %.2f, compression %.2f)",
+                                 i, T, avg_lp, cr)
+                    return toks
+                log.info("chunk %d: t=%.1f failed checks (avg_logprob %.2f, "
+                         "compression %.2f), retrying", i, T, avg_lp, cr)
+            return toks  # pragma: no cover (loop always returns)
+
         def dispatch(i, start, end):
             window = np.ascontiguousarray(waveform[start:end], dtype=np.float32)
             if len(window) < 400:  # < n_fft: STFT impossible (the reference
                 # would panic on its assert, src/audio.rs:292; we skip).
                 log.warning("skipping %d-sample tail window (< n_fft)", len(window))
                 return None
+            if use_ladder:  # synchronous: quality checks gate each window
+                toks = decode_ladder(i, window)
+                return (i, start, end, toks, None, time.perf_counter())
             fn = self._window_fn(
                 len(window), int(prompt.shape[0]), opt.strategy, opt.beam_size,
                 opt.max_depth, opt.padding, sup_len,
@@ -384,8 +522,12 @@ class Transcriber:
             # trailing non-special context: computed then DISCARDED, exactly
             # like the reference (src/transcribe.rs:43-50,195-201).
             _prev_ctx = [t for t in reversed(tokens) if not tok.is_special(t)][:5][::-1]
-            new_tokens = [int(t) for t in np.asarray(toks_dev)[: int(length)]]
-            new_tokens = new_tokens[n_cond:]  # drop the conditioning prefix
+            if isinstance(toks_dev, list):  # ladder path: already final
+                new_tokens = toks_dev
+            else:
+                new_tokens = [
+                    int(t) for t in np.asarray(toks_dev)[: int(length)]
+                ][n_cond:]  # drop the conditioning prefix
 
             spliced = find_chunk_overlap(
                 tokens, new_tokens, opt.stitch_max_offsets, opt.stitch_min_overlaps
