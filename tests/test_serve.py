@@ -92,6 +92,19 @@ class TestServer:
             t.join()
         assert all(r[0] == 200 for r in results)
 
+    def test_options_passthrough(self, server):
+        url, _ = server
+        status, obj = _post(
+            url,
+            "/transcribe?lang=en&greedy=1&initial_prompt=hello+there",
+            _wav_bytes(),
+        )
+        assert status == 200
+        assert "text" in obj and isinstance(obj["tokens"], list)
+        status, obj = _post(url, "/transcribe?lang=en&task=nonsense",
+                            _wav_bytes())
+        assert status == 400 and "task" in obj["error"]
+
     def test_bad_audio_rejected(self, server):
         url, _ = server
         status, obj = _post(url, "/transcribe?lang=en", b"this is not a wav")

@@ -376,6 +376,46 @@ class Transcriber:
         return fn
 
     # ------------------------------------------------------------------
+    def align_words(
+        self,
+        window: np.ndarray,  # one window of 16 kHz mono audio
+        tokens: Sequence[int],  # that window's decoded sequence (w/ prompt)
+        heads=None,  # [(layer, head)] alignment heads; default: top half
+        offset_s: float = 0.0,  # added to the returned (window-rel.) times
+    ):
+        """Word-level timestamps for one decoded window (new capability):
+        cross-attention DTW alignment (align.find_word_timings) of `tokens`
+        against the window audio. Returns [WordTiming] with absolute times
+        when `offset_s` is the window's stream offset."""
+        import dataclasses as _dc
+
+        from ..align import find_word_timings
+        from ..ops.audio import num_frames as _nf
+
+        cfg = self.cfg
+        padding = 10
+        mel = prep_audio(
+            jnp.asarray(np.asarray(window, np.float32))[None, :],
+            n_mels=cfg.n_mels)
+        keep = min(mel.shape[2], cfg.encoder_ctx_size - padding)
+        valid = keep // 2  # encoder halves the frame count
+        mel = jnp.pad(mel[:, :, :keep], ((0, 0), (0, 0), (0, padding)))
+        enc = M.encoder_forward(
+            self.params, mel.astype(self.params["decoder"]["tok_emb"].dtype),
+            cfg)
+        words = find_word_timings(
+            self.params, enc, list(map(int, tokens)), cfg, self.tok,
+            num_frames=valid, heads=heads,
+        )
+        if offset_s:
+            words = [
+                _dc.replace(w, start=w.start + offset_s,
+                            end=w.end + offset_s)
+                for w in words
+            ]
+        return words
+
+    # ------------------------------------------------------------------
     def detect_language(self, waveform: np.ndarray,
                         sample_rate: int = SAMPLE_RATE):
         """Identify the spoken language from the first audio window.

@@ -8,7 +8,8 @@ so concurrent clients share the chip-efficient batched path.
     python -m whisper_tpu.serve <model> [--port 8000] [--batch-size 8] ...
 
 Endpoints:
-  POST /transcribe?lang=en[&greedy=1]   body: WAV bytes -> {"text", "tokens"}
+  POST /transcribe?lang=en[&greedy=1][&task=translate]
+       [&initial_prompt=...]           body: WAV bytes -> {"text", "tokens"}
   POST /stream/start?lang=en[&task=..][&greedy=1] -> {"session": id}
   POST /stream/<id>/push?format=f32|s16  body: raw PCM block
                                          -> {"confirmed": [segments]}
@@ -39,16 +40,22 @@ import numpy as np
 
 
 class _Request:
-    def __init__(self, wave: np.ndarray, lang: str, greedy: bool):
+    def __init__(self, wave: np.ndarray, lang: str, greedy: bool,
+                 task: str = "transcribe", initial_prompt=None):
         self.wave = wave
         self.lang = lang
         self.greedy = greedy
+        self.task = task
+        self.initial_prompt = initial_prompt
         self.done = threading.Event()
         self.result: Optional[tuple] = None
         self.error: Optional[str] = None
         # set by the handler when its waiter gave up (504): the worker
         # drops abandoned requests instead of burning chip time on them
         self.abandoned = False
+
+    def opts_key(self):
+        return (self.lang, self.greedy, self.task, self.initial_prompt)
 
 
 class BatchingWorker(threading.Thread):
@@ -81,7 +88,7 @@ class BatchingWorker(threading.Thread):
                 except queue.Empty:
                     break
                 # only batch requests with identical decode options
-                if (nxt.lang, nxt.greedy) == (req.lang, req.greedy):
+                if nxt.opts_key() == req.opts_key():
                     batch.append(nxt)
                 else:
                     self.q.put(nxt)
@@ -103,6 +110,8 @@ class BatchingWorker(threading.Thread):
                 opts = DecodeOptions(
                     lang=req.lang,
                     strategy="greedy" if req.greedy else "beam",
+                    task=req.task,
+                    initial_prompt=req.initial_prompt,
                 )
                 results = self.t.transcribe_many(
                     [r.wave for r in batch], options=opts
@@ -314,6 +323,11 @@ def make_handler(worker: BatchingWorker, sample_rate: int,
             params = parse_qs(parsed.query)
             lang = params.get("lang", ["en"])[0]
             greedy = params.get("greedy", ["0"])[0] in ("1", "true")
+            task = params.get("task", ["transcribe"])[0]
+            initial_prompt = params.get("initial_prompt", [None])[0]
+            if task not in ("transcribe", "translate"):
+                self._json(400, {"error": f"bad task: {task}"})
+                return
             try:
                 length = int(self.headers.get("Content-Length", 0))
             except ValueError:
@@ -338,7 +352,7 @@ def make_handler(worker: BatchingWorker, sample_rate: int,
                 self._json(400, {"error": f"bad audio: {e}"})
                 return
 
-            req = _Request(wave, lang, greedy)
+            req = _Request(wave, lang, greedy, task, initial_prompt)
             try:
                 worker.q.put_nowait(req)
             except queue.Full:
