@@ -683,3 +683,33 @@ class TestFusedReshuffleIntegration:
         for w in range(t1.shape[0]):
             assert np.array_equal(t1[w, :l1[w]], t0[w, :l0[w]]), w
         np.testing.assert_allclose(p1, p0, atol=1e-5)
+
+    def test_greedy_tokens_fused_append_vs_dus(self, rng, monkeypatch):
+        import dataclasses
+
+        from whisper_tpu.config import tiny_test_config
+        from whisper_tpu.decode.greedy import greedy_decode
+        from whisper_tpu.models import whisper as M
+
+        cfg = dataclasses.replace(
+            tiny_test_config(n_state=128, n_head=2, n_vocab=64,
+                             n_text_ctx=64),
+            attention="flash")
+        params = M.init_params(jax.random.PRNGKey(0), cfg)
+        enc = jnp.asarray(rng.standard_normal((3, 16, 128)).astype(np.float32))
+        prompt = jnp.asarray([1, 2], jnp.int32)
+
+        results = {}
+        for fused in ("1", "0"):
+            monkeypatch.setenv("WHISPER_TPU_GREEDY_FUSED_APPEND", fused)
+            toks, lens, logps = greedy_decode(
+                params, enc, prompt, cfg, eot_id=0, max_depth=8,
+                self_quant=True)
+            results[fused] = (np.asarray(toks), np.asarray(lens),
+                              np.asarray(logps))
+        t1, l1, p1 = results["1"]
+        t0, l0, p0 = results["0"]
+        assert np.array_equal(l1, l0)
+        for b in range(t1.shape[0]):
+            assert np.array_equal(t1[b, :l1[b]], t0[b, :l0[b]]), b
+        np.testing.assert_allclose(p1, p0, atol=1e-5)

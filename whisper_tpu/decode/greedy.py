@@ -21,6 +21,24 @@ from ..models import whisper as M
 from .beam import _masked_log_softmax, apply_timestamp_rules
 
 
+def _fuse_append(self_k, cfg) -> bool:
+    """True when the greedy append should ride the fused decode kernel
+    (identity parents; flash + quantized self-KV). OFF by default: greedy
+    has no reshuffle, its XLA appends are already in-place, and the fused
+    kernel's whole-prefix write-back measured a 3-5% LOSS on chip (424.7x
+    vs 437x int8 / 444.6x bf16 at large-v2 b64 -- docs/PERFORMANCE.md
+    fused-reshuffle study). Kept as an opt-in A/B knob."""
+    import os
+
+    from ..quantize import QTensor
+
+    return (
+        cfg.attention == "flash"
+        and isinstance(self_k, QTensor)
+        and os.environ.get("WHISPER_TPU_GREEDY_FUSED_APPEND", "0") == "1"
+    )
+
+
 class GreedyState(NamedTuple):
     tokens: jax.Array  # (B, n_text_ctx) i32
     length: jax.Array  # (B,) i32 per-stream sequence length (incl. prompt)
@@ -137,7 +155,17 @@ def greedy_decode(
         done = s.done | newly_done
 
         full = M.DecoderCache(s.self_k, s.self_v, cross_k, cross_v)
-        logits, cache = M.decoder_step(params, tok[:, None], s.seq_len, full, cfg)
+        # WHISPER_TPU_GREEDY_FUSED_APPEND=1 (opt-in A/B knob) patches the
+        # new KV row inside the fused decode kernel instead of the two XLA
+        # dynamic-update-slice appends per layer; measured a LOSS for
+        # greedy (see _fuse_append), win for beam (where the reshuffle
+        # permute rides the same pass).
+        parents = (
+            jnp.arange(B, dtype=jnp.int32)
+            if _fuse_append(s.self_k, cfg) else None
+        )
+        logits, cache = M.decoder_step(
+            params, tok[:, None], s.seq_len, full, cfg, parents=parents)
         logp_next = _logp(logits[:, -1], tokens, s.seq_len + 1)
         return GreedyState(
             tokens=tokens,
