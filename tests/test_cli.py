@@ -79,6 +79,19 @@ class TestTranscribe:
         assert "Transcription finished." in out  # main.rs:159
         assert os.path.exists("out.txt")
 
+    def test_timestamps_and_words_output(self, workdir, capsys):
+        rc = cli.main([
+            "transcribe", "dump", "audio.wav", "en", "seg.txt",
+            "--greedy", "--max-depth", "5", "--dtype", "float32",
+            "--timestamps", "--words",
+        ])
+        assert rc == 0
+        out = open("seg.txt").read()
+        # segment lines carry the [start -> end] form (possibly empty when
+        # random weights emit no text, but the file must exist and parse)
+        for line in out.splitlines():
+            assert "->" in line
+
     def test_invalid_language(self, workdir, capsys):
         rc = cli.main(["transcribe", "dump", "audio.wav", "xx", "o.txt"])
         assert rc == 1

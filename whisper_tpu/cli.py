@@ -76,6 +76,13 @@ def cmd_transcribe(argv) -> int:
     p.add_argument("--no-speech-threshold", type=float, default=None,
                    help="skip windows whose p(<|nospeech|>) exceeds this "
                         "and whose logprob check failed")
+    p.add_argument("--timestamps", action="store_true",
+                   help="write '[start -> end] text' segment lines instead "
+                        "of plain text (timestamped decoding)")
+    p.add_argument("--words", action="store_true",
+                   help="with --timestamps: append per-word timings "
+                        "(cross-attention DTW alignment) as "
+                        "'  word [start -> end]' lines")
     p.add_argument("--initial-prompt", default=None,
                    help="condition the decoder on this text (domain terms, "
                         "names, style) via <|startofprev|>; applied to every "
@@ -167,7 +174,36 @@ def cmd_transcribe(argv) -> int:
         no_speech_threshold=args.no_speech_threshold,
     )
     t0 = time.perf_counter()
-    if args.parallel_windows:
+    out_lines = None
+    if args.timestamps:
+        if args.parallel_windows:
+            print("--timestamps is incompatible with --parallel-windows",
+                  file=sys.stderr)
+            return 1
+        t = Transcriber(params, cfg, tokenizer, dtype=dtype)
+        text, segments = t.transcribe_with_timestamps(waveform, rate, opts)
+        out_lines = []
+        for seg in segments:
+            out_lines.append(f"[{seg.start:.2f} -> {seg.end:.2f}] {seg.text}")
+            if args.words:
+                # align the segment's window: cheapest correct scope is the
+                # window containing the segment start
+                from .ops.audio import max_waveform_samples
+
+                n_window = max_waveform_samples(cfg.encoder_ctx_size - 10)
+                w0 = int(seg.start * rate)
+                w0 = min(w0, max(0, len(waveform) - n_window))
+                words = t.align_words(
+                    waveform[w0 : w0 + n_window],
+                    tokenizer.prompt_ids(opts.lang, task=opts.task,
+                                         timestamps=True)
+                    + seg.tokens + [tokenizer.eot],
+                    offset_s=w0 / rate,
+                )
+                for w in words:
+                    out_lines.append(
+                        f"  {w.word} [{w.start:.2f} -> {w.end:.2f}]")
+    elif args.parallel_windows:
         from .pipeline.batch import BatchTranscriber
 
         bt = BatchTranscriber(params, cfg, tokenizer, dtype=dtype)
@@ -178,7 +214,7 @@ def cmd_transcribe(argv) -> int:
     dt = time.perf_counter() - t0
 
     with open(args.out, "w") as f:
-        f.write(text)
+        f.write("\n".join(out_lines) if out_lines is not None else text)
     if args.verbose:
         audio_sec = len(waveform) / rate
         print(f"[{audio_sec:.1f}s audio in {dt:.1f}s = {audio_sec/dt:.1f}x RT]",
