@@ -304,3 +304,48 @@ class TestGraftEntry:
         fn, args = g.entry()
         out = jax.jit(fn)(*args)
         assert out.shape[0] == 1 and np.isfinite(np.asarray(out)).all()
+
+
+class TestShardedFusedBeam:
+    """The FUSED beam-reshuffle kernel under a dp-sharded mesh must produce
+    single-device tokens (tp>1 never reaches it: the attention guard forces
+    the XLA path before the kernels are selected). Also pins the small-cache
+    regression: the kernel's aligned-tile patch must handle caches shorter
+    than one 32-row tile (tiny configs; first seen as a mesh-test failure
+    that was really this)."""
+
+    def test_dp_sharded_fused_beam_matches_single_device(self):
+        import dataclasses
+
+        from whisper_tpu.decode import beam as dbeam
+
+        # n_text_ctx=16 -> cache shorter than one 32-row tile (regression)
+        cfg = dataclasses.replace(
+            tiny_test_config(n_state=128, n_head=4, n_layer=2, n_vocab=256,
+                             n_audio_ctx=32, n_text_ctx=16),
+            attention="flash")
+        params = M.init_params(jax.random.PRNGKey(1), cfg)
+        rng = np.random.default_rng(3)
+        mel = rng.standard_normal((8, 80, 32)).astype(np.float32)
+        prompt = jnp.asarray([3, 5], jnp.int32)
+
+        def f(p, m, pr):
+            enc = M.encoder_forward(p, m, cfg)
+            return dbeam.beam_search_batched(
+                p, enc, pr, cfg, eot_id=1, beam_size=3, max_depth=6,
+                self_quant=True)[:2]
+
+        ref_toks, ref_len = jax.jit(f)(params, jnp.asarray(mel), prompt)
+        ref_toks, ref_len = np.asarray(ref_toks), np.asarray(ref_len)
+
+        mesh = pmesh.make_mesh(dp=8, tp=1)
+        with mesh:
+            sp = sharding.shard_params(params, mesh, cfg)
+            mel_s = jax.device_put(mel, NamedSharding(mesh, P("dp")))
+            toks, lens = jax.jit(f)(sp, mel_s, prompt)
+        toks, lens = np.asarray(toks), np.asarray(lens)
+
+        np.testing.assert_array_equal(lens, ref_len)
+        for i in range(8):
+            np.testing.assert_array_equal(
+                toks[i, : lens[i]], ref_toks[i, : ref_len[i]])

@@ -108,14 +108,18 @@ def _top_k(x, k, seg: int = 128):
     return vals, gi
 
 
-def _fuse_reshuffle(self_k, cfg) -> bool:
+def _fuse_reshuffle(self_k, cfg, allow=None) -> bool:
     """True when the beam reshuffle should ride the fused decode kernel
     (flash attention + quantized self-KV; WHISPER_TPU_FUSED_PERMUTE=0
-    forces the separate permute kernel for A/B)."""
+    forces the separate permute kernel for A/B). `allow=False` hard-gates
+    it off (explicit caller control; dp meshes are token-identical through
+    the fused path on the virtual mesh, and tp>1 never reaches flash)."""
     import os
 
     from ..quantize import QTensor
 
+    if allow is False:
+        return False
     return (
         cfg.attention == "flash"
         and isinstance(self_k, QTensor)
@@ -271,6 +275,7 @@ def beam_search(
     max_initial_ts_idx: int = 50,
     nospeech_id: Optional[int] = None,  # also return p(<|nospeech|>) at SOT
     sot_pos: int = 0,  # prompt index of <|startoftranscript|>
+    fuse_reshuffle: Optional[bool] = None,  # False: never the fused kernel
 ) -> Tuple[jax.Array, ...]:
     """Run beam search; returns (tokens (n_text_ctx,), length, log_prob).
 
@@ -375,7 +380,7 @@ def beam_search(
         # of permute-read + permute-write + attention-read; see
         # ops/pallas/permute_attention.py); parents are window-local here
         # by construction (one window).
-        if _fuse_reshuffle(s.self_k, cfg):
+        if _fuse_reshuffle(s.self_k, cfg, fuse_reshuffle):
             cache = M.DecoderCache(s.self_k, s.self_v, cross_k, cross_v)
             logits, cache = M.decoder_step(
                 params, tok[:, None], s.cur_len, cache, cfg, parents=parent
@@ -449,6 +454,7 @@ def beam_search(
         "max_initial_ts_idx",
         "nospeech_id",
         "sot_pos",
+        "fuse_reshuffle",
     ),
 )
 def beam_search_jit(
@@ -467,6 +473,7 @@ def beam_search_jit(
     max_initial_ts_idx: int = 50,
     nospeech_id: Optional[int] = None,
     sot_pos: int = 0,
+    fuse_reshuffle: Optional[bool] = None,
 ):
     return beam_search(
         params,
@@ -484,6 +491,7 @@ def beam_search_jit(
         max_initial_ts_idx,
         nospeech_id,
         sot_pos,
+        fuse_reshuffle,
     )
 
 
@@ -517,6 +525,7 @@ def beam_search_batched(
     self_quant: bool = False,
     nospeech_id: Optional[int] = None,  # also return p(<|nospeech|>) (W,)
     sot_pos: int = 0,
+    fuse_reshuffle: Optional[bool] = None,  # False: never the fused kernel
 ):
     """Beam-search W windows in ONE flat while_loop (no vmap).
 
@@ -625,7 +634,7 @@ def beam_search_batched(
         # fused into the decode kernel on the flash + quantized-self path
         # (parents stay window-local: parent is an in-window index).
         gparent = (parent + jnp.arange(W)[:, None] * K).reshape(B)
-        if _fuse_reshuffle(s.self_k, cfg):
+        if _fuse_reshuffle(s.self_k, cfg, fuse_reshuffle):
             full = M.DecoderCache(s.self_k, s.self_v, cross_k, cross_v)
             logits, cache = M.decoder_step(
                 params, tok.reshape(B, 1), s.cur_len, full, cfg,
@@ -713,17 +722,17 @@ def beam_search_batched(
     jax.jit,
     static_argnames=("cfg", "eot_id", "beam_size", "max_depth",
                      "suppress_until_len", "kv_quant", "self_quant",
-                     "nospeech_id", "sot_pos"),
+                     "nospeech_id", "sot_pos", "fuse_reshuffle"),
 )
 def beam_search_batched_jit(
     params, enc_out, prompt, cfg: WhisperConfig, eot_id: int,
     suppress_mask=None, beam_size: int = 5, max_depth: int = 100,
     suppress_until_len: int = 5, kv_quant: bool = False,
     self_quant: bool = False, nospeech_id: Optional[int] = None,
-    sot_pos: int = 0,
+    sot_pos: int = 0, fuse_reshuffle: Optional[bool] = None,
 ):
     return beam_search_batched(
         params, enc_out, prompt, cfg, eot_id, suppress_mask, beam_size,
         max_depth, suppress_until_len, kv_quant, self_quant, nospeech_id,
-        sot_pos,
+        sot_pos, fuse_reshuffle,
     )

@@ -21,7 +21,7 @@ from ..models import whisper as M
 from .beam import _masked_log_softmax, apply_timestamp_rules
 
 
-def _fuse_append(self_k, cfg) -> bool:
+def _fuse_append(self_k, cfg, allow=None) -> bool:
     """True when the greedy append should ride the fused decode kernel
     (identity parents; flash + quantized self-KV). OFF by default: greedy
     has no reshuffle, its XLA appends are already in-place, and the fused
@@ -32,6 +32,8 @@ def _fuse_append(self_k, cfg) -> bool:
 
     from ..quantize import QTensor
 
+    if allow is False:  # meshed pipelines: GSPMD cannot partition the call
+        return False
     return (
         cfg.attention == "flash"
         and isinstance(self_k, QTensor)
@@ -72,6 +74,7 @@ def greedy_decode(
     rng: Optional[jax.Array] = None,  # PRNG key, required when temperature>0
     nospeech_id: Optional[int] = None,  # also return p(<|nospeech|>) at SOT
     sot_pos: int = 0,  # prompt index of <|startoftranscript|>
+    fuse_append: Optional[bool] = None,  # False: never the fused kernel
 ) -> Tuple[jax.Array, ...]:
     """Greedy decode; returns (tokens (B, n_text_ctx), lengths (B,), sum_logp).
 
@@ -162,7 +165,7 @@ def greedy_decode(
         # permute rides the same pass).
         parents = (
             jnp.arange(B, dtype=jnp.int32)
-            if _fuse_append(s.self_k, cfg) else None
+            if _fuse_append(s.self_k, cfg, fuse_append) else None
         )
         logits, cache = M.decoder_step(
             params, tok[:, None], s.seq_len, full, cfg, parents=parents)
@@ -189,7 +192,7 @@ def greedy_decode(
     static_argnames=("cfg", "eot_id", "batch", "max_depth",
                      "suppress_until_len", "kv_quant", "self_quant",
                      "ts_begin", "max_initial_ts_idx", "temperature",
-                     "nospeech_id", "sot_pos"),
+                     "nospeech_id", "sot_pos", "fuse_append"),
 )
 def greedy_decode_jit(
     params,
@@ -209,6 +212,7 @@ def greedy_decode_jit(
     rng=None,
     nospeech_id: Optional[int] = None,
     sot_pos: int = 0,
+    fuse_append: Optional[bool] = None,
 ):
     return greedy_decode(
         params,
@@ -228,4 +232,5 @@ def greedy_decode_jit(
         rng,
         nospeech_id,
         sot_pos,
+        fuse_append,
     )

@@ -142,8 +142,10 @@ def _fused_kernel(
             # Patch the appended row via an aligned-tile read-modify-write:
             # Mosaic requires dynamic sublane indices to be provably
             # tile-aligned, so load the 32-row tile containing `pos`,
-            # select the row in, and store the tile back.
-            tile = 32
+            # select the row in, and store the tile back. Caches smaller
+            # than one tile (tiny test configs) patch the whole buffer
+            # (base is then provably 0).
+            tile = 32 if cu >= 32 else cu
             base = (pos // tile) * tile
             row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
             kt = kbuf[slot, j, pl.ds(base, tile)]

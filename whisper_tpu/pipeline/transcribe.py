@@ -282,6 +282,11 @@ class Transcriber:
         cfg = self.cfg
         enc_ctx = cfg.encoder_ctx_size
         eot = self.tok.eot
+        # Fused reshuffle/append kernel selection: default (None) lets the
+        # decode loops decide. dp-meshed fused beam is token-identical on
+        # the virtual mesh (test_parallel.py::TestShardedFusedBeam); tp>1
+        # never reaches the kernels (the attention guard forces "xla").
+        fuse = None
         ts_begin = None
         if timestamps:
             if self._ts_begin is None:
@@ -305,6 +310,7 @@ class Transcriber:
                     max_depth=max_depth, suppress_until_len=suppress_until_len,
                     kv_quant=kv_quant, self_quant=self_quant,
                     ts_begin=ts_begin, max_initial_ts_idx=max_initial_ts_idx,
+                    fuse_reshuffle=fuse,
                 )
                 return toks, length
             toks, lengths, _ = dgreedy.greedy_decode(
@@ -312,6 +318,7 @@ class Transcriber:
                 max_depth=max_depth, suppress_until_len=suppress_until_len,
                 kv_quant=kv_quant, self_quant=self_quant,
                 ts_begin=ts_begin, max_initial_ts_idx=max_initial_ts_idx,
+                fuse_append=fuse,
             )
             return toks[0], lengths[0]
 
@@ -339,6 +346,7 @@ class Transcriber:
         cfg = self.cfg
         enc_ctx = cfg.encoder_ctx_size
         eot = self.tok.eot
+        fuse = None  # see _window_fn's note on fused-kernel selection
         from ..text.tokenizer import SpecialToken
 
         ns_id = self.tok.special_token(SpecialToken.NO_SPEECH)
@@ -355,7 +363,7 @@ class Transcriber:
                     max_depth=max_depth,
                     suppress_until_len=suppress_until_len,
                     kv_quant=kv_quant, self_quant=self_quant,
-                    nospeech_id=ns_id, sot_pos=sot_pos,
+                    nospeech_id=ns_id, sot_pos=sot_pos, fuse_reshuffle=fuse,
                 )
                 toks, length, logp = out[:3]
                 ns = out[3] if ns_id is not None else jnp.float32(-1.0)
@@ -365,7 +373,7 @@ class Transcriber:
                 max_depth=max_depth, suppress_until_len=suppress_until_len,
                 kv_quant=kv_quant, self_quant=self_quant,
                 temperature=temperature, rng=rng,
-                nospeech_id=ns_id, sot_pos=sot_pos,
+                nospeech_id=ns_id, sot_pos=sot_pos, fuse_append=fuse,
             )
             toks, lengths, logps = out[:3]
             ns = out[3][0] if ns_id is not None else jnp.float32(-1.0)
