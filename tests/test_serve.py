@@ -257,6 +257,16 @@ class TestStreamingEndpoints:
         code, _ = _post(url, f"/stream/{sid}/push", block)
         assert code == 404
 
+    def test_start_with_initial_prompt(self, stream_server):
+        url = stream_server
+        code, out = _post(
+            url, "/stream/start?lang=en&greedy=1&initial_prompt=hi+there",
+            b"")
+        assert code == 200 and "session" in out
+        sid = out["session"]
+        code, out = _post(url, f"/stream/{sid}/finish", b"")
+        assert code == 200
+
     def test_s16_format_and_unknown_session(self, stream_server):
         url = stream_server
         code, out = _post(url, "/stream/start?lang=en&greedy=1", b"")

@@ -10,7 +10,8 @@ so concurrent clients share the chip-efficient batched path.
 Endpoints:
   POST /transcribe?lang=en[&greedy=1][&task=translate]
        [&initial_prompt=...]           body: WAV bytes -> {"text", "tokens"}
-  POST /stream/start?lang=en[&task=..][&greedy=1] -> {"session": id}
+  POST /stream/start?lang=en[&task=..][&greedy=1][&initial_prompt=..]
+       -> {"session": id}
   POST /stream/<id>/push?format=f32|s16  body: raw PCM block
                                          -> {"confirmed": [segments]}
   POST /stream/<id>/finish               -> {"confirmed": [...], "text": ...}
@@ -274,6 +275,7 @@ def make_handler(worker: BatchingWorker, sample_rate: int,
                     strategy="greedy"
                     if params.get("greedy", ["0"])[0] in ("1", "true")
                     else "beam",
+                    initial_prompt=params.get("initial_prompt", [None])[0],
                 )
                 sid = streams.start(opts)
                 if sid is None:
