@@ -549,10 +549,16 @@ class TestInitialPrompt:
         assert full[0] == tok.start_of_prev
         assert full[n:] == tok.prompt_ids("en")
         assert full[1:n] == tok.encode(" abc")
-        # cap: a huge prompt is trimmed to n_text_ctx//2 - 1 tokens
+        # cap: a huge prompt is trimmed to n_text_ctx//2 - 1 tokens, and
+        # the <|startofprev|> marker survives the crop (the crop applies to
+        # the TEXT, not the marker -- review finding)
         big = DecodeOptions(lang="en", initial_prompt="x" * 500)
-        _, nbig = t._build_prompt(big)
+        ids_big, nbig = t._build_prompt(big)
         assert nbig <= cfg.decoder_ctx_size // 2 - 1
+        assert int(ids_big[0]) == tok.start_of_prev
+        # conditioning lengths > 8 are bucketed to multiples of 8 (bounds
+        # the number of distinct compiled prompt shapes)
+        assert (nbig - 1) % 8 == 0
 
     def test_transcribe_strips_conditioning(self, setup):
         params, cfg, tok = setup

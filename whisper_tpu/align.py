@@ -219,10 +219,22 @@ def find_word_timings(
     frames, head-averaged cost matrix, DTW, word grouping. Times are
     window-relative seconds on the 20 ms encoder grid."""
     heads = list(heads) if heads is not None else default_alignment_heads(cfg)
-    toks = jnp.asarray(list(map(int, tokens)), jnp.int32)
+    toks = list(map(int, tokens))
+    s_real = len(toks)
+    # Bucket the sequence length (pad with EOT to a multiple of 64, capped
+    # at n_text_ctx): the teacher-forced program compiles once per BUCKET,
+    # not once per distinct token count -- first compiles go through a slow
+    # tunnel on this backend, and a long transcription has ~every length.
+    # Causal masking makes the padded rows' weights independent junk; they
+    # are sliced off below.
+    ctx = cfg.text_decoder_config.n_text_ctx
+    s_pad = min(ctx, -(-s_real // 64) * 64)
+    eot = toks[-1] if toks else 0
+    toks = toks + [eot] * (s_pad - s_real)
     ws = np.asarray(
-        cross_attention_weights_jit(params, enc_out, toks, cfg),
-        np.float32)  # (L, H, S, Sa)
+        cross_attention_weights_jit(
+            params, enc_out, jnp.asarray(toks, jnp.int32), cfg),
+        np.float32)[:, :, :s_real]  # (L, H, S, Sa)
     sel = np.stack([ws[l, h] for l, h in heads])  # (n_heads, S, Sa)
     sel = sel[:, :, : max(num_frames, 2)]
     mean = sel.mean(axis=-2, keepdims=True)
@@ -232,7 +244,7 @@ def find_word_timings(
     matrix = sel.mean(axis=0)  # (S, F)
 
     text_idx, time_idx = dtw(-matrix.astype(np.float64))
-    s = len(tokens)
+    s = s_real
     # first frame index where the path reaches token i; end = next start
     jumps = np.full(s + 1, time_idx[-1] + 1, np.int64)
     seen = np.zeros(s + 1, bool)

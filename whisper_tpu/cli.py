@@ -100,7 +100,7 @@ def cmd_transcribe(argv) -> int:
     from .config import SAMPLE_RATE, WhisperConfig
     from .io import checkpoint, native as wav_native, wav
     from .pipeline.transcribe import DecodeOptions, Transcriber
-    from .text.tokenizer import LANGUAGES_FULL, WhisperTokenizer
+    from .text.tokenizer import LANGUAGES_V3, WhisperTokenizer
 
     print("Loading waveform...")  # main.rs:109 contract
     try:
@@ -153,7 +153,7 @@ def cmd_transcribe(argv) -> int:
     # Full 99-language table (incl. haw, which the reference's table omits,
     # src/token.rs:50-58); whether the code resolves against THIS tokenizer
     # is checked by language_token at prompt construction.
-    if args.lang not in LANGUAGES_FULL:
+    if args.lang not in LANGUAGES_V3:  # union table: haw + yue resolve iff the tokenizer carries them
         print(f"Invalid language abbreviation: {args.lang}", file=sys.stderr)
         return 1
 
@@ -180,6 +180,10 @@ def cmd_transcribe(argv) -> int:
             print("--timestamps is incompatible with --parallel-windows",
                   file=sys.stderr)
             return 1
+        if "," in args.temperature or args.no_speech_threshold is not None:
+            print("warning: the temperature fallback ladder and no-speech "
+                  "gate apply to plain transcription only; --timestamps "
+                  "decodes once at the first temperature", file=sys.stderr)
         t = Transcriber(params, cfg, tokenizer, dtype=dtype)
         text, segments = t.transcribe_with_timestamps(waveform, rate, opts)
         out_lines = []

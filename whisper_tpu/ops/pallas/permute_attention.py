@@ -142,10 +142,11 @@ def _fused_kernel(
             # Patch the appended row via an aligned-tile read-modify-write:
             # Mosaic requires dynamic sublane indices to be provably
             # tile-aligned, so load the 32-row tile containing `pos`,
-            # select the row in, and store the tile back. Caches smaller
-            # than one tile (tiny test configs) patch the whole buffer
-            # (base is then provably 0).
-            tile = 32 if cu >= 32 else cu
+            # select the row in, and store the tile back. Non-32-multiple
+            # caches (tiny interpret-mode configs only; the wrapper rejects
+            # them on hardware) patch the WHOLE buffer: tile = cu makes
+            # base = (pos // cu) * cu == 0 for every valid pos < cu.
+            tile = 32 if cu % 32 == 0 else cu
             base = (pos // tile) * tile
             row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
             kt = kbuf[slot, j, pl.ds(base, tile)]
@@ -217,6 +218,15 @@ def decode_attention_permute_fused(
     cu = c if c_used is None else min(c_used, c)
     if cu != c and (cu <= 0 or cu % 32 != 0):
         cu = c
+    if not interpret and cu % 32 != 0:
+        # The in-kernel appended-row patch needs 32-row store alignment;
+        # a non-multiple cache would index the staging buffer out of
+        # bounds once pos crosses a tile (and Mosaic cannot prove the
+        # sub-32 base). All production cache_len values are 128-multiples.
+        raise ValueError(
+            f"cache rows {c} (c_used={c_used}) must be a multiple of 32 "
+            "on hardware"
+        )
 
     pos_rows = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (b,))
     layer_arr = jnp.asarray(layer, jnp.int32).reshape((1,))

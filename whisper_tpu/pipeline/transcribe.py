@@ -253,9 +253,17 @@ class Transcriber:
         n_cond = 0
         if opt.initial_prompt:
             cap = self.cfg.decoder_ctx_size // 2 - 1
-            cond = [self.tok.start_of_prev] + self.tok.encode(
-                " " + opt.initial_prompt.strip())
-            cond = cond[-cap:]
+            text = self.tok.encode(" " + opt.initial_prompt.strip())
+            # crop the TEXT from the left (keep the marker: a prompt that
+            # begins with raw text and no <|startofprev|> is out of
+            # distribution), then round lengths > 8 down to a multiple of
+            # 8 -- bounds the number of distinct prompt lengths (= jit
+            # executables; on the serving daemon each distinct length is a
+            # slow tunnel compile a client could otherwise mint at will).
+            text = text[-(cap - 1):]
+            if len(text) > 8:
+                text = text[len(text) % 8:]
+            cond = [self.tok.start_of_prev] + text
             ids = cond + ids
             n_cond = len(cond)
         return jnp.asarray(ids, jnp.int32), n_cond
@@ -266,6 +274,7 @@ class Transcriber:
         max_depth: int, padding: int, suppress_until_len: int,
         kv_quant: bool = False, self_quant: bool = False,
         timestamps: bool = False, max_initial_ts_idx: int = 50,
+        temperature: float = 0.0, quality: bool = False, sot_pos: int = 0,
     ) -> Callable:
         """One jitted program: waveform window -> (tokens, length).
 
@@ -273,10 +282,16 @@ class Transcriber:
         dominates, so steady state reuses a single executable. With
         `timestamps`, the decode loops run the in-graph timestamp logit
         constraints (decode/beam.apply_timestamp_rules).
+
+        `quality=True` (the fallback-ladder variant) changes the signature
+        to (params, wave, prompt, suppress, rng) -> (tokens, length,
+        sum_logp, ns_prob): ns_prob = p(<|nospeech|>) at the SOT position
+        (or -1 when the tokenizer lacks the token), and `temperature > 0`
+        forces sampling (greedy machinery), matching OpenAI's ladder.
         """
         key = ("window", n_samples, prompt_len, strategy, beam_size,
                max_depth, padding, suppress_until_len, kv_quant, self_quant,
-               timestamps, max_initial_ts_idx)
+               timestamps, max_initial_ts_idx, temperature, quality, sot_pos)
         if key in self._fn_cache:
             return self._fn_cache[key]
         cfg = self.cfg
@@ -295,89 +310,45 @@ class Transcriber:
                     "tokens (<|0.00|>...)"
                 )
             ts_begin = self._ts_begin
+        ns_id = None
+        if quality:
+            from ..text.tokenizer import SpecialToken
 
-        def run(params, wave, prompt, suppress):
+            ns_id = self.tok.special_token(SpecialToken.NO_SPEECH)
+
+        def run(params, wave, prompt, suppress, rng=None):
             mel = prep_audio(wave[None, :], n_mels=cfg.n_mels)  # (1, n_mels, F)
             n_frames = mel.shape[2]
             keep = min(n_frames, enc_ctx - padding)
             mel = mel[:, :, :keep]
             mel = jnp.pad(mel, ((0, 0), (0, 0), (0, padding)))  # 10 zero frames
             enc = M.encoder_forward(params, mel, cfg)
-            if strategy == "beam":
-                toks, length, _ = dbeam.beam_search(
+            if strategy == "beam" and temperature == 0.0:
+                out = dbeam.beam_search(
                     params, enc, prompt, cfg, eot_id=eot,
                     suppress_mask=suppress, beam_size=beam_size,
                     max_depth=max_depth, suppress_until_len=suppress_until_len,
                     kv_quant=kv_quant, self_quant=self_quant,
                     ts_begin=ts_begin, max_initial_ts_idx=max_initial_ts_idx,
                     fuse_reshuffle=fuse,
+                    nospeech_id=ns_id if quality else None, sot_pos=sot_pos,
                 )
-                return toks, length
-            toks, lengths, _ = dgreedy.greedy_decode(
-                params, enc, prompt, cfg, eot_id=eot, suppress_mask=suppress,
-                max_depth=max_depth, suppress_until_len=suppress_until_len,
-                kv_quant=kv_quant, self_quant=self_quant,
-                ts_begin=ts_begin, max_initial_ts_idx=max_initial_ts_idx,
-                fuse_append=fuse,
-            )
-            return toks[0], lengths[0]
-
-        fn = jax.jit(run)
-        self._fn_cache[key] = fn
-        return fn
-
-    # ------------------------------------------------------------------
-    def _window_fn_q(
-        self, n_samples: int, prompt_len: int, strategy: str, beam_size: int,
-        max_depth: int, padding: int, suppress_until_len: int,
-        kv_quant: bool = False, self_quant: bool = False,
-        temperature: float = 0.0, sot_pos: int = 0,
-    ) -> Callable:
-        """Quality-returning window program for the fallback ladder:
-        (params, wave, prompt, suppress, rng) -> (tokens, length, sum_logp,
-        ns_prob). ns_prob = p(<|nospeech|>) at the SOT position, or -1 when
-        the tokenizer lacks the token. temperature > 0 forces sampling
-        (greedy machinery), matching OpenAI's ladder semantics."""
-        key = ("window_q", n_samples, prompt_len, strategy, beam_size,
-               max_depth, padding, suppress_until_len, kv_quant, self_quant,
-               temperature, sot_pos)
-        if key in self._fn_cache:
-            return self._fn_cache[key]
-        cfg = self.cfg
-        enc_ctx = cfg.encoder_ctx_size
-        eot = self.tok.eot
-        fuse = None  # see _window_fn's note on fused-kernel selection
-        from ..text.tokenizer import SpecialToken
-
-        ns_id = self.tok.special_token(SpecialToken.NO_SPEECH)
-
-        def run(params, wave, prompt, suppress, rng):
-            mel = prep_audio(wave[None, :], n_mels=cfg.n_mels)
-            keep = min(mel.shape[2], enc_ctx - padding)
-            mel = jnp.pad(mel[:, :, :keep], ((0, 0), (0, 0), (0, padding)))
-            enc = M.encoder_forward(params, mel, cfg)
-            if strategy == "beam" and temperature == 0.0:
-                out = dbeam.beam_search(
-                    params, enc, prompt, cfg, eot_id=eot,
-                    suppress_mask=suppress, beam_size=beam_size,
-                    max_depth=max_depth,
-                    suppress_until_len=suppress_until_len,
-                    kv_quant=kv_quant, self_quant=self_quant,
-                    nospeech_id=ns_id, sot_pos=sot_pos, fuse_reshuffle=fuse,
-                )
-                toks, length, logp = out[:3]
+                if not quality:
+                    return out[0], out[1]
                 ns = out[3] if ns_id is not None else jnp.float32(-1.0)
-                return toks, length, logp, ns
+                return out[0], out[1], out[2], ns
             out = dgreedy.greedy_decode(
                 params, enc, prompt, cfg, eot_id=eot, suppress_mask=suppress,
                 max_depth=max_depth, suppress_until_len=suppress_until_len,
                 kv_quant=kv_quant, self_quant=self_quant,
-                temperature=temperature, rng=rng,
-                nospeech_id=ns_id, sot_pos=sot_pos, fuse_append=fuse,
+                ts_begin=ts_begin, max_initial_ts_idx=max_initial_ts_idx,
+                fuse_append=fuse, temperature=temperature, rng=rng,
+                nospeech_id=ns_id if quality else None, sot_pos=sot_pos,
             )
-            toks, lengths, logps = out[:3]
+            if not quality:
+                return out[0][0], out[1][0]
             ns = out[3][0] if ns_id is not None else jnp.float32(-1.0)
-            return toks[0], lengths[0], logps[0], ns
+            return out[0][0], out[1][0], out[2][0], ns
 
         fn = jax.jit(run)
         self._fn_cache[key] = fn
@@ -501,10 +472,11 @@ class Transcriber:
             temperature. Returns the window's final stripped token list."""
             P = int(prompt.shape[0])
             for ti, T in enumerate(temps):
-                fn = self._window_fn_q(
+                fn = self._window_fn(
                     len(window), P, opt.strategy, opt.beam_size,
                     opt.max_depth, opt.padding, sup_len, opt.kv_quant,
-                    opt.self_quant, temperature=T, sot_pos=n_cond,
+                    opt.self_quant, temperature=T, quality=True,
+                    sot_pos=n_cond,
                 )
                 rng = jax.random.fold_in(
                     jax.random.PRNGKey(opt.seed), i * 131 + ti)
