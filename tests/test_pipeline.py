@@ -644,6 +644,30 @@ class TestRobustDecoding:
         text1, tokens1 = t.transcribe(wave, 16000, opt)
         assert tokens1 == tokens0 and text1 == text0
 
+    def test_ladder_with_timestamps(self, setup):
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        wave = np.random.default_rng(0).standard_normal(5000).astype(
+            np.float32)
+        # permissive thresholds: ladder accepts temps[0]; segments match the
+        # plain timestamped decode
+        base = DecodeOptions(strategy="greedy", max_depth=4,
+                             chunk_overlap_seconds=0.01, timestamps=True)
+        text0, segs0 = t.transcribe_with_timestamps(wave, 16000, base)
+        opt = dataclasses.replace(
+            base, temperature=(0.0, 0.5),
+            compression_ratio_threshold=1e9, logprob_threshold=None)
+        text1, segs1 = t.transcribe_with_timestamps(wave, 16000, opt)
+        assert text1 == text0
+        assert [(s.start, s.end, s.text) for s in segs1] == [
+            (s.start, s.end, s.text) for s in segs0]
+        # no-speech gate empties the transcript when forced
+        opt_ns = dataclasses.replace(
+            base, temperature=(0.0,), logprob_threshold=100.0,
+            no_speech_threshold=0.0)
+        text_ns, segs_ns = t.transcribe_with_timestamps(wave, 16000, opt_ns)
+        assert segs_ns == [] and text_ns == ""
+
     def test_ladder_falls_back_and_no_speech(self, setup):
         params, cfg, tok = setup
         t = Transcriber(params, cfg, tok)

@@ -180,10 +180,6 @@ def cmd_transcribe(argv) -> int:
             print("--timestamps is incompatible with --parallel-windows",
                   file=sys.stderr)
             return 1
-        if "," in args.temperature or args.no_speech_threshold is not None:
-            print("warning: the temperature fallback ladder and no-speech "
-                  "gate apply to plain transcription only; --timestamps "
-                  "decodes once at the first temperature", file=sys.stderr)
         t = Transcriber(params, cfg, tokenizer, dtype=dtype)
         text, segments = t.transcribe_with_timestamps(waveform, rate, opts)
         out_lines = []

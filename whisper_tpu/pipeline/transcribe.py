@@ -269,6 +269,69 @@ class Transcriber:
         return jnp.asarray(ids, jnp.int32), n_cond
 
     # ------------------------------------------------------------------
+    def _decode_window_ladder(self, i, window, prompt, n_cond, sup_len, opt,
+                              temps, prec_ctx, timestamps=False,
+                              max_initial_ts_idx=50):
+        """Fallback ladder (new capability): decode at temps[0]; while the
+        quality checks fail, re-decode at the next (sampling) temperature.
+        Returns the window's final stripped token list ([] = accepted as
+        silence under the no-speech gate)."""
+        tok = self.tok
+        P = int(prompt.shape[0])
+        suppress = self._suppress_ts if timestamps else self._suppress
+        for ti, T in enumerate(temps):
+            fn = self._window_fn(
+                len(window), P, opt.strategy, opt.beam_size,
+                opt.max_depth, opt.padding, sup_len, opt.kv_quant,
+                opt.self_quant, timestamps=timestamps,
+                max_initial_ts_idx=max_initial_ts_idx, temperature=T,
+                quality=True, sot_pos=n_cond,
+            )
+            rng = jax.random.fold_in(
+                jax.random.PRNGKey(opt.seed), i * 131 + ti)
+            with prec_ctx:
+                toks_dev, length, logp, ns = fn(
+                    self.params, jnp.asarray(window), prompt, suppress, rng,
+                )
+            length = int(length)
+            toks = [int(t) for t in np.asarray(toks_dev)[:length]][n_cond:]
+            n_sampled = max(length - P, 1)
+            avg_lp = float(logp) / n_sampled
+            ns = float(ns)
+            lp_failed = (opt.logprob_threshold is not None
+                         and avg_lp < opt.logprob_threshold)
+            if (opt.no_speech_threshold is not None and ns >= 0.0
+                    and ns > opt.no_speech_threshold
+                    and (opt.logprob_threshold is None or lp_failed)):
+                log.info("chunk %d: no speech (p=%.2f), skipping", i, ns)
+                return []
+            cr = compression_ratio(tok.decode(toks, skip_special=True))
+            ok = not lp_failed and not (
+                opt.compression_ratio_threshold is not None
+                and cr > opt.compression_ratio_threshold)
+            if ok or ti == len(temps) - 1:
+                if ti:
+                    log.info("chunk %d: accepted at temperature %.1f "
+                             "(avg_logprob %.2f, compression %.2f)",
+                             i, T, avg_lp, cr)
+                return toks
+            log.info("chunk %d: t=%.1f failed checks (avg_logprob %.2f, "
+                     "compression %.2f), retrying", i, T, avg_lp, cr)
+        return toks  # pragma: no cover (loop always returns)
+
+    @staticmethod
+    def _ladder_temps(opt):
+        """(temps tuple, ladder active?) from DecodeOptions.temperature."""
+        temps = (
+            tuple(float(t) for t in opt.temperature)
+            if isinstance(opt.temperature, (tuple, list))
+            else (float(opt.temperature),)
+        )
+        active = (len(temps) > 1 or temps[0] != 0.0
+                  or opt.no_speech_threshold is not None)
+        return temps, active
+
+    # ------------------------------------------------------------------
     def _window_fn(
         self, n_samples: int, prompt_len: int, strategy: str, beam_size: int,
         max_depth: int, padding: int, suppress_until_len: int,
@@ -441,13 +504,7 @@ class Transcriber:
             overlap = n_window // 2
         prompt, n_cond = self._build_prompt(opt)
         sup_len = opt.suppress_until_len + n_cond
-        temps = (
-            tuple(float(t) for t in opt.temperature)
-            if isinstance(opt.temperature, (tuple, list))
-            else (float(opt.temperature),)
-        )
-        use_ladder = (len(temps) > 1 or temps[0] != 0.0
-                      or opt.no_speech_threshold is not None)
+        temps, use_ladder = self._ladder_temps(opt)
 
         tokens: List[int] = []
         text = ""
@@ -467,50 +524,8 @@ class Transcriber:
         # device starts i+1 while the host fetches/stitches i, hiding the
         # device->host tunnel latency and host-side stitching per window.
         def decode_ladder(i, window):
-            """Fallback ladder (new capability): decode at temps[0]; while
-            the quality checks fail, re-decode at the next (sampling)
-            temperature. Returns the window's final stripped token list."""
-            P = int(prompt.shape[0])
-            for ti, T in enumerate(temps):
-                fn = self._window_fn(
-                    len(window), P, opt.strategy, opt.beam_size,
-                    opt.max_depth, opt.padding, sup_len, opt.kv_quant,
-                    opt.self_quant, temperature=T, quality=True,
-                    sot_pos=n_cond,
-                )
-                rng = jax.random.fold_in(
-                    jax.random.PRNGKey(opt.seed), i * 131 + ti)
-                with prec_ctx:
-                    toks_dev, length, logp, ns = fn(
-                        self.params, jnp.asarray(window), prompt,
-                        self._suppress, rng,
-                    )
-                length = int(length)
-                toks = [int(t) for t in np.asarray(toks_dev)[:length]][n_cond:]
-                n_sampled = max(length - P, 1)
-                avg_lp = float(logp) / n_sampled
-                ns = float(ns)
-                lp_failed = (opt.logprob_threshold is not None
-                             and avg_lp < opt.logprob_threshold)
-                if (opt.no_speech_threshold is not None and ns >= 0.0
-                        and ns > opt.no_speech_threshold
-                        and (opt.logprob_threshold is None or lp_failed)):
-                    log.info("chunk %d: no speech (p=%.2f), skipping", i, ns)
-                    return []
-                cr = compression_ratio(
-                    tok.decode(toks, skip_special=True))
-                ok = not lp_failed and not (
-                    opt.compression_ratio_threshold is not None
-                    and cr > opt.compression_ratio_threshold)
-                if ok or ti == len(temps) - 1:
-                    if ti:
-                        log.info("chunk %d: accepted at temperature %.1f "
-                                 "(avg_logprob %.2f, compression %.2f)",
-                                 i, T, avg_lp, cr)
-                    return toks
-                log.info("chunk %d: t=%.1f failed checks (avg_logprob %.2f, "
-                         "compression %.2f), retrying", i, T, avg_lp, cr)
-            return toks  # pragma: no cover (loop always returns)
+            return self._decode_window_ladder(
+                i, window, prompt, n_cond, sup_len, opt, temps, prec_ctx)
 
         def dispatch(i, start, end):
             window = np.ascontiguousarray(waveform[start:end], dtype=np.float32)
@@ -621,6 +636,15 @@ class Transcriber:
             overlap = n_window // 2
         prompt, n_cond = self._build_prompt(opt)
         sup_len = opt.suppress_until_len + n_cond
+        temps, use_ladder = self._ladder_temps(opt)
+        max_ts_idx = max(0, int(round(opt.max_initial_timestamp / 0.02)))
+
+        import contextlib
+
+        prec_ctx = (
+            jax.default_matmul_precision(self._matmul_precision)
+            if self._matmul_precision else contextlib.nullcontext()
+        )
 
         all_tokens: List[int] = []  # stitched raw tokens (plain-path parity)
         segments: List = []  # [Segment, [global text-token positions]]
@@ -630,18 +654,26 @@ class Transcriber:
             window = np.ascontiguousarray(waveform[start:end], dtype=np.float32)
             if len(window) < 400:
                 continue
-            fn = self._window_fn(
-                len(window), int(prompt.shape[0]), opt.strategy, opt.beam_size,
-                opt.max_depth, opt.padding, sup_len,
-                opt.kv_quant, opt.self_quant,
-                timestamps=True,
-                max_initial_ts_idx=max(
-                    0, int(round(opt.max_initial_timestamp / 0.02))),
-            )
-            toks_dev, length = fn(self.params, jnp.asarray(window), prompt,
-                                  self._suppress_ts)
-            new_tokens = [int(t) for t in np.asarray(toks_dev)[: int(length)]]
-            new_tokens = new_tokens[n_cond:]  # drop the conditioning prefix
+            if use_ladder:
+                # temperature fallback + quality gates, same semantics as
+                # the plain path (timestamped variant of the window fn)
+                new_tokens = self._decode_window_ladder(
+                    i, window, prompt, n_cond, sup_len, opt, temps,
+                    prec_ctx, timestamps=True, max_initial_ts_idx=max_ts_idx)
+            else:
+                fn = self._window_fn(
+                    len(window), int(prompt.shape[0]), opt.strategy,
+                    opt.beam_size, opt.max_depth, opt.padding, sup_len,
+                    opt.kv_quant, opt.self_quant,
+                    timestamps=True, max_initial_ts_idx=max_ts_idx,
+                )
+                with prec_ctx:
+                    toks_dev, length = fn(
+                        self.params, jnp.asarray(window), prompt,
+                        self._suppress_ts)
+                new_tokens = [
+                    int(t) for t in np.asarray(toks_dev)[: int(length)]
+                ][n_cond:]  # drop the conditioning prefix
             offset = start / sample_rate
             window_s = (end - start) / sample_rate
             new_segs = segments_with_positions(new_tokens, tok, offset, window_s)
