@@ -575,6 +575,48 @@ class TestInitialPrompt:
         assert isinstance(text, str)
 
 
+class TestConditionOnPreviousText:
+    def test_prev_context_threaded(self, setup):
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        wave = np.random.default_rng(0).standard_normal(20000).astype(
+            np.float32)  # several windows at the tiny 64-frame context
+        seen_prev = []
+        orig = t._build_prompt
+
+        def spy(opt, prev_tokens=()):
+            seen_prev.append(list(prev_tokens))
+            return orig(opt, prev_tokens=prev_tokens)
+
+        t._build_prompt = spy
+        opt = DecodeOptions(strategy="greedy", max_depth=4,
+                            chunk_overlap_seconds=0.01,
+                            condition_on_previous_text=True)
+        text, tokens = t.transcribe(wave, 16000, opt)
+        t._build_prompt = orig
+        # the first per-window prompt has no context; once text exists the
+        # later windows carry it (non-special tokens only)
+        assert seen_prev[1] == []  # [0] is the loop-level base build
+        later = [p for p in seen_prev[2:] if p]
+        if any(not tok.is_special(x) for x in tokens):
+            assert later, seen_prev
+            assert all(not tok.is_special(x) for p in later for x in p)
+        # output stays clean of conditioning artifacts
+        assert tok.start_of_prev not in tokens
+
+    def test_off_by_default_matches_plain(self, setup):
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        wave = np.random.default_rng(1).standard_normal(8000).astype(
+            np.float32)
+        base = DecodeOptions(strategy="greedy", max_depth=4,
+                             chunk_overlap_seconds=0.01)
+        t0 = t.transcribe(wave, 16000, base)
+        t1 = t.transcribe(wave, 16000, dataclasses.replace(
+            base, condition_on_previous_text=False))
+        assert t0 == t1
+
+
 class TestRobustDecoding:
     """OpenAI-style fallback ladder (new capability): temperature sampling,
     no-speech detection, compression-ratio / logprob quality gates."""

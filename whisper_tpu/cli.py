@@ -83,6 +83,11 @@ def cmd_transcribe(argv) -> int:
                    help="with --timestamps: append per-word timings "
                         "(cross-attention DTW alignment) as "
                         "'  word [start -> end]' lines")
+    p.add_argument("--condition-on-previous-text", action="store_true",
+                   help="feed each window the previously decoded text as "
+                        "<|startofprev|> context (OpenAI's long-form "
+                        "default; the reference discards it as a "
+                        "hallucination workaround, so parity keeps it off)")
     p.add_argument("--initial-prompt", default=None,
                    help="condition the decoder on this text (domain terms, "
                         "names, style) via <|startofprev|>; applied to every "
@@ -167,6 +172,7 @@ def cmd_transcribe(argv) -> int:
         kv_quant=args.kv_quant,
         self_quant=args.self_quant,
         initial_prompt=args.initial_prompt,
+        condition_on_previous_text=args.condition_on_previous_text,
         temperature=(
             tuple(float(x) for x in args.temperature.split(","))
             if "," in args.temperature else float(args.temperature)

@@ -90,6 +90,15 @@ class DecodeOptions:
     # compiled executable per prompt length. Conditioning tokens are
     # stripped from the output.
     initial_prompt: Optional[str] = None
+    # Feed each window the previously decoded text as <|startofprev|>
+    # context (OpenAI's default long-form behavior). The reference computes
+    # then DISCARDS this context as a hallucination workaround
+    # (src/transcribe.rs:187-201) -- parity keeps it OFF by default; when
+    # on, windows decode sequentially (the prompt depends on the previous
+    # window's output, so pipelining is disabled) and conditioning resets
+    # after a window that needed a sampling temperature > 0.5 (the standard
+    # anti-hallucination rule).
+    condition_on_previous_text: bool = False
 
 
 def find_chunk_overlap(
@@ -237,23 +246,28 @@ class Transcriber:
         self._fn_cache: dict = {}
 
     # ------------------------------------------------------------------
-    def _build_prompt(self, opt: "DecodeOptions"):
+    def _build_prompt(self, opt: "DecodeOptions", prev_tokens=()):
         """Decode prompt ids for `opt`, plus the conditioning-prefix length.
 
-        With `opt.initial_prompt`, the prompt becomes
-        [<|startofprev|>, *encode(" " + text)][-cap:] + standard prompt
-        (cap = n_text_ctx//2 - 1, OpenAI's window). Returns (ids (P,) i32,
-        n_cond) -- callers strip the first n_cond tokens from each window's
-        output and widen the suppression window by n_cond so the rule stays
-        relative to the first sampled position (reference: seq_len <= 5
-        against a 4-token prompt, src/transcribe.rs:271-275).
+        With `opt.initial_prompt` (and/or `prev_tokens`, the
+        condition_on_previous_text context), the prompt becomes
+        [<|startofprev|>, *initial_prompt_tokens, *prev_tokens][-cap:] +
+        standard prompt (cap = n_text_ctx//2 - 1, OpenAI's window).
+        Returns (ids (P,) i32, n_cond) -- callers strip the first n_cond
+        tokens from each window's output and widen the suppression window
+        by n_cond so the rule stays relative to the first sampled position
+        (reference: seq_len <= 5 against a 4-token prompt,
+        src/transcribe.rs:271-275).
         """
         ids = self.tok.prompt_ids(
             opt.lang, task=opt.task, timestamps=opt.timestamps)
         n_cond = 0
+        text = []
         if opt.initial_prompt:
+            text += self.tok.encode(" " + opt.initial_prompt.strip())
+        text += [int(t) for t in prev_tokens]
+        if text:
             cap = self.cfg.decoder_ctx_size // 2 - 1
-            text = self.tok.encode(" " + opt.initial_prompt.strip())
             # crop the TEXT from the left (keep the marker: a prompt that
             # begins with raw text and no <|startofprev|> is out of
             # distribution), then round lengths > 8 down to a multiple of
@@ -274,8 +288,8 @@ class Transcriber:
                               max_initial_ts_idx=50):
         """Fallback ladder (new capability): decode at temps[0]; while the
         quality checks fail, re-decode at the next (sampling) temperature.
-        Returns the window's final stripped token list ([] = accepted as
-        silence under the no-speech gate)."""
+        Returns (final stripped token list, accepted temperature); [] =
+        accepted as silence under the no-speech gate."""
         tok = self.tok
         P = int(prompt.shape[0])
         suppress = self._suppress_ts if timestamps else self._suppress
@@ -304,7 +318,7 @@ class Transcriber:
                     and ns > opt.no_speech_threshold
                     and (opt.logprob_threshold is None or lp_failed)):
                 log.info("chunk %d: no speech (p=%.2f), skipping", i, ns)
-                return []
+                return [], T
             cr = compression_ratio(tok.decode(toks, skip_special=True))
             ok = not lp_failed and not (
                 opt.compression_ratio_threshold is not None
@@ -314,10 +328,10 @@ class Transcriber:
                     log.info("chunk %d: accepted at temperature %.1f "
                              "(avg_logprob %.2f, compression %.2f)",
                              i, T, avg_lp, cr)
-                return toks
+                return toks, T
             log.info("chunk %d: t=%.1f failed checks (avg_logprob %.2f, "
                      "compression %.2f), retrying", i, T, avg_lp, cr)
-        return toks  # pragma: no cover (loop always returns)
+        return toks, T  # pragma: no cover (loop always returns)
 
     @staticmethod
     def _ladder_temps(opt):
@@ -505,6 +519,7 @@ class Transcriber:
         prompt, n_cond = self._build_prompt(opt)
         sup_len = opt.suppress_until_len + n_cond
         temps, use_ladder = self._ladder_temps(opt)
+        cond_prev = opt.condition_on_previous_text
 
         tokens: List[int] = []
         text = ""
@@ -523,46 +538,69 @@ class Transcriber:
         # before window i's result is fetched. XLA dispatch is async: the
         # device starts i+1 while the host fetches/stitches i, hiding the
         # device->host tunnel latency and host-side stitching per window.
-        def decode_ladder(i, window):
-            return self._decode_window_ladder(
-                i, window, prompt, n_cond, sup_len, opt, temps, prec_ctx)
+        prev_reset = False  # condition_on_previous_text anti-hallucination
 
         def dispatch(i, start, end):
+            nonlocal prev_reset
             window = np.ascontiguousarray(waveform[start:end], dtype=np.float32)
             if len(window) < 400:  # < n_fft: STFT impossible (the reference
                 # would panic on its assert, src/audio.rs:292; we skip).
                 log.warning("skipping %d-sample tail window (< n_fft)", len(window))
                 return None
+            if cond_prev:
+                # previously decoded non-special tokens become the
+                # <|startofprev|> context (OpenAI's long-form default; the
+                # reference computes then discards this -- see DecodeOptions).
+                # Pipelining is off in this mode (PIPELINE_DEPTH=1 below),
+                # so `tokens` is final up to the previous window here.
+                prev_ctx = (
+                    () if prev_reset
+                    else [t for t in tokens if not tok.is_special(t)]
+                )
+                prompt_i, n_cond_i = self._build_prompt(
+                    opt, prev_tokens=prev_ctx)
+                sup_i = opt.suppress_until_len + n_cond_i
+            else:
+                prompt_i, n_cond_i, sup_i = prompt, n_cond, sup_len
             if use_ladder:  # synchronous: quality checks gate each window
-                toks = decode_ladder(i, window)
-                return (i, start, end, toks, None, time.perf_counter())
+                toks, accepted_t = self._decode_window_ladder(
+                    i, window, prompt_i, n_cond_i, sup_i, opt, temps,
+                    prec_ctx)
+                # a window that needed a high sampling temperature is an
+                # unreliable context: drop it for the next window
+                prev_reset = accepted_t > 0.5
+                return (i, start, end, toks, None, n_cond_i,
+                        time.perf_counter())
             fn = self._window_fn(
-                len(window), int(prompt.shape[0]), opt.strategy, opt.beam_size,
-                opt.max_depth, opt.padding, sup_len,
+                len(window), int(prompt_i.shape[0]), opt.strategy,
+                opt.beam_size, opt.max_depth, opt.padding, sup_i,
                 opt.kv_quant, opt.self_quant,
             )
             with prec_ctx:
                 toks_dev, length = fn(
-                    self.params, jnp.asarray(window), prompt, self._suppress
+                    self.params, jnp.asarray(window), prompt_i, self._suppress
                 )
-            return (i, start, end, toks_dev, length, time.perf_counter())
+            return (i, start, end, toks_dev, length, n_cond_i,
+                    time.perf_counter())
 
         windows = list(window_waveform(waveform, sample_rate, n_window, overlap))
         pending = []
-        PIPELINE_DEPTH = 2
+        # conditioning makes window i+1 depend on window i's TEXT: no overlap
+        PIPELINE_DEPTH = 1 if cond_prev else 2
 
         def drain_one():
             nonlocal tokens, text
-            i, start, end, toks_dev, length, t0 = pending.pop(0)
+            i, start, end, toks_dev, length, n_cond_i, t0 = pending.pop(0)
             # trailing non-special context: computed then DISCARDED, exactly
-            # like the reference (src/transcribe.rs:43-50,195-201).
+            # like the reference (src/transcribe.rs:43-50,195-201) -- unless
+            # condition_on_previous_text feeds it forward (dispatch above).
             _prev_ctx = [t for t in reversed(tokens) if not tok.is_special(t)][:5][::-1]
             if isinstance(toks_dev, list):  # ladder path: already final
                 new_tokens = toks_dev
             else:
                 new_tokens = [
                     int(t) for t in np.asarray(toks_dev)[: int(length)]
-                ][n_cond:]  # drop the conditioning prefix
+                ][n_cond_i:]  # drop the conditioning prefix
 
             spliced = find_chunk_overlap(
                 tokens, new_tokens, opt.stitch_max_offsets, opt.stitch_min_overlaps
@@ -657,7 +695,7 @@ class Transcriber:
             if use_ladder:
                 # temperature fallback + quality gates, same semantics as
                 # the plain path (timestamped variant of the window fn)
-                new_tokens = self._decode_window_ladder(
+                new_tokens, _ = self._decode_window_ladder(
                     i, window, prompt, n_cond, sup_len, opt, temps,
                     prec_ctx, timestamps=True, max_initial_ts_idx=max_ts_idx)
             else:
