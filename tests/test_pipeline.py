@@ -556,9 +556,18 @@ class TestInitialPrompt:
         ids_big, nbig = t._build_prompt(big)
         assert nbig <= cfg.decoder_ctx_size // 2 - 1
         assert int(ids_big[0]) == tok.start_of_prev
-        # conditioning lengths > 8 are bucketed to multiples of 8 (bounds
-        # the number of distinct compiled prompt shapes)
-        assert (nbig - 1) % 8 == 0
+        # user text stays EXACT by default; prompt_length_bucket quantizes
+        # (serving daemon), and prev-text context always buckets
+        exact = DecodeOptions(lang="en", initial_prompt="hello png")
+        _, n_exact = t._build_prompt(exact)
+        assert n_exact == 1 + len(tok.encode(" hello png"))  # < cap: exact
+        bucketed = dataclasses.replace(exact, prompt_length_bucket=8)
+        _, n_b = t._build_prompt(bucketed)
+        assert (n_b - 1) % 8 == 0
+        _, n_prev = t._build_prompt(
+            DecodeOptions(lang="en"), prev_tokens=[70, 71, 72, 73, 74, 75,
+                                                   76, 77, 78, 79])
+        assert (n_prev - 1) % 8 == 0
 
     def test_transcribe_strips_conditioning(self, setup):
         params, cfg, tok = setup

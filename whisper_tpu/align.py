@@ -231,10 +231,11 @@ def find_word_timings(
     s_pad = min(ctx, -(-s_real // 64) * 64)
     eot = toks[-1] if toks else 0
     toks = toks + [eot] * (s_pad - s_real)
-    ws = np.asarray(
-        cross_attention_weights_jit(
-            params, enc_out, jnp.asarray(toks, jnp.int32), cfg),
-        np.float32)[:, :, :s_real]  # (L, H, S, Sa)
+    ws_dev = cross_attention_weights_jit(
+        params, enc_out, jnp.asarray(toks, jnp.int32), cfg)
+    # slice the bucket padding off ON DEVICE: the junk rows would otherwise
+    # ride the slow device->host tunnel just to be discarded
+    ws = np.asarray(ws_dev[:, :, :s_real], np.float32)  # (L, H, S, Sa)
     sel = np.stack([ws[l, h] for l, h in heads])  # (n_heads, S, Sa)
     sel = sel[:, :, : max(num_frames, 2)]
     mean = sel.mean(axis=-2, keepdims=True)

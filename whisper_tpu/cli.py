@@ -180,6 +180,11 @@ def cmd_transcribe(argv) -> int:
         no_speech_threshold=args.no_speech_threshold,
     )
     t0 = time.perf_counter()
+    if args.condition_on_previous_text and args.parallel_windows:
+        print("--condition-on-previous-text is incompatible with "
+              "--parallel-windows (windows must decode sequentially)",
+              file=sys.stderr)
+        return 1
     out_lines = None
     if args.timestamps:
         if args.parallel_windows:
@@ -188,27 +193,50 @@ def cmd_transcribe(argv) -> int:
             return 1
         t = Transcriber(params, cfg, tokenizer, dtype=dtype)
         text, segments = t.transcribe_with_timestamps(waveform, rate, opts)
-        out_lines = []
-        for seg in segments:
-            out_lines.append(f"[{seg.start:.2f} -> {seg.end:.2f}] {seg.text}")
-            if args.words:
-                # align the segment's window: cheapest correct scope is the
-                # window containing the segment start
-                from .ops.audio import max_waveform_samples
+        seg_words = {}
+        if args.words and segments:
+            # ONE alignment pass per decode window, not per segment: group
+            # segments by the window containing their start, align the
+            # window's concatenated tokens once, and slice each segment's
+            # words back out by token position.
+            from .ops.audio import max_waveform_samples
 
-                n_window = max_waveform_samples(cfg.encoder_ctx_size - 10)
-                w0 = int(seg.start * rate)
-                w0 = min(w0, max(0, len(waveform) - n_window))
+            n_window = max_waveform_samples(cfg.encoder_ctx_size - 10)
+            prompt_ids = tokenizer.prompt_ids(
+                opts.lang, task=opts.task, timestamps=True)
+            groups = {}
+            for si, seg in enumerate(segments):
+                w0 = min(int(seg.start * rate),
+                         max(0, len(waveform) - n_window))
+                groups.setdefault(w0, []).append(si)
+            for w0, sis in groups.items():
+                seq = list(prompt_ids)
+                spans = {}
+                for si in sis:
+                    spans[si] = (len(seq), len(seq) + len(segments[si].tokens))
+                    seq += segments[si].tokens
+                seq.append(tokenizer.eot)
                 words = t.align_words(
-                    waveform[w0 : w0 + n_window],
-                    tokenizer.prompt_ids(opts.lang, task=opts.task,
-                                         timestamps=True)
-                    + seg.tokens + [tokenizer.eot],
-                    offset_s=w0 / rate,
-                )
-                for w in words:
-                    out_lines.append(
-                        f"  {w.word} [{w.start:.2f} -> {w.end:.2f}]")
+                    waveform[w0 : w0 + n_window], seq, offset_s=w0 / rate)
+                # assign words to segments by consuming in order: words are
+                # emitted in token order, segments' spans are consecutive
+                it = iter(words)
+                for si in sis:
+                    n_tok = len([x for x in segments[si].tokens
+                                 if not tokenizer.is_special(x)])
+                    got, used = [], 0
+                    for w in it:
+                        got.append(w)
+                        used += len(w.tokens)
+                        if used >= n_tok:
+                            break
+                    seg_words[si] = got
+        out_lines = []
+        for si, seg in enumerate(segments):
+            out_lines.append(f"[{seg.start:.2f} -> {seg.end:.2f}] {seg.text}")
+            for w in seg_words.get(si, []):
+                out_lines.append(
+                    f"  {w.word} [{w.start:.2f} -> {w.end:.2f}]")
     elif args.parallel_windows:
         from .pipeline.batch import BatchTranscriber
 

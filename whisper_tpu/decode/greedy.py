@@ -32,7 +32,7 @@ def _fuse_append(self_k, cfg, allow=None) -> bool:
 
     from ..quantize import QTensor
 
-    if allow is False:  # meshed pipelines: GSPMD cannot partition the call
+    if allow is False:  # explicit caller override (A/B, tests)
         return False
     return (
         cfg.attention == "flash"

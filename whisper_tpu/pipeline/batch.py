@@ -71,7 +71,6 @@ class BatchTranscriber(Transcriber):
         enc_ctx = cfg.encoder_ctx_size
         eot = self.tok.eot
 
-        fuse = None  # see Transcriber._window_fn's fused-kernel note
 
         def run(params, waves, prompt, suppress):  # waves (B, n_samples)
             mel = prep_audio(waves, per_sample_max=True, n_mels=cfg.n_mels)
@@ -86,7 +85,6 @@ class BatchTranscriber(Transcriber):
                     max_depth=max_depth,
                     suppress_until_len=suppress_until_len,
                     kv_quant=kv_quant, self_quant=self_quant,
-                    fuse_reshuffle=fuse,
                 )
             else:
                 toks, lengths, _ = dgreedy.greedy_decode(
@@ -94,7 +92,6 @@ class BatchTranscriber(Transcriber):
                     suppress_mask=suppress, max_depth=max_depth,
                     suppress_until_len=suppress_until_len,
                     kv_quant=kv_quant, self_quant=self_quant,
-                    fuse_append=fuse,
                 )
             return toks, lengths
 

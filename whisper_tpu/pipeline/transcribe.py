@@ -99,6 +99,13 @@ class DecodeOptions:
     # after a window that needed a sampling temperature > 0.5 (the standard
     # anti-hallucination rule).
     condition_on_previous_text: bool = False
+    # Quantize conditioning-prefix lengths to multiples of this (crop the
+    # OLDEST tokens): 1 (default) keeps user text exact; the serving daemon
+    # sets 8 so clients cannot mint unbounded distinct prompt shapes (each
+    # distinct length is one slow tunnel compile). prev-text context is
+    # always bucketed (cropping history is harmless and its length changes
+    # every window).
+    prompt_length_bucket: int = 1
 
 
 def find_chunk_overlap(
@@ -270,17 +277,32 @@ class Transcriber:
             cap = self.cfg.decoder_ctx_size // 2 - 1
             # crop the TEXT from the left (keep the marker: a prompt that
             # begins with raw text and no <|startofprev|> is out of
-            # distribution), then round lengths > 8 down to a multiple of
-            # 8 -- bounds the number of distinct prompt lengths (= jit
-            # executables; on the serving daemon each distinct length is a
-            # slow tunnel compile a client could otherwise mint at will).
+            # distribution). Lengths are quantized down to a multiple of
+            # the bucket (cropping the OLDEST tokens) when prev-text
+            # context is present -- its length changes every window, and
+            # each distinct prompt length is one compiled executable -- or
+            # when opt.prompt_length_bucket asks for it (the serving
+            # daemon's compile-DoS bound). A bare initial_prompt stays
+            # exact by default.
             text = text[-(cap - 1):]
-            if len(text) > 8:
-                text = text[len(text) % 8:]
+            bucket = max(int(opt.prompt_length_bucket), 8 if prev_tokens else 1)
+            if bucket > 1 and len(text) > bucket:
+                text = text[len(text) % bucket:]
             cond = [self.tok.start_of_prev] + text
             ids = cond + ids
             n_cond = len(cond)
         return jnp.asarray(ids, jnp.int32), n_cond
+
+    # ------------------------------------------------------------------
+    def _prec_ctx(self):
+        """Matmul-precision context for decode programs (token-exact parity
+        mode uses "highest"; None = device default)."""
+        import contextlib
+
+        return (
+            jax.default_matmul_precision(self._matmul_precision)
+            if self._matmul_precision else contextlib.nullcontext()
+        )
 
     # ------------------------------------------------------------------
     def _decode_window_ladder(self, i, window, prompt, n_cond, sup_len, opt,
@@ -374,11 +396,10 @@ class Transcriber:
         cfg = self.cfg
         enc_ctx = cfg.encoder_ctx_size
         eot = self.tok.eot
-        # Fused reshuffle/append kernel selection: default (None) lets the
-        # decode loops decide. dp-meshed fused beam is token-identical on
-        # the virtual mesh (test_parallel.py::TestShardedFusedBeam); tp>1
-        # never reaches the kernels (the attention guard forces "xla").
-        fuse = None
+        # Fused-kernel selection is left to the decode loops (dp-meshed
+        # fused beam is token-identical on the virtual mesh,
+        # test_parallel.py::TestShardedFusedBeam; tp>1 never reaches the
+        # kernels -- the attention guard forces "xla").
         ts_begin = None
         if timestamps:
             if self._ts_begin is None:
@@ -407,7 +428,6 @@ class Transcriber:
                     max_depth=max_depth, suppress_until_len=suppress_until_len,
                     kv_quant=kv_quant, self_quant=self_quant,
                     ts_begin=ts_begin, max_initial_ts_idx=max_initial_ts_idx,
-                    fuse_reshuffle=fuse,
                     nospeech_id=ns_id if quality else None, sot_pos=sot_pos,
                 )
                 if not quality:
@@ -419,7 +439,7 @@ class Transcriber:
                 max_depth=max_depth, suppress_until_len=suppress_until_len,
                 kv_quant=kv_quant, self_quant=self_quant,
                 ts_begin=ts_begin, max_initial_ts_idx=max_initial_ts_idx,
-                fuse_append=fuse, temperature=temperature, rng=rng,
+                temperature=temperature, rng=rng,
                 nospeech_id=ns_id if quality else None, sot_pos=sot_pos,
             )
             if not quality:
@@ -524,13 +544,7 @@ class Transcriber:
         tokens: List[int] = []
         text = ""
         total_t0 = time.perf_counter()
-
-        import contextlib
-
-        prec_ctx = (
-            jax.default_matmul_precision(self._matmul_precision)
-            if self._matmul_precision else contextlib.nullcontext()
-        )
+        prec_ctx = self._prec_ctx()
 
         # Window pipelining: windows are data-independent (the reference
         # computes then DISCARDS the trailing context, src/transcribe.rs:
@@ -538,10 +552,15 @@ class Transcriber:
         # before window i's result is fetched. XLA dispatch is async: the
         # device starts i+1 while the host fetches/stitches i, hiding the
         # device->host tunnel latency and host-side stitching per window.
-        prev_reset = False  # condition_on_previous_text anti-hallucination
+        # condition_on_previous_text anti-hallucination: tokens before this
+        # index never re-enter the prompt (OpenAI's prompt_reset_since --
+        # a permanent cut, not a one-window skip: a hallucinated window's
+        # text must not resurface two windows later)
+        prompt_reset_at = 0
+        reset_pending = False
 
         def dispatch(i, start, end):
-            nonlocal prev_reset
+            nonlocal reset_pending
             window = np.ascontiguousarray(waveform[start:end], dtype=np.float32)
             if len(window) < 400:  # < n_fft: STFT impossible (the reference
                 # would panic on its assert, src/audio.rs:292; we skip).
@@ -553,10 +572,10 @@ class Transcriber:
                 # reference computes then discards this -- see DecodeOptions).
                 # Pipelining is off in this mode (PIPELINE_DEPTH=1 below),
                 # so `tokens` is final up to the previous window here.
-                prev_ctx = (
-                    () if prev_reset
-                    else [t for t in tokens if not tok.is_special(t)]
-                )
+                prev_ctx = [
+                    t for t in tokens[prompt_reset_at:]
+                    if not tok.is_special(t)
+                ]
                 prompt_i, n_cond_i = self._build_prompt(
                     opt, prev_tokens=prev_ctx)
                 sup_i = opt.suppress_until_len + n_cond_i
@@ -567,8 +586,9 @@ class Transcriber:
                     i, window, prompt_i, n_cond_i, sup_i, opt, temps,
                     prec_ctx)
                 # a window that needed a high sampling temperature is an
-                # unreliable context: drop it for the next window
-                prev_reset = accepted_t > 0.5
+                # unreliable context: everything up to and including it is
+                # cut from future prompts (applied after its drain appends)
+                reset_pending = accepted_t > 0.5
                 return (i, start, end, toks, None, n_cond_i,
                         time.perf_counter())
             fn = self._window_fn(
@@ -589,7 +609,7 @@ class Transcriber:
         PIPELINE_DEPTH = 1 if cond_prev else 2
 
         def drain_one():
-            nonlocal tokens, text
+            nonlocal tokens, text, prompt_reset_at, reset_pending
             i, start, end, toks_dev, length, n_cond_i, t0 = pending.pop(0)
             # trailing non-special context: computed then DISCARDED, exactly
             # like the reference (src/transcribe.rs:43-50,195-201) -- unless
@@ -610,6 +630,10 @@ class Transcriber:
                 tokens = tokens[:prev_index] + new_tokens[curr_index:]
             else:
                 tokens.extend(new_tokens)
+
+            if reset_pending:  # cut this window's text out of future prompts
+                prompt_reset_at = len(tokens)
+                reset_pending = False
 
             text = tok.decode(tokens, skip_special=True)
             dt = time.perf_counter() - t0
@@ -676,13 +700,9 @@ class Transcriber:
         sup_len = opt.suppress_until_len + n_cond
         temps, use_ladder = self._ladder_temps(opt)
         max_ts_idx = max(0, int(round(opt.max_initial_timestamp / 0.02)))
-
-        import contextlib
-
-        prec_ctx = (
-            jax.default_matmul_precision(self._matmul_precision)
-            if self._matmul_precision else contextlib.nullcontext()
-        )
+        prec_ctx = self._prec_ctx()
+        cond_prev = opt.condition_on_previous_text
+        prompt_reset_at = 0  # see transcribe(): OpenAI prompt_reset_since
 
         all_tokens: List[int] = []  # stitched raw tokens (plain-path parity)
         segments: List = []  # [Segment, [global text-token positions]]
@@ -692,12 +712,21 @@ class Transcriber:
             window = np.ascontiguousarray(waveform[start:end], dtype=np.float32)
             if len(window) < 400:
                 continue
+            if cond_prev:
+                prev_ctx = [
+                    t for t in all_tokens[prompt_reset_at:]
+                    if not tok.is_special(t)
+                ]
+                prompt, n_cond = self._build_prompt(opt, prev_tokens=prev_ctx)
+                sup_len = opt.suppress_until_len + n_cond
             if use_ladder:
                 # temperature fallback + quality gates, same semantics as
                 # the plain path (timestamped variant of the window fn)
-                new_tokens, _ = self._decode_window_ladder(
+                new_tokens, accepted_t = self._decode_window_ladder(
                     i, window, prompt, n_cond, sup_len, opt, temps,
                     prec_ctx, timestamps=True, max_initial_ts_idx=max_ts_idx)
+                if accepted_t > 0.5:  # unreliable context: cut permanently
+                    prompt_reset_at = None  # resolved after stitching below
             else:
                 fn = self._window_fn(
                     len(window), int(prompt.shape[0]), opt.strategy,
@@ -757,6 +786,10 @@ class Transcriber:
                 segments += [
                     (seg, [p + base for p in pos]) for seg, pos in new_segs
                 ]
+
+            if prompt_reset_at is None:  # this window was accepted at a
+                # high sampling temperature: cut it from future prompts
+                prompt_reset_at = len(all_tokens)
 
         segs = [s for s, _ in segments if s.text.strip()]
         text = " ".join(s.text.strip() for s in segs)

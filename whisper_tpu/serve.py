@@ -113,6 +113,10 @@ class BatchingWorker(threading.Thread):
                     strategy="greedy" if req.greedy else "beam",
                     task=req.task,
                     initial_prompt=req.initial_prompt,
+                    # quantize client prompt lengths: each distinct length
+                    # is one slow tunnel compile a client could otherwise
+                    # mint at will
+                    prompt_length_bucket=8,
                 )
                 results = self.t.transcribe_many(
                     [r.wave for r in batch], options=opts
@@ -276,6 +280,7 @@ def make_handler(worker: BatchingWorker, sample_rate: int,
                     if params.get("greedy", ["0"])[0] in ("1", "true")
                     else "beam",
                     initial_prompt=params.get("initial_prompt", [None])[0],
+                    prompt_length_bucket=8,  # see BatchingWorker note
                 )
                 sid = streams.start(opts)
                 if sid is None:
