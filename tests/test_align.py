@@ -143,3 +143,30 @@ class TestAlignment:
         assert [w.word for w in words] == ["alpha", "beta"]
         assert all(w.start >= 10.0 for w in words)
         assert all(isinstance(w, WordTiming) for w in words)
+
+
+class TestWordTimestampsPipeline:
+    def test_segments_carry_words(self, tok):
+        import jax.numpy as _  # noqa: F401 (jnp imported at module top)
+
+        cfg = tiny_test_config(
+            n_vocab=tok.vocab_size, n_audio_ctx=64, n_text_ctx=48, n_state=8,
+        )
+        params = M.init_params(jax.random.PRNGKey(0), cfg)
+        t = Transcriber(params, cfg, tok)
+        wave = np.random.default_rng(0).standard_normal(8000).astype(
+            np.float32)
+        from whisper_tpu.pipeline.transcribe import DecodeOptions
+
+        text, segs = t.transcribe_with_timestamps(
+            wave, 16000,
+            DecodeOptions(strategy="greedy", max_depth=5,
+                          chunk_overlap_seconds=0.01),
+            word_timestamps=True,
+        )
+        for seg in segs:
+            assert seg.words is not None
+            joined = "".join(w.word for w in seg.words).replace(" ", "")
+            assert joined == seg.text.replace(" ", "")
+            for w in seg.words:
+                assert w.start <= w.end

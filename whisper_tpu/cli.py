@@ -192,49 +192,12 @@ def cmd_transcribe(argv) -> int:
                   file=sys.stderr)
             return 1
         t = Transcriber(params, cfg, tokenizer, dtype=dtype)
-        text, segments = t.transcribe_with_timestamps(waveform, rate, opts)
-        seg_words = {}
-        if args.words and segments:
-            # ONE alignment pass per decode window, not per segment: group
-            # segments by the window containing their start, align the
-            # window's concatenated tokens once, and slice each segment's
-            # words back out by token position.
-            from .ops.audio import max_waveform_samples
-
-            n_window = max_waveform_samples(cfg.encoder_ctx_size - 10)
-            prompt_ids = tokenizer.prompt_ids(
-                opts.lang, task=opts.task, timestamps=True)
-            groups = {}
-            for si, seg in enumerate(segments):
-                w0 = min(int(seg.start * rate),
-                         max(0, len(waveform) - n_window))
-                groups.setdefault(w0, []).append(si)
-            for w0, sis in groups.items():
-                seq = list(prompt_ids)
-                spans = {}
-                for si in sis:
-                    spans[si] = (len(seq), len(seq) + len(segments[si].tokens))
-                    seq += segments[si].tokens
-                seq.append(tokenizer.eot)
-                words = t.align_words(
-                    waveform[w0 : w0 + n_window], seq, offset_s=w0 / rate)
-                # assign words to segments by consuming in order: words are
-                # emitted in token order, segments' spans are consecutive
-                it = iter(words)
-                for si in sis:
-                    n_tok = len([x for x in segments[si].tokens
-                                 if not tokenizer.is_special(x)])
-                    got, used = [], 0
-                    for w in it:
-                        got.append(w)
-                        used += len(w.tokens)
-                        if used >= n_tok:
-                            break
-                    seg_words[si] = got
+        text, segments = t.transcribe_with_timestamps(
+            waveform, rate, opts, word_timestamps=args.words)
         out_lines = []
-        for si, seg in enumerate(segments):
+        for seg in segments:
             out_lines.append(f"[{seg.start:.2f} -> {seg.end:.2f}] {seg.text}")
-            for w in seg_words.get(si, []):
+            for w in seg.words or ():
                 out_lines.append(
                     f"  {w.word} [{w.start:.2f} -> {w.end:.2f}]")
     elif args.parallel_windows:

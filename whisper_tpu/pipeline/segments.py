@@ -28,6 +28,9 @@ class Segment:
     end: float
     text: str
     tokens: List[int]
+    # per-word timings (align.WordTiming), populated by
+    # transcribe_with_timestamps(word_timestamps=True); None otherwise
+    words: list = None
 
 
 def segments_from_tokens(

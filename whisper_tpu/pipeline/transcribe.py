@@ -674,6 +674,7 @@ class Transcriber:
         waveform: np.ndarray,
         sample_rate: int = SAMPLE_RATE,
         options: Optional[DecodeOptions] = None,
+        word_timestamps: bool = False,
     ):
         """Timestamped transcription: returns (text, segments).
 
@@ -792,8 +793,45 @@ class Transcriber:
                 prompt_reset_at = len(all_tokens)
 
         segs = [s for s, _ in segments if s.text.strip()]
+        if word_timestamps and segs:
+            self._attach_words(waveform, sample_rate, segs, opt)
         text = " ".join(s.text.strip() for s in segs)
         return text, segs
+
+    def _attach_words(self, waveform, sample_rate, segs, opt) -> None:
+        """Populate each segment's .words via cross-attention DTW
+        (align.py): ONE alignment pass per decode window -- segments are
+        grouped by the window containing their start, the window's
+        concatenated tokens align once, and words are assigned back in
+        token order."""
+        n_window = max_waveform_samples(self.cfg.encoder_ctx_size
+                                        - opt.padding)
+        prompt_ids = self.tok.prompt_ids(
+            opt.lang, task=opt.task, timestamps=True)
+        groups: dict = {}
+        for si, seg in enumerate(segs):
+            w0 = min(int(seg.start * sample_rate),
+                     max(0, len(waveform) - n_window))
+            groups.setdefault(w0, []).append(si)
+        for w0, sis in groups.items():
+            seq = list(prompt_ids)
+            for si in sis:
+                seq += segs[si].tokens
+            seq.append(self.tok.eot)
+            words = self.align_words(
+                waveform[w0 : w0 + n_window], seq,
+                offset_s=w0 / sample_rate)
+            it = iter(words)
+            for si in sis:
+                n_tok = len([x for x in segs[si].tokens
+                             if not self.tok.is_special(x)])
+                got, used = [], 0
+                for w in it:
+                    got.append(w)
+                    used += len(w.tokens)
+                    if used >= n_tok:
+                        break
+                segs[si].words = got
 
 
 def waveform_to_text(
