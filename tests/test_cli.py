@@ -92,6 +92,22 @@ class TestTranscribe:
         for line in out.splitlines():
             assert "->" in line
 
+    def test_json_output(self, workdir):
+        rc = cli.main([
+            "transcribe", "dump", "audio.wav", "en", "seg.json",
+            "--greedy", "--max-depth", "5", "--dtype", "float32",
+            "--timestamps", "--words", "--json",
+        ])
+        assert rc == 0
+        import json as _json
+
+        doc = _json.loads(open("seg.json").read())
+        assert "text" in doc and isinstance(doc["segments"], list)
+        for seg in doc["segments"]:
+            assert seg["start"] <= seg["end"]
+            for w in seg.get("words", []):
+                assert w["start"] <= w["end"] and w["word"]
+
     def test_invalid_language(self, workdir, capsys):
         rc = cli.main(["transcribe", "dump", "audio.wav", "xx", "o.txt"])
         assert rc == 1

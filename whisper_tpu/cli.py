@@ -83,6 +83,10 @@ def cmd_transcribe(argv) -> int:
                    help="with --timestamps: append per-word timings "
                         "(cross-attention DTW alignment) as "
                         "'  word [start -> end]' lines")
+    p.add_argument("--json", action="store_true",
+                   help="with --timestamps: write a JSON document "
+                        "{text, segments: [{start, end, text, words?}]} "
+                        "instead of plain lines")
     p.add_argument("--condition-on-previous-text", action="store_true",
                    help="feed each window the previously decoded text as "
                         "<|startofprev|> context (OpenAI's long-form "
@@ -194,12 +198,27 @@ def cmd_transcribe(argv) -> int:
         t = Transcriber(params, cfg, tokenizer, dtype=dtype)
         text, segments = t.transcribe_with_timestamps(
             waveform, rate, opts, word_timestamps=args.words)
-        out_lines = []
-        for seg in segments:
-            out_lines.append(f"[{seg.start:.2f} -> {seg.end:.2f}] {seg.text}")
-            for w in seg.words or ():
+        if args.json:
+            import json as _json
+
+            doc = {"text": text, "segments": [
+                {"start": round(seg.start, 3), "end": round(seg.end, 3),
+                 "text": seg.text,
+                 **({"words": [
+                     {"word": w.word, "start": round(w.start, 3),
+                      "end": round(w.end, 3)} for w in seg.words]}
+                    if seg.words is not None else {})}
+                for seg in segments
+            ]}
+            out_lines = [_json.dumps(doc, ensure_ascii=False, indent=1)]
+        else:
+            out_lines = []
+            for seg in segments:
                 out_lines.append(
-                    f"  {w.word} [{w.start:.2f} -> {w.end:.2f}]")
+                    f"[{seg.start:.2f} -> {seg.end:.2f}] {seg.text}")
+                for w in seg.words or ():
+                    out_lines.append(
+                        f"  {w.word} [{w.start:.2f} -> {w.end:.2f}]")
     elif args.parallel_windows:
         from .pipeline.batch import BatchTranscriber
 
