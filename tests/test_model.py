@@ -146,3 +146,52 @@ class TestKVCache:
         )
         # cross KV untouched
         assert re.cross_k is cache.cross_k
+
+
+class TestAsymmetricLayers:
+    """large-v3-turbo shape: encoder and decoder layer counts DIFFER (32/4).
+    No other test exercises distinct depths; this pins the stacked-scan
+    param layout and both forward paths at a tiny asymmetric config."""
+
+    def test_turbo_shaped_forward_and_decode(self):
+        import dataclasses
+
+        from whisper_tpu.config import (
+            AudioEncoderConfig,
+            TextDecoderConfig,
+            WhisperConfig,
+        )
+        from whisper_tpu.decode.greedy import greedy_decode
+
+        cfg = WhisperConfig(
+            audio_encoder_config=AudioEncoderConfig(
+                n_mels=80, n_audio_ctx=32, n_audio_state=16, n_audio_head=2,
+                n_audio_layer=3),
+            text_decoder_config=TextDecoderConfig(
+                n_vocab=64, n_text_ctx=16, n_text_state=16, n_text_head=2,
+                n_text_layer=2),
+        )
+        params = m.init_params(jax.random.PRNGKey(0), cfg)
+        assert params["encoder"]["blocks"]["qkv_w"].shape[0] == 3
+        assert params["decoder"]["blocks"]["qkv_w"].shape[0] == 2
+
+        mel = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 80, 32)),
+            jnp.float32)
+        toks = jnp.asarray([[1, 2, 3], [4, 5, 6]], jnp.int32)
+        logits = m.whisper_forward(params, mel, toks, cfg)
+        assert logits.shape == (2, 3, 64)
+        assert np.isfinite(np.asarray(logits)).all()
+
+        enc = m.encoder_forward(params, mel, cfg)
+        t, l, _ = greedy_decode(
+            params, enc, jnp.asarray([1, 2], jnp.int32), cfg, eot_id=0,
+            max_depth=4)
+        assert t.shape[0] == 2 and np.isfinite(np.asarray(l)).all()
+
+        # the fused (flash) decode path at asymmetric depth, interpret mode
+        fcfg = dataclasses.replace(cfg, attention="flash")
+        tf, lf, _ = greedy_decode(
+            params, enc, jnp.asarray([1, 2], jnp.int32), fcfg, eot_id=0,
+            max_depth=4)
+        assert np.array_equal(np.asarray(t), np.asarray(tf))
