@@ -108,6 +108,40 @@ class TestTranscribe:
             for w in seg.get("words", []):
                 assert w["start"] <= w["end"] and w["word"]
 
+    def test_srt_vtt_tsv_output(self, workdir):
+        for fmt, sniff in (("srt", " --> "), ("vtt", "WEBVTT"),
+                           ("tsv", "start\tend\ttext")):
+            rc = cli.main([
+                "transcribe", "dump", "audio.wav", "en", f"seg.{fmt}",
+                "--greedy", "--max-depth", "5", "--dtype", "float32",
+                "--timestamps", "--format", fmt,
+            ])
+            assert rc == 0
+            body = open(f"seg.{fmt}").read()
+            # random weights may yield zero segments; the container must
+            # still be well-formed (vtt header / tsv header always present)
+            if fmt == "srt":
+                assert sniff in body or body == ""
+            else:
+                assert sniff in body
+
+    def test_auto_language(self, workdir, capsys):
+        rc = cli.main([
+            "transcribe", "dump", "audio.wav", "auto", "auto.txt",
+            "--greedy", "--max-depth", "5", "--dtype", "float32",
+        ])
+        assert rc == 0
+        assert "Detected language:" in capsys.readouterr().out
+        assert os.path.exists("auto.txt")
+
+    def test_format_requires_timestamps(self, workdir, capsys):
+        rc = cli.main([
+            "transcribe", "dump", "audio.wav", "en", "o.srt",
+            "--greedy", "--max-depth", "5", "--format", "srt",
+        ])
+        assert rc == 1
+        assert "requires --timestamps" in capsys.readouterr().err
+
     def test_invalid_language(self, workdir, capsys):
         rc = cli.main(["transcribe", "dump", "audio.wav", "xx", "o.txt"])
         assert rc == 1
@@ -123,6 +157,18 @@ class TestTranscribe:
     def test_missing_model(self, workdir):
         rc = cli.main(["transcribe", "nope", "audio.wav", "en", "o.txt"])
         assert rc == 1
+
+
+class TestDetectLang:
+    def test_detect_lang_json(self, workdir, capsys):
+        rc = cli.main(["detect-lang", "dump", "audio.wav", "--top", "3"])
+        assert rc == 0
+        import json as _json
+
+        doc = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert doc["language"] in doc["probs"]
+        assert len(doc["probs"]) <= 3
+        assert all(0.0 <= p <= 1.0 for p in doc["probs"].values())
 
 
 class TestConvertPt:

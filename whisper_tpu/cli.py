@@ -43,7 +43,9 @@ def cmd_transcribe(argv) -> int:
     p.add_argument("model", help="model name: <name>.cfg + <name>.safetensors/"
                                  ".mpk.gz, or a npy dump directory")
     p.add_argument("audio", help="16 kHz mono WAV file")
-    p.add_argument("lang", help="language code, e.g. en")
+    p.add_argument("lang", help="language code, e.g. en, or 'auto' to "
+                                "detect the spoken language from the first "
+                                "window (multilingual models)")
     p.add_argument("out", help="output transcription text file")
     p.add_argument("--tokenizer", default=None,
                    help="path to tokenizer.json (default: next to model, then CWD)")
@@ -86,7 +88,12 @@ def cmd_transcribe(argv) -> int:
     p.add_argument("--json", action="store_true",
                    help="with --timestamps: write a JSON document "
                         "{text, segments: [{start, end, text, words?}]} "
-                        "instead of plain lines")
+                        "instead of plain lines (alias for --format json)")
+    p.add_argument("--format", choices=["txt", "json", "srt", "vtt", "tsv"],
+                   default=None, dest="out_format",
+                   help="output format; srt/vtt/tsv/json require "
+                        "--timestamps (vtt + --words emits per-word "
+                        "highlight cues)")
     p.add_argument("--condition-on-previous-text", action="store_true",
                    help="feed each window the previously decoded text as "
                         "<|startofprev|> context (OpenAI's long-form "
@@ -161,12 +168,23 @@ def cmd_transcribe(argv) -> int:
 
     # Full 99-language table (incl. haw, which the reference's table omits,
     # src/token.rs:50-58); whether the code resolves against THIS tokenizer
-    # is checked by language_token at prompt construction.
-    if args.lang not in LANGUAGES_V3:  # union table: haw + yue resolve iff the tokenizer carries them
+    # is checked by language_token at prompt construction. "auto" detects
+    # from audio (new capability; the reference requires the language,
+    # src/bin/transcribe/main.rs:97-105).
+    if args.lang != "auto" and args.lang not in LANGUAGES_V3:  # union table: haw + yue resolve iff the tokenizer carries them
         print(f"Invalid language abbreviation: {args.lang}", file=sys.stderr)
         return 1
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+    if args.lang == "auto":
+        t = Transcriber(params, cfg, tokenizer, dtype=dtype)
+        try:
+            code, dist = t.detect_language(waveform, rate)
+        except ValueError as e:
+            print(f"Language detection failed: {e}", file=sys.stderr)
+            return 1
+        print(f"Detected language: {code} (p={dist[code]:.2f})")
+        args.lang = code
     opts = DecodeOptions(
         lang=args.lang,
         task=args.task,
@@ -189,6 +207,10 @@ def cmd_transcribe(argv) -> int:
               "--parallel-windows (windows must decode sequentially)",
               file=sys.stderr)
         return 1
+    out_format = args.out_format or ("json" if args.json else "txt")
+    if out_format != "txt" and not args.timestamps:
+        print(f"--format {out_format} requires --timestamps", file=sys.stderr)
+        return 1
     out_lines = None
     if args.timestamps:
         if args.parallel_windows:
@@ -198,7 +220,7 @@ def cmd_transcribe(argv) -> int:
         t = Transcriber(params, cfg, tokenizer, dtype=dtype)
         text, segments = t.transcribe_with_timestamps(
             waveform, rate, opts, word_timestamps=args.words)
-        if args.json:
+        if out_format == "json":
             import json as _json
 
             doc = {"text": text, "segments": [
@@ -211,6 +233,16 @@ def cmd_transcribe(argv) -> int:
                 for seg in segments
             ]}
             out_lines = [_json.dumps(doc, ensure_ascii=False, indent=1)]
+        elif out_format in ("srt", "vtt", "tsv"):
+            from .pipeline import formats
+
+            if out_format == "srt":
+                out_lines = [formats.to_srt(segments)]
+            elif out_format == "vtt":
+                out_lines = [formats.to_vtt(
+                    segments, highlight_words=args.words)]
+            else:
+                out_lines = [formats.to_tsv(segments)]
         else:
             out_lines = []
             for seg in segments:
@@ -523,6 +555,74 @@ def cmd_quant_check(argv) -> int:
     return 0
 
 
+def cmd_detect_lang(argv) -> int:
+    p = argparse.ArgumentParser(
+        prog="whisper_tpu detect-lang",
+        description="Identify the spoken language of an audio file from its "
+                    "first ~15s window (multilingual models). Prints a JSON "
+                    "line {language, probs: {code: p, ...top-k}}.",
+    )
+    p.add_argument("model", help="checkpoint (.safetensors/.cfg, npy dir, "
+                                 "or .mpk.gz)")
+    p.add_argument("audio", help="16 kHz mono WAV/FLAC file")
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--resample", action="store_true")
+    p.add_argument("--top", type=int, default=5,
+                   help="number of candidate languages to report")
+    p.add_argument("-v", "--verbose", action="count", default=0)
+    args = p.parse_args(argv)
+
+    from .utils.logging import configure
+
+    configure(args.verbose)
+    _enable_compilation_cache()
+
+    import json as _json
+
+    from .config import SAMPLE_RATE
+    from .io import checkpoint, native as wav_native, wav
+    from .pipeline.transcribe import Transcriber
+    from .text.tokenizer import WhisperTokenizer
+
+    try:
+        waveform, rate = wav_native.load_audio(args.audio)
+    except Exception as e:
+        print(f"Failed to load audio file: {e}", file=sys.stderr)
+        return 1
+    if rate != SAMPLE_RATE:
+        if not args.resample:
+            print(f"The audio sample rate must be 16k (got {rate}); "
+                  "pass --resample to convert.", file=sys.stderr)
+            return 1
+        waveform = wav.resample(waveform, rate, SAMPLE_RATE)
+        rate = SAMPLE_RATE
+
+    tok_path = args.tokenizer or os.path.join(
+        os.path.dirname(os.path.abspath(args.model)), "tokenizer.json"
+    )
+    if not os.path.exists(tok_path):
+        tok_path = "tokenizer.json"
+    try:
+        tok = WhisperTokenizer(tok_path)
+    except Exception as e:
+        print(f"Failed to load tokenizer: {e}", file=sys.stderr)
+        return 1
+
+    params, cfg = checkpoint.load_params(args.model)
+    t = Transcriber(params, cfg, tok)
+    try:
+        code, dist = t.detect_language(waveform, rate)
+    except ValueError as e:
+        print(f"Language detection failed: {e}", file=sys.stderr)
+        return 1
+    top = sorted(dist.items(), key=lambda kv: -kv[1])[:max(1, args.top)]
+    print(_json.dumps({
+        "language": code,
+        "probs": {c: round(p, 4) for c, p in top},
+    }))
+    return 0
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
@@ -534,6 +634,8 @@ def main(argv=None) -> int:
         print("  eval <model> <dataset> [lang]", file=sys.stderr)
         print("  transcribe-many <model> <lang> <out dir> <wav...>", file=sys.stderr)
         print("  quant-check <model>", file=sys.stderr)
+        print("  detect-lang <model> <audio.wav>", file=sys.stderr)
+        print("  serve <model> [--port ...]", file=sys.stderr)
         return 0 if argv else 1
     cmd, rest = argv[0], argv[1:]
     if cmd == "transcribe":
@@ -548,6 +650,12 @@ def main(argv=None) -> int:
         return cmd_eval(rest)
     if cmd == "quant-check":
         return cmd_quant_check(rest)
+    if cmd == "detect-lang":
+        return cmd_detect_lang(rest)
+    if cmd == "serve":
+        from .serve import main as serve_main
+
+        return serve_main(rest)
     print(f"unknown command: {cmd}", file=sys.stderr)
     return 1
 
