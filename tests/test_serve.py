@@ -105,6 +105,46 @@ class TestServer:
                             _wav_bytes())
         assert status == 400 and "task" in obj["error"]
 
+    def test_timestamps_json(self, server):
+        url, _ = server
+        status, obj = _post(
+            url, "/transcribe?lang=en&greedy=1&timestamps=1&words=1",
+            _wav_bytes())
+        assert status == 200
+        assert "text" in obj and isinstance(obj["segments"], list)
+        for s in obj["segments"]:
+            assert s["start"] <= s["end"]
+
+    def test_srt_vtt_raw_output(self, server):
+        url, _ = server
+        for fmt, ctype, sniff in (
+            ("srt", "application/x-subrip", None),
+            ("vtt", "text/vtt", "WEBVTT"),
+            ("tsv", "text/tab-separated-values", "start\tend\ttext"),
+        ):
+            req = urllib.request.Request(
+                url + f"/transcribe?lang=en&greedy=1&timestamps=1&format={fmt}",
+                data=_wav_bytes(), method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                assert r.status == 200
+                assert r.headers["Content-Type"] == ctype
+                body = r.read().decode()
+                if sniff:
+                    assert sniff in body
+
+    def test_format_requires_timestamps(self, server):
+        url, _ = server
+        status, obj = _post(url, "/transcribe?lang=en&format=srt",
+                            _wav_bytes())
+        assert status == 400 and "requires" in obj["error"]
+
+    def test_auto_language(self, server):
+        url, _ = server
+        status, obj = _post(url, "/transcribe?lang=auto&greedy=1",
+                            _wav_bytes())
+        assert status == 200
+        assert "language" in obj and "text" in obj
+
     def test_bad_audio_rejected(self, server):
         url, _ = server
         status, obj = _post(url, "/transcribe?lang=en", b"this is not a wav")

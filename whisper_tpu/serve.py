@@ -10,6 +10,10 @@ so concurrent clients share the chip-efficient batched path.
 Endpoints:
   POST /transcribe?lang=en[&greedy=1][&task=translate]
        [&initial_prompt=...]           body: WAV bytes -> {"text", "tokens"}
+       lang=auto detects the spoken language (response carries "language");
+       &timestamps=1 returns {"text", "segments"} (&words=1 adds per-word
+       timings); &format=srt|vtt|tsv returns the subtitle document raw
+       (vtt + words=1 emits per-word highlight cues)
   POST /stream/start?lang=en[&task=..][&greedy=1][&initial_prompt=..]
        -> {"session": id}
   POST /stream/<id>/push?format=f32|s16  body: raw PCM block
@@ -42,21 +46,27 @@ import numpy as np
 
 class _Request:
     def __init__(self, wave: np.ndarray, lang: str, greedy: bool,
-                 task: str = "transcribe", initial_prompt=None):
+                 task: str = "transcribe", initial_prompt=None,
+                 timestamps: bool = False, words: bool = False):
         self.wave = wave
         self.lang = lang
         self.greedy = greedy
         self.task = task
         self.initial_prompt = initial_prompt
+        self.timestamps = timestamps
+        self.words = words
         self.done = threading.Event()
         self.result: Optional[tuple] = None
+        self.segments = None  # timestamped path: [Segment]
+        self.detected_lang: Optional[str] = None  # lang == "auto"
         self.error: Optional[str] = None
         # set by the handler when its waiter gave up (504): the worker
         # drops abandoned requests instead of burning chip time on them
         self.abandoned = False
 
     def opts_key(self):
-        return (self.lang, self.greedy, self.task, self.initial_prompt)
+        return (self.lang, self.greedy, self.task, self.initial_prompt,
+                self.timestamps, self.words)
 
 
 class BatchingWorker(threading.Thread):
@@ -108,21 +118,20 @@ class BatchingWorker(threading.Thread):
                 continue
             req = batch[0]
             try:
-                opts = DecodeOptions(
-                    lang=req.lang,
-                    strategy="greedy" if req.greedy else "beam",
-                    task=req.task,
-                    initial_prompt=req.initial_prompt,
-                    # quantize client prompt lengths: each distinct length
-                    # is one slow tunnel compile a client could otherwise
-                    # mint at will
-                    prompt_length_bucket=8,
-                )
-                results = self.t.transcribe_many(
-                    [r.wave for r in batch], options=opts
-                )
-                for r, (text, tokens) in zip(batch, results):
-                    r.result = (text, tokens)
+                if req.timestamps or req.lang == "auto":
+                    # per-request path: timestamped decoding is a
+                    # sequential single-stream pipeline, and auto-detected
+                    # languages can differ per member; the compiled window
+                    # executables are still shared across requests
+                    for r in batch:
+                        self._run_single(r, DecodeOptions)
+                else:
+                    opts = self._opts(req, DecodeOptions)
+                    results = self.t.transcribe_many(
+                        [r.wave for r in batch], options=opts
+                    )
+                    for r, (text, tokens) in zip(batch, results):
+                        r.result = (text, tokens)
             except Exception as e:  # surface errors to every waiter
                 for r in batch:
                     r.error = str(e)
@@ -130,6 +139,32 @@ class BatchingWorker(threading.Thread):
                 self.processed += len(batch)
                 for r in batch:
                     r.done.set()
+
+    @staticmethod
+    def _opts(req: _Request, DecodeOptions, lang: Optional[str] = None):
+        return DecodeOptions(
+            lang=lang or req.lang,
+            strategy="greedy" if req.greedy else "beam",
+            task=req.task,
+            initial_prompt=req.initial_prompt,
+            # quantize client prompt lengths: each distinct length is one
+            # slow tunnel compile a client could otherwise mint at will
+            prompt_length_bucket=8,
+        )
+
+    def _run_single(self, r: _Request, DecodeOptions) -> None:
+        lang = r.lang
+        if lang == "auto":
+            lang, _ = self.t.detect_language(r.wave)
+            r.detected_lang = lang
+        opts = self._opts(r, DecodeOptions, lang=lang)
+        if r.timestamps:
+            text, segs = self.t.transcribe_with_timestamps(
+                r.wave, options=opts, word_timestamps=r.words)
+            r.result = (text, None)
+            r.segments = segs
+        else:
+            r.result = self.t.transcribe(r.wave, options=opts)
 
 
 class StreamSessions:
@@ -226,6 +261,14 @@ def make_handler(worker: BatchingWorker, sample_rate: int,
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def _raw(self, code: int, body: str, content_type: str) -> None:
+            data = body.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
 
         def log_message(self, fmt, *args):  # quiet default logging
             pass
@@ -332,8 +375,18 @@ def make_handler(worker: BatchingWorker, sample_rate: int,
             greedy = params.get("greedy", ["0"])[0] in ("1", "true")
             task = params.get("task", ["transcribe"])[0]
             initial_prompt = params.get("initial_prompt", [None])[0]
+            timestamps = params.get("timestamps", ["0"])[0] in ("1", "true")
+            words = params.get("words", ["0"])[0] in ("1", "true")
+            out_format = params.get("format", ["json"])[0]
             if task not in ("transcribe", "translate"):
                 self._json(400, {"error": f"bad task: {task}"})
+                return
+            if out_format not in ("json", "srt", "vtt", "tsv"):
+                self._json(400, {"error": f"bad format: {out_format}"})
+                return
+            if out_format != "json" and not timestamps:
+                self._json(400, {"error": f"format={out_format} requires "
+                                          "timestamps=1"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
@@ -359,7 +412,8 @@ def make_handler(worker: BatchingWorker, sample_rate: int,
                 self._json(400, {"error": f"bad audio: {e}"})
                 return
 
-            req = _Request(wave, lang, greedy, task, initial_prompt)
+            req = _Request(wave, lang, greedy, task, initial_prompt,
+                           timestamps=timestamps, words=words)
             try:
                 worker.q.put_nowait(req)
             except queue.Full:
@@ -372,9 +426,44 @@ def make_handler(worker: BatchingWorker, sample_rate: int,
                 return
             if req.error is not None:
                 self._json(500, {"error": req.error})
+            elif req.segments is not None:
+                self._respond_segments(req, out_format)
             else:
                 text, tokens = req.result
-                self._json(200, {"text": text, "tokens": tokens})
+                doc = {"text": text, "tokens": tokens}
+                if req.detected_lang is not None:
+                    doc["language"] = req.detected_lang
+                self._json(200, doc)
+
+        def _respond_segments(self, req: _Request, out_format: str) -> None:
+            from .pipeline import formats
+
+            if out_format == "srt":
+                self._raw(200, formats.to_srt(req.segments),
+                          "application/x-subrip")
+            elif out_format == "vtt":
+                self._raw(200, formats.to_vtt(req.segments,
+                                              highlight_words=req.words),
+                          "text/vtt")
+            elif out_format == "tsv":
+                self._raw(200, formats.to_tsv(req.segments),
+                          "text/tab-separated-values")
+            else:
+                doc = {
+                    "text": req.result[0],
+                    "segments": [
+                        {"start": round(s.start, 3), "end": round(s.end, 3),
+                         "text": s.text,
+                         **({"words": [
+                             {"word": w.word, "start": round(w.start, 3),
+                              "end": round(w.end, 3)} for w in s.words]}
+                            if s.words is not None else {})}
+                        for s in req.segments
+                    ],
+                }
+                if req.detected_lang is not None:
+                    doc["language"] = req.detected_lang
+                self._json(200, doc)
 
     return Handler
 
