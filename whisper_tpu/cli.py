@@ -555,6 +555,124 @@ def cmd_quant_check(argv) -> int:
     return 0
 
 
+def cmd_finetune(argv) -> int:
+    p = argparse.ArgumentParser(
+        prog="whisper_tpu finetune",
+        description="Teacher-forced fine-tuning on (audio, text) pairs "
+                    "(LibriSpeech-style directory or .tsv/.jsonl manifest). "
+                    "Writes <out>.safetensors + <out>.cfg; optionally "
+                    "orbax train-state checkpoints for resume.",
+    )
+    p.add_argument("model", help="starting checkpoint")
+    p.add_argument("dataset", help="LibriSpeech-style dir or manifest "
+                                   "(audio<TAB>text)")
+    p.add_argument("lang", nargs="?", default="en")
+    p.add_argument("--out", default=None,
+                   help="output basename (default <model>-ft)")
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--task", choices=["transcribe", "translate"],
+                   default="transcribe")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--warmup", type=int, default=10)
+    p.add_argument("--weight-decay", type=float, default=0.01)
+    p.add_argument("--spec-augment", action="store_true",
+                   help="in-graph SpecAugment (freq + time masking)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize transformer blocks (less HBM)")
+    p.add_argument("--limit", type=int, default=None,
+                   help="use only the first N dataset examples")
+    p.add_argument("--save-every", type=int, default=0,
+                   help="write an orbax train-state checkpoint to "
+                        "<out>.ckpt every N steps (0 = off)")
+    p.add_argument("--resume", default=None,
+                   help="resume from an orbax train-state checkpoint dir")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("-v", "--verbose", action="count", default=0)
+    args = p.parse_args(argv)
+
+    from .utils.logging import configure
+
+    configure(args.verbose)
+    _enable_compilation_cache()
+
+    import jax
+    import numpy as _np
+
+    from .eval import wer as werlib
+    from .io import checkpoint
+    from .text.tokenizer import WhisperTokenizer
+    from .training import checkpointing as ckpt
+    from .training import data as tdata
+    from .training import train as ttrain
+
+    tok_path = args.tokenizer or os.path.join(
+        os.path.dirname(os.path.abspath(args.model)), "tokenizer.json"
+    )
+    try:
+        tok = WhisperTokenizer(tok_path)
+    except Exception as e:
+        print(f"Failed to load tokenizer: {e}", file=sys.stderr)
+        return 1
+    try:
+        params, cfg = checkpoint.load_params(args.model)
+    except Exception as e:
+        print(f"Failed to load whisper model file: {e}", file=sys.stderr)
+        return 1
+
+    items = (werlib.iter_librispeech(args.dataset)
+             if os.path.isdir(args.dataset)
+             else werlib.iter_manifest(args.dataset))
+    try:
+        examples = tdata.load_examples(items, limit=args.limit)
+    except Exception as e:
+        print(f"Failed to load dataset: {e}", file=sys.stderr)
+        return 1
+    print(f"Loaded {len(examples)} examples")
+
+    opt = ttrain.make_optimizer(
+        learning_rate=args.lr, weight_decay=args.weight_decay,
+        warmup_steps=args.warmup, total_steps=args.steps)
+    state = ttrain.init_train_state(params, opt)
+    if args.resume:
+        state = ckpt.restore_train_state(args.resume, state)
+        print(f"Resumed at step {int(state.step)}")
+    step_fn = ttrain.make_train_step(cfg, opt, remat=args.remat)
+
+    out = args.out or f"{args.model.rstrip('/')}-ft"
+    aug_key = jax.random.PRNGKey(args.seed + 1)
+    batches = tdata.iter_batches(
+        examples, tok, cfg, args.batch_size, lang=args.lang, task=args.task,
+        seed=args.seed)
+    t0 = time.perf_counter()
+    start = int(state.step)
+    for i in range(start, args.steps):
+        batch = next(batches)
+        if args.spec_augment:
+            aug_key, k = jax.random.split(aug_key)
+            batch = batch._replace(mel=tdata.spec_augment(batch.mel, k))
+        state, metrics = step_fn(state, batch)
+        loss = float(metrics["loss"])
+        if not _np.isfinite(loss):
+            print(f"step {i}: non-finite loss {loss}; aborting",
+                  file=sys.stderr)
+            return 1
+        if args.verbose or i % 10 == 0 or i == args.steps - 1:
+            print(f"step {i}: loss {loss:.4f} "
+                  f"acc {float(metrics['accuracy']):.3f} "
+                  f"grad_norm {float(metrics['grad_norm']):.3f}")
+        if args.save_every and (i + 1) % args.save_every == 0:
+            ckpt.save_train_state(os.path.abspath(f"{out}.ckpt"), state)
+    dt = time.perf_counter() - t0
+    checkpoint.save_safetensors(
+        jax.device_get(state.params), cfg, f"{out}.safetensors")
+    cfg.save(f"{out}.cfg")
+    print(f"Saved {out}.safetensors + {out}.cfg "
+          f"({args.steps - start} steps in {dt:.1f}s)")
+    return 0
+
+
 def cmd_detect_lang(argv) -> int:
     p = argparse.ArgumentParser(
         prog="whisper_tpu detect-lang",
@@ -635,6 +753,7 @@ def main(argv=None) -> int:
         print("  transcribe-many <model> <lang> <out dir> <wav...>", file=sys.stderr)
         print("  quant-check <model>", file=sys.stderr)
         print("  detect-lang <model> <audio.wav>", file=sys.stderr)
+        print("  finetune <model> <dataset> [lang]", file=sys.stderr)
         print("  serve <model> [--port ...]", file=sys.stderr)
         return 0 if argv else 1
     cmd, rest = argv[0], argv[1:]
@@ -652,6 +771,8 @@ def main(argv=None) -> int:
         return cmd_quant_check(rest)
     if cmd == "detect-lang":
         return cmd_detect_lang(rest)
+    if cmd == "finetune":
+        return cmd_finetune(rest)
     if cmd == "serve":
         from .serve import main as serve_main
 
