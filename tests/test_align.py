@@ -86,6 +86,49 @@ class TestWordSplitting:
         assert min(p for _, _, ps in words for p in ps) >= 4
 
 
+class TestMergePunctuations:
+    def _w(self, word, start, end, tokens=()):
+        from whisper_tpu.align import WordTiming
+
+        return WordTiming(word, start, end, list(tokens))
+
+    def test_append_merges_into_previous(self):
+        from whisper_tpu.align import merge_punctuations
+
+        out = merge_punctuations([
+            self._w("Hello", 0.0, 0.4, [1]),
+            self._w(",", 0.4, 0.45, [2]),
+            self._w("world", 0.5, 0.9, [3]),
+            self._w("!", 0.9, 0.95, [4]),
+        ])
+        assert [w.word for w in out] == ["Hello,", "world!"]
+        assert out[0].start == 0.0 and out[0].end == 0.4  # keeps own timing
+        assert out[0].tokens == [1, 2] and out[1].tokens == [3, 4]
+
+    def test_prepend_merges_into_following(self):
+        from whisper_tpu.align import merge_punctuations
+
+        out = merge_punctuations([
+            self._w("¿", 0.0, 0.05, [1]),
+            self._w("(", 0.05, 0.1, [2]),
+            self._w("Qué", 0.1, 0.5, [3]),
+        ])
+        assert [w.word for w in out] == ["¿(Qué"]
+        assert out[0].start == 0.1 and out[0].tokens == [1, 2, 3]
+
+    def test_plain_words_untouched(self):
+        from whisper_tpu.align import merge_punctuations
+
+        words = [self._w("a", 0, 1), self._w("b", 1, 2)]
+        assert [w.word for w in merge_punctuations(words)] == ["a", "b"]
+
+    def test_leading_append_and_trailing_prepend_stand_alone(self):
+        from whisper_tpu.align import merge_punctuations
+
+        out = merge_punctuations([self._w(",", 0, 1), self._w("-", 1, 2)])
+        assert [w.word for w in out] == [",", "-"]
+
+
 class TestAlignment:
     @pytest.fixture(scope="class")
     def setup(self, tmp_path_factory):

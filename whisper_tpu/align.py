@@ -202,6 +202,50 @@ def split_tokens_on_spaces(
     return [(w.strip(), t, p) for w, t, p in words if w.strip()]
 
 
+# OpenAI Whisper's defaults (timing.py merge_punctuations): punctuation
+# that opens a phrase attaches to the FOLLOWING word, closing punctuation
+# to the PRECEDING word, so punctuation never stands as its own "word"
+# with a meaningless timestamp.
+PREPEND_PUNCTUATIONS = "\"'\u201c\u00bf([{-"
+APPEND_PUNCTUATIONS = "\"'.\u3002,\uff0c!\uff01?\uff1f:\uff1a\u201d)]}\u3001"
+
+
+def merge_punctuations(
+    words: List[WordTiming],
+    prepend: str = PREPEND_PUNCTUATIONS,
+    append: str = APPEND_PUNCTUATIONS,
+) -> List[WordTiming]:
+    """Merge punctuation-only words into their neighbors.
+
+    A word consisting solely of opening punctuation merges into the next
+    word (which keeps its own timing); solely-closing punctuation merges
+    into the previous word. Matches the published method's semantics on
+    this module's stripped word strings."""
+    out: List[Optional[WordTiming]] = list(words)
+    # prepend: scan backwards so chains ("¿( word") collapse fully
+    j = len(out) - 1
+    for i in range(len(out) - 2, -1, -1):
+        prev, nxt = out[i], out[j]
+        if prev is not None and nxt is not None and prev.word in prepend:
+            out[j] = WordTiming(prev.word + nxt.word, nxt.start, nxt.end,
+                                list(prev.tokens) + list(nxt.tokens))
+            out[i] = None
+        else:
+            j = i
+    merged = [w for w in out if w is not None]
+    out = list(merged)
+    i = 0
+    for j in range(1, len(out)):
+        prev, nxt = out[i], out[j]
+        if prev is not None and nxt is not None and nxt.word in append:
+            out[i] = WordTiming(prev.word + nxt.word, prev.start, prev.end,
+                                list(prev.tokens) + list(nxt.tokens))
+            out[j] = None
+        else:
+            i = j
+    return [w for w in out if w is not None]
+
+
 def find_word_timings(
     params: M.Params,
     enc_out: jax.Array,  # (1, Sa, d) of the window
@@ -260,4 +304,4 @@ def find_word_timings(
         t0 = float(start_t[pos[0]])
         t1 = float(start_t[min(pos[-1] + 1, s)])
         out.append(WordTiming(word, t0, max(t1, t0), wtoks))
-    return out
+    return merge_punctuations(out)
