@@ -461,6 +461,50 @@ class TestTimestampStitching:
         assert [s.tokens for s in segs] == [[A, B], [C, D]]
 
 
+class TestClipTimestamps:
+    def test_parse(self):
+        from whisper_tpu.pipeline.transcribe import parse_clip_timestamps
+
+        assert parse_clip_timestamps("1,2,3,4", 10.0) == [(1.0, 2.0),
+                                                          (3.0, 4.0)]
+        # odd count: last clip runs to the end; ends clamp to the audio
+        assert parse_clip_timestamps("2", 10.0) == [(2.0, 10.0)]
+        assert parse_clip_timestamps([0, 99], 5.0) == [(0.0, 5.0)]
+        assert parse_clip_timestamps("", 5.0) == [(0.0, 5.0)]
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            parse_clip_timestamps("3,2", 10.0)
+        with _pytest.raises(ValueError):
+            parse_clip_timestamps("0,5,4,8", 10.0)  # overlapping
+
+    def test_clip_equals_slice(self, setup):
+        """Transcribing clip [0, t] must equal transcribing waveform[:t]."""
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        wave = np.random.default_rng(7).standard_normal(8000) \
+            .astype(np.float32)
+        opts = DecodeOptions(lang="en", strategy="greedy", max_depth=6)
+        ref_text, ref_tokens = t.transcribe(wave[:4000], 16000, opts)
+        clip_text, clip_tokens = t.transcribe(
+            wave, 16000,
+            dataclasses.replace(opts, clip_timestamps="0,0.25"))
+        assert clip_text == ref_text and clip_tokens == ref_tokens
+
+    def test_timestamped_clips_offset(self, setup):
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        wave = np.random.default_rng(8).standard_normal(9000) \
+            .astype(np.float32)
+        opts = DecodeOptions(lang="en", strategy="greedy", max_depth=6,
+                             clip_timestamps="0.25,0.5")
+        text, segs = t.transcribe_with_timestamps(wave, 16000, opts)
+        assert isinstance(text, str)
+        for seg in segs:  # absolute times: within the clip's range
+            assert seg.start >= 0.25 - 1e-6
+            assert seg.start <= seg.end
+
+
 class TestQuantizedPipelineOptions:
     """The quantized-cache DecodeOptions reach the decode layer end to end."""
 

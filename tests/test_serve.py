@@ -145,6 +145,28 @@ class TestServer:
         assert status == 200
         assert "language" in obj and "text" in obj
 
+    def test_metrics_endpoint(self, server):
+        url, worker = server
+        # at least one transcription first so counters are non-zero
+        _post(url, "/transcribe?lang=en&greedy=1", _wav_bytes())
+        with urllib.request.urlopen(url + "/metrics", timeout=30) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/plain")
+            body = r.read().decode()
+        metrics = {}
+        for line in body.splitlines():
+            if line.startswith("#") or not line.strip():
+                continue
+            name, val = line.rsplit(" ", 1)
+            metrics[name] = float(val)
+        assert metrics["whisper_requests_total"] >= 1
+        assert metrics["whisper_batches_total"] >= 1
+        assert metrics["whisper_audio_seconds_total"] > 0
+        assert metrics["whisper_request_latency_seconds_count"] >= 1
+        assert metrics['whisper_request_latency_seconds_bucket{le="+Inf"}'] \
+            == metrics["whisper_request_latency_seconds_count"]
+        assert metrics['whisper_responses_total{code="200"}'] >= 1
+
     def test_bad_audio_rejected(self, server):
         url, _ = server
         status, obj = _post(url, "/transcribe?lang=en", b"this is not a wav")

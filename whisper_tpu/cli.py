@@ -99,6 +99,9 @@ def cmd_transcribe(argv) -> int:
                         "<|startofprev|> context (OpenAI's long-form "
                         "default; the reference discards it as a "
                         "hallucination workaround, so parity keeps it off)")
+    p.add_argument("--clip", default=None, metavar="S0,E0[,S1,E1...]",
+                   help="transcribe only these time ranges (seconds); an "
+                        "odd count leaves the last clip open-ended")
     p.add_argument("--initial-prompt", default=None,
                    help="condition the decoder on this text (domain terms, "
                         "names, style) via <|startofprev|>; applied to every "
@@ -200,8 +203,21 @@ def cmd_transcribe(argv) -> int:
             if "," in args.temperature else float(args.temperature)
         ),
         no_speech_threshold=args.no_speech_threshold,
+        clip_timestamps=args.clip,
     )
+    if args.clip:
+        from .pipeline.transcribe import parse_clip_timestamps
+
+        try:
+            parse_clip_timestamps(args.clip, len(waveform) / rate)
+        except ValueError as e:
+            print(f"Bad --clip: {e}", file=sys.stderr)
+            return 1
     t0 = time.perf_counter()
+    if args.clip and args.parallel_windows:
+        print("--clip is incompatible with --parallel-windows",
+              file=sys.stderr)
+        return 1
     if args.condition_on_previous_text and args.parallel_windows:
         print("--condition-on-previous-text is incompatible with "
               "--parallel-windows (windows must decode sequentially)",

@@ -106,6 +106,44 @@ class DecodeOptions:
     # always bucketed (cropping history is harmless and its length changes
     # every window).
     prompt_length_bucket: int = 1
+    # Transcribe only these time ranges: "s0,e0,s1,e1,..." (seconds) or a
+    # sequence of floats; an odd count leaves the last clip open-ended.
+    # Each clip transcribes independently (texts joined by a space;
+    # timestamped segments carry absolute times offset by the clip start).
+    # New capability beyond the reference, matching OpenAI's
+    # clip_timestamps option.
+    clip_timestamps: Optional[object] = None
+
+
+def parse_clip_timestamps(
+    clips: object, total_seconds: float
+) -> List[Tuple[float, float]]:
+    """"s0,e0,..." or [s0, e0, ...] -> [(start, end)] clamped to the audio.
+
+    An odd count means the final clip runs to the end. Raises ValueError on
+    unordered or out-of-range values.
+    """
+    if isinstance(clips, str):
+        vals = [float(x) for x in clips.split(",") if x.strip() != ""]
+    else:
+        vals = [float(x) for x in clips]
+    if not vals:
+        return [(0.0, total_seconds)]
+    if len(vals) % 2 == 1:
+        vals.append(total_seconds)
+    out: List[Tuple[float, float]] = []
+    prev_end = 0.0
+    for s, e in zip(vals[::2], vals[1::2]):
+        e = min(e, total_seconds)
+        if s < 0 or s >= e:
+            raise ValueError(f"bad clip range [{s}, {e}]")
+        if s < prev_end:
+            raise ValueError("clip ranges must be sorted and disjoint")
+        if s >= total_seconds:
+            break
+        out.append((s, e))
+        prev_end = e
+    return out
 
 
 def find_chunk_overlap(
@@ -521,6 +559,9 @@ class Transcriber:
         """Full long-form pipeline: `waveform_to_text` parity
         (src/transcribe.rs:23-74). Returns (text, tokens)."""
         opt = options or DecodeOptions()
+        if opt.clip_timestamps is not None:
+            return self._transcribe_clips(waveform, sample_rate, opt,
+                                          on_chunk)
         cfg = self.cfg
         tok = self.tok
 
@@ -665,8 +706,52 @@ class Transcriber:
         )
         return text, tokens
 
+    # ------------------------------------------------------------------
+    def _transcribe_clips(self, waveform, sample_rate, opt, on_chunk):
+        """clip_timestamps: transcribe each range independently and join.
 
+        Each clip is a full long-form pass over its slice (windowing,
+        stitching, ladder all apply within the clip)."""
+        ranges = parse_clip_timestamps(
+            opt.clip_timestamps, len(waveform) / sample_rate)
+        sub = dataclasses.replace(opt, clip_timestamps=None)
+        texts: List[str] = []
+        tokens: List[int] = []
+        for s, e in ranges:
+            clip = waveform[int(s * sample_rate): int(e * sample_rate)]
+            text, toks = self.transcribe(clip, sample_rate, sub, on_chunk)
+            if text.strip():
+                texts.append(text.strip())
+            tokens.extend(toks)
+        return " ".join(texts), tokens
 
+    def _transcribe_clips_with_timestamps(self, waveform, sample_rate, opt,
+                                          word_timestamps):
+        """clip_timestamps for the timestamped path: segment (and word)
+        times are offset by each clip's start, so they stay absolute in the
+        ORIGINAL audio's timeline."""
+        from ..align import WordTiming
+
+        ranges = parse_clip_timestamps(
+            opt.clip_timestamps, len(waveform) / sample_rate)
+        sub = dataclasses.replace(opt, clip_timestamps=None)
+        texts: List[str] = []
+        segments: List = []
+        for s, e in ranges:
+            clip = waveform[int(s * sample_rate): int(e * sample_rate)]
+            text, segs = self.transcribe_with_timestamps(
+                clip, sample_rate, sub, word_timestamps=word_timestamps)
+            if text.strip():
+                texts.append(text.strip())
+            for seg in segs:
+                seg = dataclasses.replace(
+                    seg, start=seg.start + s, end=seg.end + s,
+                    words=None if seg.words is None else [
+                        WordTiming(w.word, w.start + s, w.end + s, w.tokens)
+                        for w in seg.words
+                    ])
+                segments.append(seg)
+        return " ".join(texts), segments
 
     # ------------------------------------------------------------------
     def transcribe_with_timestamps(
@@ -692,6 +777,9 @@ class Transcriber:
         from .segments import segments_with_positions
 
         opt = dataclasses.replace(options or DecodeOptions(), timestamps=True)
+        if opt.clip_timestamps is not None:
+            return self._transcribe_clips_with_timestamps(
+                waveform, sample_rate, opt, word_timestamps)
         cfg, tok = self.cfg, self.tok
         n_window = max_waveform_samples(cfg.encoder_ctx_size - opt.padding)
         overlap = int(sample_rate * opt.chunk_overlap_seconds)

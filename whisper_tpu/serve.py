@@ -20,6 +20,9 @@ Endpoints:
                                          -> {"confirmed": [segments]}
   POST /stream/<id>/finish               -> {"confirmed": [...], "text": ...}
   GET  /healthz                          -> {"status": "ok", ...}
+  GET  /metrics                          -> Prometheus text exposition
+       (request/batch counters, queue depth, audio seconds, latency
+       histogram, open streams)
 
 Streaming sessions hold a StreamingTranscriber (local-agreement
 confirmation, pipeline/streaming.py); all sessions share one compiled
@@ -69,17 +72,101 @@ class _Request:
                 self.timestamps, self.words)
 
 
+class Metrics:
+    """Lock-protected serving counters, exposed at /metrics (Prometheus
+    text exposition format). New capability: production observability the
+    reference CLI has no counterpart for."""
+
+    # seconds; decode latency spans ~100 ms (tiny, cached) to minutes
+    LATENCY_BUCKETS = (0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0, 30.0,
+                       60.0, 120.0)
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests_total = 0       # accepted into the queue
+        self.responses = {}           # status code -> count
+        self.batches_total = 0
+        self.batched_requests = 0     # sum of batch sizes (for avg)
+        self.audio_seconds_total = 0.0
+        self.errors_total = 0
+        self._lat_counts = [0] * (len(self.LATENCY_BUCKETS) + 1)
+        self._lat_sum = 0.0
+        self._lat_n = 0
+
+    def observe_latency(self, seconds: float) -> None:
+        with self._lock:
+            self._lat_sum += seconds
+            self._lat_n += 1
+            for i, b in enumerate(self.LATENCY_BUCKETS):
+                if seconds <= b:
+                    self._lat_counts[i] += 1
+                    return
+            self._lat_counts[-1] += 1
+
+    def count_response(self, code: int) -> None:
+        with self._lock:
+            self.responses[code] = self.responses.get(code, 0) + 1
+
+    def add(self, **kw) -> None:
+        with self._lock:
+            for k, v in kw.items():
+                setattr(self, k, getattr(self, k) + v)
+
+    def render(self, worker, streams) -> str:
+        with self._lock:
+            lines = [
+                "# TYPE whisper_requests_total counter",
+                f"whisper_requests_total {self.requests_total}",
+                "# TYPE whisper_responses_total counter",
+                *(f'whisper_responses_total{{code="{c}"}} {n}'
+                  for c, n in sorted(self.responses.items())),
+                "# TYPE whisper_batches_total counter",
+                f"whisper_batches_total {self.batches_total}",
+                "# TYPE whisper_batched_requests_total counter",
+                f"whisper_batched_requests_total {self.batched_requests}",
+                "# TYPE whisper_audio_seconds_total counter",
+                f"whisper_audio_seconds_total {self.audio_seconds_total:.3f}",
+                "# TYPE whisper_errors_total counter",
+                f"whisper_errors_total {self.errors_total}",
+                "# TYPE whisper_queue_depth gauge",
+                f"whisper_queue_depth {worker.q.qsize()}",
+                "# TYPE whisper_dropped_requests_total counter",
+                f"whisper_dropped_requests_total {worker.dropped}",
+                "# TYPE whisper_open_streams gauge",
+                f"whisper_open_streams "
+                f"{0 if streams is None else streams.open_count()}",
+                "# TYPE whisper_request_latency_seconds histogram",
+            ]
+            acc = 0
+            for b, n in zip(self.LATENCY_BUCKETS, self._lat_counts):
+                acc += n
+                lines.append(
+                    f'whisper_request_latency_seconds_bucket{{le="{b}"}} '
+                    f"{acc}")
+            acc += self._lat_counts[-1]
+            lines.append(
+                'whisper_request_latency_seconds_bucket{le="+Inf"} '
+                f"{acc}")
+            lines.append(
+                f"whisper_request_latency_seconds_sum {self._lat_sum:.3f}")
+            lines.append(f"whisper_request_latency_seconds_count "
+                         f"{self._lat_n}")
+        return "\n".join(lines) + "\n"
+
+
 class BatchingWorker(threading.Thread):
     """Packs concurrent requests with identical options into one batched call."""
 
     def __init__(self, transcriber, max_batch: int = 8,
-                 max_wait_s: float = 0.05, max_queue: int = 256):
+                 max_wait_s: float = 0.05, max_queue: int = 256,
+                 metrics: Optional[Metrics] = None):
         super().__init__(daemon=True)
         self.t = transcriber
         # bounded: back-pressure (503) instead of unbounded memory growth
         self.q: "queue.Queue[_Request]" = queue.Queue(maxsize=max_queue)
         self.max_batch = max_batch
         self.max_wait_s = max_wait_s
+        self.metrics = metrics or Metrics()
         self.processed = 0
         self.dropped = 0  # abandoned (504) requests skipped pre-dispatch
 
@@ -135,8 +222,13 @@ class BatchingWorker(threading.Thread):
             except Exception as e:  # surface errors to every waiter
                 for r in batch:
                     r.error = str(e)
+                self.metrics.add(errors_total=len(batch))
             finally:
                 self.processed += len(batch)
+                self.metrics.add(
+                    batches_total=1, batched_requests=len(batch),
+                    audio_seconds_total=sum(
+                        len(r.wave) / 16000.0 for r in batch))
                 for r in batch:
                     r.done.set()
 
@@ -230,6 +322,10 @@ class StreamSessions:
             self._sessions.pop(sid, None)
         return tail, text
 
+    def open_count(self) -> int:
+        with self._lock:
+            return len(self._sessions)
+
     def _evict_locked(self) -> None:
         now = time.monotonic()
         for sid in [k for k, v in self._sessions.items()
@@ -251,11 +347,14 @@ def make_handler(worker: BatchingWorker, sample_rate: int,
                  streams: Optional[StreamSessions] = None):
     from .io import wav as wavmod
 
+    metrics = worker.metrics
+
     class Handler(BaseHTTPRequestHandler):
         # drop half-open clients instead of pinning handler threads
         timeout = 30.0
         def _json(self, code: int, obj) -> None:
             body = json.dumps(obj).encode()
+            metrics.count_response(code)
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
@@ -264,6 +363,7 @@ def make_handler(worker: BatchingWorker, sample_rate: int,
 
         def _raw(self, code: int, body: str, content_type: str) -> None:
             data = body.encode()
+            metrics.count_response(code)
             self.send_response(code)
             self.send_header("Content-Type", content_type)
             self.send_header("Content-Length", str(len(data)))
@@ -274,10 +374,14 @@ def make_handler(worker: BatchingWorker, sample_rate: int,
             pass
 
         def do_GET(self):
-            if urlparse(self.path).path == "/healthz":
+            path = urlparse(self.path).path
+            if path == "/healthz":
                 self._json(200, {"status": "ok",
                                  "processed": worker.processed,
                                  "dropped": worker.dropped})
+            elif path == "/metrics":
+                self._raw(200, metrics.render(worker, streams),
+                          "text/plain; version=0.0.4")
             else:
                 self._json(404, {"error": "not found"})
 
@@ -414,16 +518,19 @@ def make_handler(worker: BatchingWorker, sample_rate: int,
 
             req = _Request(wave, lang, greedy, task, initial_prompt,
                            timestamps=timestamps, words=words)
+            t_enq = time.monotonic()
             try:
                 worker.q.put_nowait(req)
             except queue.Full:
                 self._json(503, {"error": "server overloaded, retry later"})
                 return
+            metrics.add(requests_total=1)
             if not req.done.wait(timeout=request_timeout_s):
                 req.abandoned = True  # worker skips it pre-dispatch
                 req.error = "timeout"
                 self._json(504, {"error": "transcription timed out"})
                 return
+            metrics.observe_latency(time.monotonic() - t_enq)
             if req.error is not None:
                 self._json(500, {"error": req.error})
             elif req.segments is not None:
