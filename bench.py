@@ -30,7 +30,8 @@ Env knobs:
   WHISPER_TPU_BENCH_SELFKV (beam | int8 | none; default beam: int8 self-KV
                             with per-row scales on the beam run only)
   WHISPER_TPU_BENCH_BEAM   (beam width; default 5, 0 disables the beam run)
-  WHISPER_TPU_BENCH_BEAM_BATCH (windows in the beam run; default 24)
+  WHISPER_TPU_BENCH_BEAM_BATCH (windows in the beam run; default 48 --
+                            post-fusion sweep optimum, docs/PERFORMANCE.md)
   WHISPER_TPU_BENCH_SECOND (secondary model; default tiny.en, "none" skips)
   WHISPER_TPU_BENCH_SECOND_BATCH (streams for the secondary; default 128 --
                             tiny.en decode is tiny, throughput keeps scaling)

@@ -781,3 +781,124 @@ class TestRobustDecoding:
         opt_ns = dataclasses.replace(opt, no_speech_threshold=0.0)
         text_ns, tokens_ns = t.transcribe(wave, 16000, opt_ns)
         assert tokens_ns == [] and text_ns == ""
+
+
+class TestVad:
+    """Energy-VAD pre-filter (new capability, pipeline/vad.py): silent
+    windows are skipped on the host before any device dispatch."""
+
+    def test_frame_rms_matches_naive(self):
+        from whisper_tpu.pipeline.vad import FRAME_LENGTH, HOP_LENGTH, frame_rms
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(4000).astype(np.float32)
+        got = frame_rms(x)
+        n = 1 + (len(x) - FRAME_LENGTH) // HOP_LENGTH
+        want = np.array([
+            np.sqrt(np.mean(np.square(
+                x[i * HOP_LENGTH : i * HOP_LENGTH + FRAME_LENGTH]
+                .astype(np.float64))))
+            for i in range(n)
+        ])
+        assert got.shape == (n,)
+        np.testing.assert_allclose(got, want, rtol=1e-10)
+
+    def test_frame_rms_short_and_empty(self):
+        from whisper_tpu.pipeline.vad import frame_rms
+
+        assert frame_rms(np.zeros(0, np.float32)).shape == (0,)
+        short = frame_rms(0.5 * np.ones(100, np.float32))
+        assert short.shape == (1,)
+        np.testing.assert_allclose(short[0], 0.5, rtol=1e-12)
+
+    def test_is_silent(self):
+        from whisper_tpu.pipeline.vad import is_silent
+
+        sr = 16000
+        assert is_silent(np.zeros(8000, np.float32), sr)
+        # a sustained tone is speech-like energy
+        t = np.arange(8000) / sr
+        tone = (0.1 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        assert not is_silent(tone, sr)
+        # a 5 ms click does not clear the 100 ms duration floor
+        click = np.zeros(8000, np.float32)
+        click[4000:4080] = 0.5
+        assert is_silent(click, sr)
+        # quiet but audible (-34 dBFS = 0.02 amplitude) beats the -40 default
+        assert not is_silent(0.02 * np.ones(8000, np.float32), sr)
+        # ... and is silent under a raised threshold
+        assert is_silent(0.02 * np.ones(8000, np.float32), sr,
+                         threshold_db=-20.0)
+
+    def test_silent_windows_skipped(self, setup):
+        """Noise | silence | noise: the middle windows dispatch nothing."""
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        n_window = 160 * 55 - 1  # max_waveform_samples(54)
+        rng = np.random.default_rng(7)
+        wave = np.concatenate([
+            rng.standard_normal(n_window).astype(np.float32),
+            np.zeros(2 * n_window, np.float32),
+            rng.standard_normal(n_window).astype(np.float32),
+        ])
+        opts = dict(lang="en", strategy="greedy", max_depth=4,
+                    chunk_overlap_seconds=0.0)
+        chunks_vad, chunks_plain = [], []
+        t.transcribe(wave, 16000, DecodeOptions(vad=True, **opts),
+                     on_chunk=lambda i, s: chunks_vad.append(i))
+        t.transcribe(wave, 16000, DecodeOptions(**opts),
+                     on_chunk=lambda i, s: chunks_plain.append(i))
+        assert len(chunks_plain) == 4
+        assert len(chunks_vad) == 2  # the two silent windows never dispatch
+
+    def test_all_silence_returns_empty(self, setup):
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        wave = np.zeros(20000, np.float32)
+        text, tokens = t.transcribe(
+            wave, 16000,
+            DecodeOptions(lang="en", strategy="greedy", max_depth=4, vad=True),
+            on_chunk=lambda *a: None,
+        )
+        assert text == "" and tokens == []
+
+    def test_vad_no_effect_on_speechful_audio(self, setup):
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        wave = np.random.default_rng(8).standard_normal(20000).astype(np.float32)
+        opts = dict(lang="en", strategy="greedy", max_depth=5,
+                    chunk_overlap_seconds=0.02)
+        _, toks_vad = t.transcribe(wave, 16000,
+                                   DecodeOptions(vad=True, **opts),
+                                   on_chunk=lambda *a: None)
+        _, toks_plain = t.transcribe(wave, 16000, DecodeOptions(**opts),
+                                     on_chunk=lambda *a: None)
+        assert toks_vad == toks_plain
+
+    def test_timestamped_path_skips_silence(self, setup):
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        text, segs = t.transcribe_with_timestamps(
+            np.zeros(20000, np.float32), 16000,
+            DecodeOptions(lang="en", strategy="greedy", max_depth=4,
+                          vad=True),
+        )
+        assert text == "" and segs == []
+
+    def test_batch_path_skips_silence(self, setup):
+        from whisper_tpu.pipeline.batch import BatchTranscriber
+
+        params, cfg, tok = setup
+        bt = BatchTranscriber(params, cfg, tok, batch_size=2)
+        rng = np.random.default_rng(9)
+        speech = rng.standard_normal(9000).astype(np.float32)
+        silence = np.zeros(9000, np.float32)
+        opt = DecodeOptions(lang="en", strategy="greedy", max_depth=4,
+                            chunk_overlap_seconds=0.0, vad=True)
+        (r_speech, r_silence) = bt.transcribe_many(
+            [speech, silence], 16000, opt)
+        assert r_silence == ("", [])
+        # the speechful stream matches the vad-off batched result
+        (r_plain, _) = bt.transcribe_many(
+            [speech, silence], 16000, dataclasses.replace(opt, vad=False))
+        assert r_speech == r_plain

@@ -145,6 +145,21 @@ class TestServer:
         assert status == 200
         assert "language" in obj and "text" in obj
 
+    def test_vad_param(self, server):
+        """vad=1 wires DecodeOptions.vad through the batch worker: a
+        silent body transcribes to empty text without device decode."""
+        url, _ = server
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(np.zeros(8000, np.int16).tobytes())
+        status, obj = _post(url, "/transcribe?lang=en&greedy=1&vad=1",
+                            buf.getvalue())
+        assert status == 200
+        assert obj["text"] == "" and obj["tokens"] == []
+
     def test_metrics_endpoint(self, server):
         url, worker = server
         # at least one transcription first so counters are non-zero

@@ -128,3 +128,53 @@ class TestStreaming:
         assert len(decoded_spans) == 3
         assert decoded_spans[-1][0] >= 2 * n_win / 16000.0 - 1e-6
         assert len(st._buffer) == 0
+
+
+class TestStreamingVad:
+    """DecodeOptions.vad on streams: silent stretches dispatch no decode."""
+
+    def test_silence_skips_decodes(self, setup):
+        import dataclasses
+
+        params, cfg, tok = setup
+        st = StreamingTranscriber(
+            params, cfg, tok,
+            options=dataclasses.replace(_opts(), vad=True),
+            min_step_seconds=0.1,
+        )
+        calls = []
+        orig = st._t._window_fn
+
+        def spying(*a, **k):
+            calls.append(a)
+            return orig(*a, **k)
+
+        st._t._window_fn = spying
+        for _ in range(10):
+            assert st.push(np.zeros(3200, np.float32)) == []
+        assert st.finish() == []
+        assert calls == []  # zero device dispatch across the whole stream
+        assert st.confirmed == []
+        # dead air was trimmed: the buffer never outgrows the 0.5 s tail
+        assert len(st._buffer) == 0
+
+    def test_speech_after_silence_still_decodes(self, setup):
+        import dataclasses
+
+        params, cfg, tok = setup
+        rng = np.random.default_rng(5)
+        speech = rng.standard_normal(8000).astype(np.float32)
+
+        def run(vad):
+            st = StreamingTranscriber(
+                params, cfg, tok,
+                options=dataclasses.replace(_opts(), vad=vad),
+                min_step_seconds=0.1,
+            )
+            st.push(np.zeros(8000, np.float32))  # 0.5 s of leading silence
+            st.push(speech)
+            segs = list(st.confirmed)
+            segs.extend(st.finish())
+            return [s.text for s in segs]
+
+        assert run(True) == run(False)

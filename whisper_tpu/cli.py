@@ -78,6 +78,13 @@ def cmd_transcribe(argv) -> int:
     p.add_argument("--no-speech-threshold", type=float, default=None,
                    help="skip windows whose p(<|nospeech|>) exceeds this "
                         "and whose logprob check failed")
+    p.add_argument("--vad", action="store_true",
+                   help="energy VAD pre-filter: skip windows with < 100 ms "
+                        "of audio above the threshold before any device "
+                        "work (silence costs ~0 chip time)")
+    p.add_argument("--vad-threshold-db", type=float, default=-40.0,
+                   help="VAD energy threshold in dBFS (default -40; raise "
+                        "toward 0 to skip more aggressively)")
     p.add_argument("--timestamps", action="store_true",
                    help="write '[start -> end] text' segment lines instead "
                         "of plain text (timestamped decoding)")
@@ -204,6 +211,8 @@ def cmd_transcribe(argv) -> int:
         ),
         no_speech_threshold=args.no_speech_threshold,
         clip_timestamps=args.clip,
+        vad=args.vad,
+        vad_threshold_db=args.vad_threshold_db,
     )
     if args.clip:
         from .pipeline.transcribe import parse_clip_timestamps
@@ -368,6 +377,9 @@ def cmd_transcribe_many(argv) -> int:
     p.add_argument("--beam-size", type=int, default=5)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--resample", action="store_true")
+    p.add_argument("--vad", action="store_true",
+                   help="energy VAD pre-filter: silent windows never reach "
+                        "the batch queue (see `transcribe --vad`)")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("-v", "--verbose", action="count", default=0)
     args = p.parse_args(argv)
@@ -411,7 +423,7 @@ def cmd_transcribe_many(argv) -> int:
         waves, SAMPLE_RATE,
         DecodeOptions(lang=args.lang,
                       strategy="greedy" if args.greedy else "beam",
-                      beam_size=args.beam_size),
+                      beam_size=args.beam_size, vad=args.vad),
     )
     dt = time.perf_counter() - t0
 

@@ -32,6 +32,7 @@ from ..decode import beam as dbeam
 from ..decode import greedy as dgreedy
 from ..text.tokenizer import WhisperTokenizer
 from ..utils.logging import get_logger
+from . import vad
 from .transcribe import DecodeOptions, Transcriber, find_chunk_overlap, window_waveform
 
 log = get_logger(__name__)
@@ -130,6 +131,11 @@ class BatchTranscriber(Transcriber):
             ):
                 chunk = np.ascontiguousarray(wave[start:end])
                 n_windows[s] = w + 1
+                if opt.vad and vad.is_silent(
+                    chunk, sample_rate, opt.vad_threshold_db,
+                    opt.vad_min_speech_seconds,
+                ):
+                    continue  # stitching skips missing windows below
                 if len(chunk) == n_window:
                     full.append((s, w, chunk))
                 elif len(chunk) >= 400:

@@ -25,6 +25,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from . import vad
 from .segments import Segment, segments_from_tokens
 from .transcribe import SAMPLE_RATE, DecodeOptions, Transcriber
 from ..ops.audio import max_waveform_samples
@@ -120,6 +121,8 @@ class StreamingTranscriber:
             self._prev = []
         if len(self._buffer) < 400:  # < n_fft: no decodable audio left
             tail.extend(self._prev)
+        elif self._skip_silence():
+            pass  # vad: a silent final buffer has nothing to flush
         else:
             tail.extend(self._decode())
         self.confirmed.extend(tail)
@@ -171,7 +174,27 @@ class StreamingTranscriber:
         self._buffer = self._buffer[cut:]
         self._offset += cut / SAMPLE_RATE
 
+    def _skip_silence(self) -> bool:
+        """Energy-VAD for live sessions (DecodeOptions.vad): when there is
+        no unstable hypothesis and the whole buffer is silent, skip the
+        decode entirely and drop the dead air, keeping a 0.5 s tail so a
+        word starting at the live edge is never cut. Long silent stretches
+        then cost zero chip time instead of one decode per step."""
+        if not self.opt.vad or self._prev:
+            return False
+        if not vad.is_silent(self._buffer, SAMPLE_RATE,
+                             self.opt.vad_threshold_db,
+                             self.opt.vad_min_speech_seconds):
+            return False
+        keep = SAMPLE_RATE // 2
+        if len(self._buffer) > keep:
+            self._trim_to(
+                self._offset + (len(self._buffer) - keep) / SAMPLE_RATE)
+        return True
+
     def _step(self) -> List[Segment]:
+        if self._skip_silence():
+            return []
         newly: List[Segment] = []
 
         # Forced trim: the window is full, so audio beyond one window can

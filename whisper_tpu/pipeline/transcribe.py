@@ -42,6 +42,7 @@ from ..models import whisper as M
 from ..ops.audio import max_waveform_samples, prep_audio
 from ..decode import beam as dbeam
 from ..decode import greedy as dgreedy
+from . import vad
 from ..text.tokenizer import WhisperTokenizer
 from ..utils.logging import get_logger
 
@@ -106,6 +107,15 @@ class DecodeOptions:
     # always bucketed (cropping history is harmless and its length changes
     # every window).
     prompt_length_bucket: int = 1
+    # Energy VAD pre-filter (new capability; see pipeline/vad.py): windows
+    # with less than vad_min_speech_seconds of frames above vad_threshold_db
+    # dBFS are skipped on the host — no encoder/decoder dispatch at all.
+    # Conservative by default (-40 dBFS / 100 ms keeps any plausible
+    # speech); complements no_speech_threshold, which catches non-silent
+    # non-speech but pays for a decode first.
+    vad: bool = False
+    vad_threshold_db: float = -40.0
+    vad_min_speech_seconds: float = 0.1
     # Transcribe only these time ranges: "s0,e0,s1,e1,..." (seconds) or a
     # sequence of floats; an odd count leaves the last clip open-ended.
     # Each clip transcribes independently (texts joined by a space;
@@ -607,6 +617,12 @@ class Transcriber:
                 # would panic on its assert, src/audio.rs:292; we skip).
                 log.warning("skipping %d-sample tail window (< n_fft)", len(window))
                 return None
+            if opt.vad and vad.is_silent(
+                window, sample_rate, opt.vad_threshold_db,
+                opt.vad_min_speech_seconds,
+            ):
+                log.info("chunk %d: silent window skipped by VAD", i)
+                return None
             if cond_prev:
                 # previously decoded non-special tokens become the
                 # <|startofprev|> context (OpenAI's long-form default; the
@@ -800,6 +816,12 @@ class Transcriber:
         ):
             window = np.ascontiguousarray(waveform[start:end], dtype=np.float32)
             if len(window) < 400:
+                continue
+            if opt.vad and vad.is_silent(
+                window, sample_rate, opt.vad_threshold_db,
+                opt.vad_min_speech_seconds,
+            ):
+                log.info("chunk %d: silent window skipped by VAD", i)
                 continue
             if cond_prev:
                 prev_ctx = [

@@ -9,12 +9,12 @@ so concurrent clients share the chip-efficient batched path.
 
 Endpoints:
   POST /transcribe?lang=en[&greedy=1][&task=translate]
-       [&initial_prompt=...]           body: WAV bytes -> {"text", "tokens"}
+       [&initial_prompt=...][&vad=1]   body: WAV bytes -> {"text", "tokens"}
        lang=auto detects the spoken language (response carries "language");
        &timestamps=1 returns {"text", "segments"} (&words=1 adds per-word
        timings); &format=srt|vtt|tsv returns the subtitle document raw
        (vtt + words=1 emits per-word highlight cues)
-  POST /stream/start?lang=en[&task=..][&greedy=1][&initial_prompt=..]
+  POST /stream/start?lang=en[&task=..][&greedy=1][&initial_prompt=..][&vad=1]
        -> {"session": id}
   POST /stream/<id>/push?format=f32|s16  body: raw PCM block
                                          -> {"confirmed": [segments]}
@@ -50,7 +50,8 @@ import numpy as np
 class _Request:
     def __init__(self, wave: np.ndarray, lang: str, greedy: bool,
                  task: str = "transcribe", initial_prompt=None,
-                 timestamps: bool = False, words: bool = False):
+                 timestamps: bool = False, words: bool = False,
+                 vad: bool = False):
         self.wave = wave
         self.lang = lang
         self.greedy = greedy
@@ -58,6 +59,7 @@ class _Request:
         self.initial_prompt = initial_prompt
         self.timestamps = timestamps
         self.words = words
+        self.vad = vad
         self.done = threading.Event()
         self.result: Optional[tuple] = None
         self.segments = None  # timestamped path: [Segment]
@@ -69,7 +71,7 @@ class _Request:
 
     def opts_key(self):
         return (self.lang, self.greedy, self.task, self.initial_prompt,
-                self.timestamps, self.words)
+                self.timestamps, self.words, self.vad)
 
 
 class Metrics:
@@ -239,6 +241,7 @@ class BatchingWorker(threading.Thread):
             strategy="greedy" if req.greedy else "beam",
             task=req.task,
             initial_prompt=req.initial_prompt,
+            vad=req.vad,
             # quantize client prompt lengths: each distinct length is one
             # slow tunnel compile a client could otherwise mint at will
             prompt_length_bucket=8,
@@ -427,6 +430,7 @@ def make_handler(worker: BatchingWorker, sample_rate: int,
                     if params.get("greedy", ["0"])[0] in ("1", "true")
                     else "beam",
                     initial_prompt=params.get("initial_prompt", [None])[0],
+                    vad=params.get("vad", ["0"])[0] in ("1", "true"),
                     prompt_length_bucket=8,  # see BatchingWorker note
                 )
                 sid = streams.start(opts)
@@ -481,6 +485,7 @@ def make_handler(worker: BatchingWorker, sample_rate: int,
             initial_prompt = params.get("initial_prompt", [None])[0]
             timestamps = params.get("timestamps", ["0"])[0] in ("1", "true")
             words = params.get("words", ["0"])[0] in ("1", "true")
+            vad = params.get("vad", ["0"])[0] in ("1", "true")
             out_format = params.get("format", ["json"])[0]
             if task not in ("transcribe", "translate"):
                 self._json(400, {"error": f"bad task: {task}"})
@@ -517,7 +522,7 @@ def make_handler(worker: BatchingWorker, sample_rate: int,
                 return
 
             req = _Request(wave, lang, greedy, task, initial_prompt,
-                           timestamps=timestamps, words=words)
+                           timestamps=timestamps, words=words, vad=vad)
             t_enq = time.monotonic()
             try:
                 worker.q.put_nowait(req)
