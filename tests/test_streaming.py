@@ -178,3 +178,53 @@ class TestStreamingVad:
             return [s.text for s in segs]
 
         assert run(True) == run(False)
+
+
+class TestStreamingVadFixes:
+    """Regression tests: VAD must hold on every decode path and its trim
+    must never eat a speech onset longer than the configured floor."""
+
+    def test_finish_drains_silent_backlog_without_decoding(self, setup):
+        """A silent buffer larger than one window must not dispatch decodes
+        at finish() time (the drain loop VAD-checks each window slice)."""
+        import dataclasses
+
+        params, cfg, tok = setup
+        st = StreamingTranscriber(
+            params, cfg, tok,
+            options=dataclasses.replace(_opts(), vad=True),
+            min_step_seconds=1e9,  # pushes accumulate; only finish decodes
+        )
+        calls = []
+        orig = st._t._window_fn
+
+        def spying(*a, **k):
+            calls.append(a)
+            return orig(*a, **k)
+
+        st._t._window_fn = spying
+        st.push(np.zeros(3 * st._n_window, np.float32))
+        assert st.finish() == []
+        assert calls == []  # zero device dispatch for an all-silent backlog
+        assert st.confirmed == []
+
+    def test_silence_trim_keeps_vad_speech_floor(self, setup):
+        """The kept tail after a silence skip covers vad_min_speech_seconds:
+        an onset longer than 0.5 s but shorter than the floor would
+        otherwise be classified silent and permanently trimmed."""
+        import dataclasses
+
+        from whisper_tpu.config import HOP_LENGTH, SAMPLE_RATE
+
+        params, cfg, tok = setup
+        floor_s = 0.51  # > the historical hardcoded 0.5 s tail
+        st = StreamingTranscriber(
+            params, cfg, tok,
+            options=dataclasses.replace(
+                _opts(), vad=True, vad_min_speech_seconds=floor_s),
+            min_step_seconds=0.1,
+        )
+        st.push(np.zeros(8000, np.float32))
+        st.push(np.zeros(8000, np.float32))  # silent: trimmed to the tail
+        keep = int(floor_s * SAMPLE_RATE) + HOP_LENGTH
+        assert len(st._buffer) >= keep  # tail covers the speech floor

@@ -380,6 +380,8 @@ def cmd_transcribe_many(argv) -> int:
     p.add_argument("--vad", action="store_true",
                    help="energy VAD pre-filter: silent windows never reach "
                         "the batch queue (see `transcribe --vad`)")
+    p.add_argument("--vad-threshold-db", type=float, default=-40.0,
+                   help="VAD silence threshold in dBFS (with --vad)")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("-v", "--verbose", action="count", default=0)
     args = p.parse_args(argv)
@@ -423,7 +425,8 @@ def cmd_transcribe_many(argv) -> int:
         waves, SAMPLE_RATE,
         DecodeOptions(lang=args.lang,
                       strategy="greedy" if args.greedy else "beam",
-                      beam_size=args.beam_size, vad=args.vad),
+                      beam_size=args.beam_size, vad=args.vad,
+                      vad_threshold_db=args.vad_threshold_db),
     )
     dt = time.perf_counter() - t0
 

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from . import vad
 from .segments import Segment, segments_from_tokens
 from .transcribe import SAMPLE_RATE, DecodeOptions, Transcriber
+from ..config import HOP_LENGTH
 from ..ops.audio import max_waveform_samples
 
 
@@ -116,6 +117,16 @@ class StreamingTranscriber:
         """
         tail: List[Segment] = []
         while len(self._buffer) > self._n_window:
+            # vad: a silent backlogged window must not dispatch a decode
+            # (and possibly confirm hallucinated text) any more than a
+            # silent final buffer does -- check the window slice first.
+            if self.opt.vad and vad.is_silent(
+                self._buffer[: self._n_window], SAMPLE_RATE,
+                self.opt.vad_threshold_db, self.opt.vad_min_speech_seconds,
+            ):
+                self._trim_to(self._offset + self._n_window / SAMPLE_RATE)
+                self._prev = []
+                continue
             tail.extend(self._decode())  # first window's worth is final
             self._trim_to(self._offset + self._n_window / SAMPLE_RATE)
             self._prev = []
@@ -177,16 +188,23 @@ class StreamingTranscriber:
     def _skip_silence(self) -> bool:
         """Energy-VAD for live sessions (DecodeOptions.vad): when there is
         no unstable hypothesis and the whole buffer is silent, skip the
-        decode entirely and drop the dead air, keeping a 0.5 s tail so a
-        word starting at the live edge is never cut. Long silent stretches
-        then cost zero chip time instead of one decode per step."""
+        decode entirely and drop the dead air, keeping a tail (>= 0.5 s and
+        >= the VAD speech-duration floor) so a word starting at the live
+        edge is never cut. Long silent stretches then cost zero chip time
+        instead of one decode per step."""
         if not self.opt.vad or self._prev:
             return False
         if not vad.is_silent(self._buffer, SAMPLE_RATE,
                              self.opt.vad_threshold_db,
                              self.opt.vad_min_speech_seconds):
             return False
-        keep = SAMPLE_RATE // 2
+        # The kept tail must cover vad_min_speech_seconds: a speech onset
+        # shorter than the floor is (by definition) classified silent, so a
+        # tail shorter than the floor could trim a real onset permanently.
+        keep = max(
+            SAMPLE_RATE // 2,
+            int(self.opt.vad_min_speech_seconds * SAMPLE_RATE) + HOP_LENGTH,
+        )
         if len(self._buffer) > keep:
             self._trim_to(
                 self._offset + (len(self._buffer) - keep) / SAMPLE_RATE)
