@@ -526,6 +526,8 @@ def beam_search_batched(
     nospeech_id: Optional[int] = None,  # also return p(<|nospeech|>) (W,)
     sot_pos: int = 0,
     fuse_reshuffle: Optional[bool] = None,  # False: never the fused kernel
+    ts_begin: Optional[int] = None,  # <|0.00|> id: in-graph timestamp rules
+    max_initial_ts_idx: int = 50,
 ):
     """Beam-search W windows in ONE flat while_loop (no vmap).
 
@@ -539,6 +541,11 @@ def beam_search_batched(
     cost ~60% over the flat program at large-v2 (docs/PERFORMANCE.md),
     and its compile time was pathological.
 
+    `ts_begin` enables the same in-graph timestamp constraints as the
+    single-window search (apply_timestamp_rules operates row-wise on the
+    flat (W*K, V) logits against the flat (W*K, ctx) token state, so the
+    rules are applied per lane exactly as in the single-window path).
+
     Returns (tokens (W, n_text_ctx), lengths (W,), log_probs (W,)).
     """
     K = beam_size
@@ -548,6 +555,19 @@ def beam_search_batched(
     P = prompt.shape[0]
     W = enc_out.shape[0]
     B = W * K
+
+    def _logp_flat(logits, tokens_flat, seq_len):
+        """(B, V) masked log-softmax; tokens_flat (B, ctx) drives the
+        timestamp rules (identical math to the single-window `_logp`)."""
+        x = logits.astype(jnp.float32)
+        if suppress_mask is not None:
+            x = jnp.where(seq_len <= suppress_until_len, x + suppress_mask, x)
+        if ts_begin is not None:
+            x = apply_timestamp_rules(
+                x, tokens_flat, seq_len, P, ts_begin, eot_id,
+                max_initial_ts_idx,
+            )
+        return jax.nn.log_softmax(x, axis=-1)
 
     # cross-KV stays per-window (W rows); lanes map to windows i // K inside
     # the attention paths -- no K-fold replication of the cross cache.
@@ -565,9 +585,8 @@ def beam_search_batched(
         ns_prob = jax.nn.softmax(
             logits[::K, sot_pos].astype(jnp.float32), axis=-1
         )[:, nospeech_id]
-    logp_next = _masked_log_softmax(
-        logits[:, -1], jnp.int32(P), suppress_mask, suppress_until_len
-    ).reshape(W, K, V)
+    logp_next = _logp_flat(logits[:, -1], tokens0, jnp.int32(P)).reshape(
+        W, K, V)
 
     lane = jnp.arange(K)
     state = BatchedBeamState(
@@ -647,8 +666,8 @@ def beam_search_batched(
             logits, cache = M.decoder_step(
                 params, tok.reshape(B, 1), s.cur_len, full, cfg
             )
-        logp_next = _masked_log_softmax(
-            logits[:, -1], s.cur_len + 1, suppress_mask, suppress_until_len
+        logp_next = _logp_flat(
+            logits[:, -1], new_tokens.reshape(B, ctx), s.cur_len + 1
         ).reshape(W, K, V)
 
         # (e) freeze result-bearing leaves of stopped windows (the flat
@@ -722,7 +741,8 @@ def beam_search_batched(
     jax.jit,
     static_argnames=("cfg", "eot_id", "beam_size", "max_depth",
                      "suppress_until_len", "kv_quant", "self_quant",
-                     "nospeech_id", "sot_pos", "fuse_reshuffle"),
+                     "nospeech_id", "sot_pos", "fuse_reshuffle",
+                     "ts_begin", "max_initial_ts_idx"),
 )
 def beam_search_batched_jit(
     params, enc_out, prompt, cfg: WhisperConfig, eot_id: int,
@@ -730,9 +750,10 @@ def beam_search_batched_jit(
     suppress_until_len: int = 5, kv_quant: bool = False,
     self_quant: bool = False, nospeech_id: Optional[int] = None,
     sot_pos: int = 0, fuse_reshuffle: Optional[bool] = None,
+    ts_begin: Optional[int] = None, max_initial_ts_idx: int = 50,
 ):
     return beam_search_batched(
         params, enc_out, prompt, cfg, eot_id, suppress_mask, beam_size,
         max_depth, suppress_until_len, kv_quant, self_quant, nospeech_id,
-        sot_pos, fuse_reshuffle,
+        sot_pos, fuse_reshuffle, ts_begin, max_initial_ts_idx,
     )

@@ -132,6 +132,12 @@ def permute_lanes_arrays(
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
     arrays = tuple(arrays)
+    if not interpret and any(a.shape[-1] % 128 for a in arrays):
+        # Mosaic DMA slices need the lane (trailing) dim 128-aligned; real
+        # model widths are (d and cache_len are multiples of 128), but toy
+        # test configs on a real chip are not -- fall back to the plain XLA
+        # gather there (slow path, correctness only).
+        return tuple(jnp.take(a, parents, axis=0) for a in arrays)
     b = arrays[0].shape[0]
     n = len(arrays)
 

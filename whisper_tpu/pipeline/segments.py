@@ -97,3 +97,82 @@ def segments_with_positions(
             cur_pos.append(i)
     flush(offset_s + window_s)
     return out
+
+
+class TimestampStitcher:
+    """Token-overlap stitching for timestamped windows, shared by the
+    single-stream (`Transcriber.transcribe_with_timestamps`) and batched
+    (`BatchTranscriber.transcribe_many_with_timestamps`) pipelines so both
+    produce IDENTICAL segments from identical per-window token sequences.
+
+    Windows are joined by the same suffix/prefix token alignment as the
+    plain text path (find_chunk_overlap, whisper-burn src/transcribe.rs:
+    76-110 semantics); on a splice, previous segments are trimmed at the
+    exact splice index -- no boundary segment is silently dropped or
+    duplicated. Feed windows in stream order via `add_window`; read
+    `.segments` (text-bearing Segments) and `.all_tokens` at the end.
+    """
+
+    def __init__(self, tok: WhisperTokenizer, max_offsets: int = 40,
+                 min_overlaps: int = 3):
+        self.tok = tok
+        self.max_offsets = max_offsets
+        self.min_overlaps = min_overlaps
+        self.all_tokens: List[int] = []  # stitched raw tokens
+        self._segments: List = []  # [(Segment, [global token positions])]
+
+    def add_window(self, new_tokens: Sequence[int], offset_s: float,
+                   window_s: float) -> None:
+        """Stitch one window's decoded tokens (prompt stripped) at absolute
+        stream offset `offset_s` spanning `window_s` seconds."""
+        from .transcribe import find_chunk_overlap  # lazy: no import cycle
+
+        tok = self.tok
+        new_tokens = [int(t) for t in new_tokens]
+        new_segs = segments_with_positions(
+            new_tokens, tok, offset_s, window_s)
+
+        spliced = find_chunk_overlap(
+            self.all_tokens, new_tokens, self.max_offsets, self.min_overlaps)
+        if spliced is None:
+            base = len(self.all_tokens)
+            self.all_tokens = self.all_tokens + new_tokens
+            self._segments += [
+                (seg, [p + base for p in pos]) for seg, pos in new_segs
+            ]
+            return
+        pi, ci = spliced
+        self.all_tokens = self.all_tokens[:pi] + new_tokens[ci:]
+        # trim previous segments at the splice: drop text tokens at global
+        # positions >= pi (superseded by the new window's reading of the
+        # same audio)
+        trimmed = []
+        for seg, pos in self._segments:
+            keep = [(t, p) for t, p in zip(seg.tokens, pos) if p < pi]
+            if not keep:
+                continue
+            if len(keep) != len(seg.tokens):
+                toks_k = [t for t, _ in keep]
+                seg = dataclasses.replace(
+                    seg, tokens=toks_k,
+                    text=tok.decode(toks_k, skip_special=True),
+                )
+            trimmed.append((seg, [p for _, p in keep]))
+        self._segments = trimmed
+        shift = pi - ci  # window position p -> global p + shift
+        for seg, pos in new_segs:
+            keep = [(t, p) for t, p in zip(seg.tokens, pos) if p >= ci]
+            if not keep:
+                continue
+            if len(keep) != len(seg.tokens):
+                toks_k = [t for t, _ in keep]
+                seg = dataclasses.replace(
+                    seg, tokens=toks_k,
+                    text=tok.decode(toks_k, skip_special=True),
+                )
+            self._segments.append((seg, [p + shift for _, p in keep]))
+
+    @property
+    def segments(self) -> List[Segment]:
+        """Text-bearing segments stitched so far."""
+        return [s for s, _ in self._segments if s.text.strip()]

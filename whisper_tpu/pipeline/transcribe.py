@@ -788,9 +788,10 @@ class Transcriber:
         token-overlap stitcher as the plain path (find_chunk_overlap,
         src/transcribe.rs:76-110 semantics), with segments trimmed at the
         exact splice index -- no boundary segment is silently dropped or
-        duplicated.
+        duplicated (segments.TimestampStitcher, shared with the batched
+        path so both produce identical segments).
         """
-        from .segments import segments_with_positions
+        from .segments import TimestampStitcher
 
         opt = dataclasses.replace(options or DecodeOptions(), timestamps=True)
         if opt.clip_timestamps is not None:
@@ -809,8 +810,8 @@ class Transcriber:
         cond_prev = opt.condition_on_previous_text
         prompt_reset_at = 0  # see transcribe(): OpenAI prompt_reset_since
 
-        all_tokens: List[int] = []  # stitched raw tokens (plain-path parity)
-        segments: List = []  # [Segment, [global text-token positions]]
+        stitcher = TimestampStitcher(
+            tok, opt.stitch_max_offsets, opt.stitch_min_overlaps)
         for i, (start, end) in enumerate(
             window_waveform(waveform, sample_rate, n_window, overlap)
         ):
@@ -825,7 +826,7 @@ class Transcriber:
                 continue
             if cond_prev:
                 prev_ctx = [
-                    t for t in all_tokens[prompt_reset_at:]
+                    t for t in stitcher.all_tokens[prompt_reset_at:]
                     if not tok.is_special(t)
                 ]
                 prompt, n_cond = self._build_prompt(opt, prev_tokens=prev_ctx)
@@ -852,57 +853,14 @@ class Transcriber:
                 new_tokens = [
                     int(t) for t in np.asarray(toks_dev)[: int(length)]
                 ][n_cond:]  # drop the conditioning prefix
-            offset = start / sample_rate
-            window_s = (end - start) / sample_rate
-            new_segs = segments_with_positions(new_tokens, tok, offset, window_s)
-
-            spliced = find_chunk_overlap(
-                all_tokens, new_tokens, opt.stitch_max_offsets,
-                opt.stitch_min_overlaps,
-            )
-            if spliced is not None:
-                pi, ci = spliced
-                all_tokens = all_tokens[:pi] + new_tokens[ci:]
-                # trim previous segments at the splice: drop text tokens at
-                # global positions >= pi (they are superseded by the new
-                # window's reading of the same audio)
-                trimmed = []
-                for seg, pos in segments:
-                    keep = [(t, p) for t, p in zip(seg.tokens, pos) if p < pi]
-                    if not keep:
-                        continue
-                    if len(keep) != len(seg.tokens):
-                        toks_k = [t for t, _ in keep]
-                        seg = dataclasses.replace(
-                            seg, tokens=toks_k,
-                            text=tok.decode(toks_k, skip_special=True),
-                        )
-                    trimmed.append((seg, [p for _, p in keep]))
-                segments = trimmed
-                shift = pi - ci  # window position p -> global p + shift
-                for seg, pos in new_segs:
-                    keep = [(t, p) for t, p in zip(seg.tokens, pos) if p >= ci]
-                    if not keep:
-                        continue
-                    if len(keep) != len(seg.tokens):
-                        toks_k = [t for t, _ in keep]
-                        seg = dataclasses.replace(
-                            seg, tokens=toks_k,
-                            text=tok.decode(toks_k, skip_special=True),
-                        )
-                    segments.append((seg, [p + shift for _, p in keep]))
-            else:
-                base = len(all_tokens)
-                all_tokens = all_tokens + new_tokens
-                segments += [
-                    (seg, [p + base for p in pos]) for seg, pos in new_segs
-                ]
+            stitcher.add_window(
+                new_tokens, start / sample_rate, (end - start) / sample_rate)
 
             if prompt_reset_at is None:  # this window was accepted at a
                 # high sampling temperature: cut it from future prompts
-                prompt_reset_at = len(all_tokens)
+                prompt_reset_at = len(stitcher.all_tokens)
 
-        segs = [s for s, _ in segments if s.text.strip()]
+        segs = stitcher.segments
         if word_timestamps and segs:
             self._attach_words(waveform, sample_rate, segs, opt)
         text = " ".join(s.text.strip() for s in segs)

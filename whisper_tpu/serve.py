@@ -207,28 +207,36 @@ class BatchingWorker(threading.Thread):
                 continue
             req = batch[0]
             try:
-                if req.timestamps or req.lang == "auto":
-                    # per-request path: timestamped decoding is a
-                    # sequential single-stream pipeline, and auto-detected
-                    # languages can differ per member; the compiled window
-                    # executables are still shared across requests
+                # lang=auto: detect each request's language (one encoder +
+                # prefill pass), then group by detected language so every
+                # group still rides the chip-efficient batched path.
+                # Detection failures (e.g. sub-n_fft audio) fail only the
+                # offending request, not the whole batch.
+                if req.lang == "auto":
+                    ok = []
                     for r in batch:
-                        self._run_single(r, DecodeOptions)
+                        try:
+                            r.detected_lang, _ = self.t.detect_language(
+                                r.wave)
+                            ok.append(r)
+                        except Exception as e:
+                            r.error = str(e)
+                            self.metrics.add(errors_total=1)
+                    groups: dict = {}
+                    for r in ok:
+                        groups.setdefault(r.detected_lang, []).append(r)
                 else:
-                    opts = self._opts(req, DecodeOptions)
-                    results = self.t.transcribe_many(
-                        [r.wave for r in batch], options=opts
-                    )
-                    for r, (text, tokens) in zip(batch, results):
-                        r.result = (text, tokens)
+                    groups = {req.lang: batch}
+                for lang, grp in groups.items():
+                    self._run_group(grp, lang, DecodeOptions)
             except Exception as e:  # surface errors to every waiter
                 for r in batch:
-                    r.error = str(e)
+                    if r.error is None and r.result is None:
+                        r.error = str(e)
                 self.metrics.add(errors_total=len(batch))
             finally:
                 self.processed += len(batch)
                 self.metrics.add(
-                    batches_total=1, batched_requests=len(batch),
                     audio_seconds_total=sum(
                         len(r.wave) / 16000.0 for r in batch))
                 for r in batch:
@@ -247,19 +255,28 @@ class BatchingWorker(threading.Thread):
             prompt_length_bucket=8,
         )
 
-    def _run_single(self, r: _Request, DecodeOptions) -> None:
-        lang = r.lang
-        if lang == "auto":
-            lang, _ = self.t.detect_language(r.wave)
-            r.detected_lang = lang
-        opts = self._opts(r, DecodeOptions, lang=lang)
-        if r.timestamps:
-            text, segs = self.t.transcribe_with_timestamps(
-                r.wave, options=opts, word_timestamps=r.words)
-            r.result = (text, None)
-            r.segments = segs
+    def _run_group(self, grp: List[_Request], lang: str,
+                   DecodeOptions) -> None:
+        """Dispatch one same-options, same-language group as ONE batched
+        call -- timestamped (and word-timestamped) requests included, so
+        N concurrent timestamped clients no longer serialize
+        (transcribe_many_with_timestamps is segment-identical to the
+        single-stream path; see TestBatchTimestamps)."""
+        req = grp[0]
+        opts = self._opts(req, DecodeOptions, lang=lang)
+        if req.timestamps:
+            results = self.t.transcribe_many_with_timestamps(
+                [r.wave for r in grp], options=opts,
+                word_timestamps=req.words)
+            for r, (text, segs) in zip(grp, results):
+                r.result = (text, None)
+                r.segments = segs
         else:
-            r.result = self.t.transcribe(r.wave, options=opts)
+            results = self.t.transcribe_many(
+                [r.wave for r in grp], options=opts)
+            for r, (text, tokens) in zip(grp, results):
+                r.result = (text, tokens)
+        self.metrics.add(batches_total=1, batched_requests=len(grp))
 
 
 class StreamSessions:
