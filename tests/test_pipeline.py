@@ -404,12 +404,14 @@ class TestTimestampStitching:
         params, cfg, tok = setup
 
         class FakeWindows(Transcriber):
-            def _window_fn(self, *a, **k):
-                def fn(params, wave, prompt, suppress):
+            def _window_fn(self, *a, quality=False, **k):
+                def fn(params, wave, prompt, suppress, rng=None):
                     toks = seqs.pop(0)
                     arr = np.zeros(
                         cfg.text_decoder_config.n_text_ctx, np.int32)
                     arr[: len(toks)] = toks
+                    if quality:  # (tokens, length, sum_logp, ns_prob)
+                        return arr, len(toks), 0.0, -1.0
                     return arr, len(toks)
 
                 return fn

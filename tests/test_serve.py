@@ -114,6 +114,9 @@ class TestServer:
         assert "text" in obj and isinstance(obj["segments"], list)
         for s in obj["segments"]:
             assert s["start"] <= s["end"]
+            # decode-quality metadata rides the JSON (VERDICT r3 weak #8)
+            assert "avg_logprob" in s and s["avg_logprob"] <= 0.0
+            assert "compression_ratio" in s
 
     def test_srt_vtt_raw_output(self, server):
         url, _ = server

@@ -228,3 +228,58 @@ class TestStreamingVadFixes:
         st.push(np.zeros(8000, np.float32))  # silent: trimmed to the tail
         keep = int(floor_s * SAMPLE_RATE) + HOP_LENGTH
         assert len(st._buffer) >= keep  # tail covers the speech floor
+
+
+class TestStreamingQualityGate:
+    """VERDICT r3 weak #2 (streaming arm): a repetition loop must never
+    enter the immutable confirmed transcript -- every permanent
+    confirmation is gated on the compression-ratio check."""
+
+    def _loopy_transcriber(self, setup, threshold):
+        import dataclasses
+
+        from whisper_tpu.pipeline.transcribe import (
+            Transcriber, compression_ratio,
+        )
+
+        params, cfg, tok = setup
+        loop_tokens = tok.encode("a" * 40)
+        assert compression_ratio("a" * 40) > 2.4
+        ts = tok.timestamp_begin
+        seq = (tok.prompt_ids("en", timestamps=True)
+               + [ts] + loop_tokens + [ts + 1, tok.eot])
+
+        class LoopWindows(Transcriber):
+            def _window_fn(self, *a, quality=False, **k):
+                def fn(params, wave, prompt, suppress, rng=None):
+                    arr = np.asarray(seq, np.int32)
+                    if quality:
+                        return arr, len(seq), 0.0, -1.0
+                    return arr, len(seq)
+
+                return fn
+
+        opts = dataclasses.replace(
+            _opts(), compression_ratio_threshold=threshold)
+        return StreamingTranscriber(
+            None, None, None, options=opts, min_step_seconds=0.4,
+            transcriber=LoopWindows(params, cfg, tok))
+
+    def test_loop_never_confirmed(self, setup):
+        st = self._loopy_transcriber(setup, threshold=2.4)
+        for _ in range(3):
+            st.push(np.random.default_rng(0)
+                    .standard_normal(8000).astype(np.float32))
+        st.finish()
+        assert st.confirmed == []  # the loop text never became permanent
+        assert st.text == ""
+
+    def test_control_without_gate_confirms(self, setup):
+        """Same stream with the gate off DOES confirm -- proving the gate
+        (not some other mechanism) blocks the loop."""
+        st = self._loopy_transcriber(setup, threshold=None)
+        for _ in range(3):
+            st.push(np.random.default_rng(0)
+                    .standard_normal(8000).astype(np.float32))
+        st.finish()
+        assert any("a" * 40 in s.text for s in st.confirmed)

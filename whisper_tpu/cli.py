@@ -248,15 +248,23 @@ def cmd_transcribe(argv) -> int:
         if out_format == "json":
             import json as _json
 
-            doc = {"text": text, "segments": [
-                {"start": round(seg.start, 3), "end": round(seg.end, 3),
-                 "text": seg.text,
-                 **({"words": [
-                     {"word": w.word, "start": round(w.start, 3),
-                      "end": round(w.end, 3)} for w in seg.words]}
-                    if seg.words is not None else {})}
-                for seg in segments
-            ]}
+            def seg_doc(seg):
+                d = {"start": round(seg.start, 3),
+                     "end": round(seg.end, 3), "text": seg.text}
+                # decode-quality metadata (filter low-confidence segments)
+                if seg.avg_logprob is not None:
+                    d["avg_logprob"] = round(seg.avg_logprob, 4)
+                if seg.compression_ratio is not None:
+                    d["compression_ratio"] = round(seg.compression_ratio, 4)
+                if seg.no_speech_prob is not None:
+                    d["no_speech_prob"] = round(seg.no_speech_prob, 4)
+                if seg.words is not None:
+                    d["words"] = [
+                        {"word": w.word, "start": round(w.start, 3),
+                         "end": round(w.end, 3)} for w in seg.words]
+                return d
+
+            doc = {"text": text, "segments": [seg_doc(s) for s in segments]}
             out_lines = [_json.dumps(doc, ensure_ascii=False, indent=1)]
         elif out_format in ("srt", "vtt", "tsv"):
             from .pipeline import formats

@@ -33,7 +33,14 @@ from ..decode import greedy as dgreedy
 from ..text.tokenizer import WhisperTokenizer
 from ..utils.logging import get_logger
 from . import vad
-from .transcribe import DecodeOptions, Transcriber, find_chunk_overlap, window_waveform
+from .transcribe import (
+    DecodeOptions,
+    Transcriber,
+    compression_ratio,
+    evaluate_window_quality,
+    find_chunk_overlap,
+    window_waveform,
+)
 
 log = get_logger(__name__)
 
@@ -64,17 +71,24 @@ class BatchTranscriber(Transcriber):
                          beam_size: int, max_depth: int, padding: int,
                          suppress_until_len: int, kv_quant: bool = False,
                          self_quant: bool = False, timestamps: bool = False,
-                         max_initial_ts_idx: int = 50):
+                         max_initial_ts_idx: int = 50, quality: bool = False,
+                         temperature: float = 0.0, sot_pos: int = 0):
         """One jitted program: (B, n_samples) waveforms -> (tokens, lengths).
 
         With `timestamps`, both decode loops run the in-graph timestamp
         logit constraints (decode/beam.apply_timestamp_rules) per lane,
         exactly as the single-window path does -- callers must pass the
         timestamp-permitting suppress mask (`self._suppress_ts`).
+
+        `quality=True` (ladder / metadata variant) changes the signature to
+        (params, waves, prompt, suppress, rng) -> (tokens, lengths,
+        sum_logp (B,), ns_prob (B,)) -- the batched mirror of the
+        single-window quality program -- and `temperature > 0` forces
+        sampling (greedy machinery), matching the single-stream ladder.
         """
         key = ("batch", n_samples, prompt_len, strategy, beam_size, max_depth,
                padding, suppress_until_len, kv_quant, self_quant, timestamps,
-               max_initial_ts_idx)
+               max_initial_ts_idx, quality, temperature, sot_pos)
         if key in self._fn_cache:
             return self._fn_cache[key]
         cfg = self.cfg
@@ -88,31 +102,43 @@ class BatchTranscriber(Transcriber):
                     "tokens (<|0.00|>...)"
                 )
             ts_begin = self._ts_begin
+        ns_id = None
+        if quality:
+            from ..text.tokenizer import SpecialToken
 
-        def run(params, waves, prompt, suppress):  # waves (B, n_samples)
+            ns_id = self.tok.special_token(SpecialToken.NO_SPEECH)
+
+        def run(params, waves, prompt, suppress, rng=None):
             mel = prep_audio(waves, per_sample_max=True, n_mels=cfg.n_mels)
             keep = min(mel.shape[2], enc_ctx - padding)
             mel = jnp.pad(mel[:, :, :keep], ((0, 0), (0, 0), (0, padding)))
             enc = M.encoder_forward(params, mel, cfg)
-            if strategy == "beam":
+            if strategy == "beam" and temperature == 0.0:
                 # flat-batched beam: B windows x beam_size lanes, one program
-                toks, lengths, _ = dbeam.beam_search_batched(
+                out = dbeam.beam_search_batched(
                     params, enc, prompt, cfg, eot_id=eot,
                     suppress_mask=suppress, beam_size=beam_size,
                     max_depth=max_depth,
                     suppress_until_len=suppress_until_len,
                     kv_quant=kv_quant, self_quant=self_quant,
                     ts_begin=ts_begin, max_initial_ts_idx=max_initial_ts_idx,
+                    nospeech_id=ns_id if quality else None, sot_pos=sot_pos,
                 )
             else:
-                toks, lengths, _ = dgreedy.greedy_decode(
+                out = dgreedy.greedy_decode(
                     params, enc, prompt, cfg, eot_id=eot,
                     suppress_mask=suppress, max_depth=max_depth,
                     suppress_until_len=suppress_until_len,
                     kv_quant=kv_quant, self_quant=self_quant,
                     ts_begin=ts_begin, max_initial_ts_idx=max_initial_ts_idx,
+                    temperature=temperature, rng=rng,
+                    nospeech_id=ns_id if quality else None, sot_pos=sot_pos,
                 )
-            return toks, lengths
+            if not quality:
+                return out[0], out[1]
+            ns = (out[3] if ns_id is not None
+                  else jnp.full((out[0].shape[0],), -1.0, jnp.float32))
+            return out[0], out[1], out[2], ns
 
         fn = jax.jit(run)
         self._fn_cache[key] = fn
@@ -129,10 +155,21 @@ class BatchTranscriber(Transcriber):
         """Window + batch-decode N streams; the shared engine under both
         `transcribe_many` and `transcribe_many_with_timestamps`.
 
-        Returns (results, bounds, n_windows): results[(stream, window)] is
-        the decoded token list (conditioning prefix stripped; missing keys
-        = VAD-skipped or sub-n_fft windows), bounds[(stream, window)] the
-        (start, end) sample range, n_windows[stream] the window count.
+        Returns (results, meta, bounds, n_windows): results[(stream,
+        window)] is the decoded token list (conditioning prefix stripped;
+        missing keys = VAD-skipped or sub-n_fft windows; [] = accepted as
+        silence by the no-speech gate), meta[(stream, window)] the
+        (avg_logprob, compression_ratio, no_speech_prob) of the accepted
+        decode (only when the quality path ran), bounds[(stream, window)]
+        the (start, end) sample range, n_windows[stream] the window count.
+
+        Robust decoding (the OpenAI-style ladder, batched): when
+        `opt.temperature` is a tuple (or the no-speech gate is on), the
+        first pass decodes every full window batched at temps[0], the
+        host-side quality gates run per window, and ONLY the failed
+        windows re-decode -- batched again -- at the next (sampling)
+        temperature, until accepted or temps are exhausted (the single-
+        stream ladder semantics of `_decode_window_ladder`, amortized).
         """
         cfg = self.cfg
         n_window = max_waveform_samples(cfg.encoder_ctx_size - opt.padding)
@@ -167,35 +204,104 @@ class BatchTranscriber(Transcriber):
                     tail.append((s, w, chunk))
 
         results: dict = {}
+        meta: dict = {}
+        P = int(prompt.shape[0])
+        temps, use_ladder = self._ladder_temps(opt)
+        # quality outputs are needed by the ladder gates AND for the
+        # per-segment metadata of the timestamped path
+        quality = use_ladder or timestamps
 
         # 2. run full windows in fixed-size batches (pad the last batch by
-        #    repeating row 0; padded rows are discarded)
+        #    repeating row 0; padded rows are discarded). With the ladder,
+        #    each pass decodes only the still-failing windows.
         B = self.batch_size
-        fn = self._batch_window_fn(
-            n_window, int(prompt.shape[0]), opt.strategy, opt.beam_size,
-            opt.max_depth, opt.padding, sup_len, opt.kv_quant,
-            opt.self_quant, timestamps=timestamps,
-            max_initial_ts_idx=max_ts_idx,
-        )
-        for i in range(0, len(full), B):
-            group = full[i : i + B]
-            waves = np.stack([g[2] for g in group])
-            if len(group) < B:
-                waves = np.concatenate(
-                    [waves, np.repeat(waves[:1], B - len(group), axis=0)]
-                )
-            toks, lengths = fn(self.params, self._place_batch(waves), prompt,
-                               suppress)
-            toks, lengths = np.asarray(toks), np.asarray(lengths)
-            for j, (s, w, _) in enumerate(group):
-                results[(s, w)] = [
-                    int(t) for t in toks[j, : lengths[j]]][n_cond:]
-            log.info("batch %d-%d/%d windows done", i, i + len(group), len(full))
+        pending = full
+        for ti, T in enumerate(temps):
+            fn = self._batch_window_fn(
+                n_window, P, opt.strategy, opt.beam_size,
+                opt.max_depth, opt.padding, sup_len, opt.kv_quant,
+                opt.self_quant, timestamps=timestamps,
+                max_initial_ts_idx=max_ts_idx, quality=quality,
+                temperature=T, sot_pos=n_cond,
+            )
+            failures: List[Tuple[int, int, np.ndarray]] = []
+            for i in range(0, len(pending), B):
+                group = pending[i : i + B]
+                waves = np.stack([g[2] for g in group])
+                if len(group) < B:
+                    waves = np.concatenate(
+                        [waves, np.repeat(waves[:1], B - len(group), axis=0)]
+                    )
+                if quality:
+                    rng = jax.random.fold_in(
+                        jax.random.PRNGKey(opt.seed), ti * 100003 + i)
+                    toks, lengths, logps, nss = fn(
+                        self.params, self._place_batch(waves), prompt,
+                        suppress, rng)
+                    logps, nss = np.asarray(logps), np.asarray(nss)
+                else:
+                    toks, lengths = fn(
+                        self.params, self._place_batch(waves), prompt,
+                        suppress)
+                toks, lengths = np.asarray(toks), np.asarray(lengths)
+                for j, (s, w, chunk) in enumerate(group):
+                    tl = [int(t) for t in toks[j, : lengths[j]]][n_cond:]
+                    if not quality:
+                        results[(s, w)] = tl
+                        continue
+                    if not use_ladder:  # metadata only, no gating
+                        results[(s, w)] = tl
+                        ns = float(nss[j])
+                        meta[(s, w)] = (
+                            float(logps[j]) / max(int(lengths[j]) - P, 1),
+                            compression_ratio(
+                                self.tok.decode(tl, skip_special=True)),
+                            ns if ns >= 0.0 else None,
+                        )
+                        continue
+                    ok, silence, avg_lp, cr = evaluate_window_quality(
+                        opt, self.tok, tl, int(lengths[j]) - P,
+                        logps[j], nss[j])
+                    ns = float(nss[j])
+                    m = (avg_lp, cr, ns if ns >= 0.0 else None)
+                    if silence:
+                        log.info("stream %d window %d: no speech (p=%.2f), "
+                                 "skipping", s, w, ns)
+                        results[(s, w)] = []
+                        meta[(s, w)] = m
+                    elif ok or ti == len(temps) - 1:
+                        if ti:
+                            log.info(
+                                "stream %d window %d: accepted at t=%.1f "
+                                "(avg_logprob %.2f, compression %.2f)",
+                                s, w, T, avg_lp, cr)
+                        results[(s, w)] = tl
+                        meta[(s, w)] = m
+                    else:
+                        log.info("stream %d window %d: t=%.1f failed checks "
+                                 "(avg_logprob %.2f, compression %.2f), "
+                                 "queueing re-decode", s, w, T, avg_lp, cr)
+                        failures.append((s, w, chunk))
+                log.info("batch %d-%d/%d windows done (t=%.1f)",
+                         i, i + len(group), len(pending), T)
+            pending = failures
+            if not pending:
+                break
 
         # 3. tail windows, one at a time through the single-window path
+        #    (the ladder variant when quality gating/metadata is on)
+        prec_ctx = self._prec_ctx()
         for s, w, chunk in tail:
+            if quality:
+                toks, _T, m = self._decode_window_ladder(
+                    s * 100003 + w, chunk, prompt, n_cond, sup_len, opt,
+                    temps, prec_ctx, timestamps=timestamps,
+                    max_initial_ts_idx=max_ts_idx)
+                results[(s, w)] = toks
+                meta[(s, w)] = m
+                continue
             sfn = self._window_fn(
-                len(chunk), int(prompt.shape[0]), opt.strategy, opt.beam_size,
+                len(chunk), P, opt.strategy, opt.beam_size,
                 opt.max_depth, opt.padding, sup_len,
                 opt.kv_quant,
                 opt.self_quant,
@@ -205,7 +311,7 @@ class BatchTranscriber(Transcriber):
                                    suppress)
             results[(s, w)] = [
                 int(t) for t in np.asarray(toks_dev)[: int(length)]][n_cond:]
-        return results, bounds, n_windows
+        return results, meta, bounds, n_windows
 
     def transcribe_many(
         self,
@@ -220,7 +326,7 @@ class BatchTranscriber(Transcriber):
         """
         opt = options or DecodeOptions()
         tok = self.tok
-        results, _, n_windows = self._decode_windows(
+        results, _meta, _, n_windows = self._decode_windows(
             waveforms, sample_rate, opt)
 
         # per-stream stitching (src/transcribe.rs:56-63 semantics)
@@ -280,7 +386,7 @@ class BatchTranscriber(Transcriber):
                 for w in waveforms
             ]
         max_ts_idx = max(0, int(round(opt.max_initial_timestamp / 0.02)))
-        results, bounds, n_windows = self._decode_windows(
+        results, meta, bounds, n_windows = self._decode_windows(
             waveforms, sample_rate, opt, timestamps=True,
             max_ts_idx=max_ts_idx)
 
@@ -294,7 +400,8 @@ class BatchTranscriber(Transcriber):
                     continue
                 start, end = bounds[(s, w)]
                 st.add_window(
-                    toks, start / sample_rate, (end - start) / sample_rate)
+                    toks, start / sample_rate, (end - start) / sample_rate,
+                    quality=meta.get((s, w)))
             segs = st.segments
             if word_timestamps and segs:
                 self._attach_words(

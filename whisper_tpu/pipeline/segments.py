@@ -31,6 +31,13 @@ class Segment:
     # per-word timings (align.WordTiming), populated by
     # transcribe_with_timestamps(word_timestamps=True); None otherwise
     words: list = None
+    # decode-quality metadata of the window this segment came from (every
+    # production Whisper result schema exposes these so consumers can
+    # filter low-confidence segments); None when the decode path did not
+    # compute them (plain text pipelines)
+    avg_logprob: float = None  # mean sampled-token log-prob
+    compression_ratio: float = None  # gzip ratio of the window text
+    no_speech_prob: float = None  # p(<|nospeech|>) at the SOT position
 
 
 def segments_from_tokens(
@@ -122,15 +129,23 @@ class TimestampStitcher:
         self._segments: List = []  # [(Segment, [global token positions])]
 
     def add_window(self, new_tokens: Sequence[int], offset_s: float,
-                   window_s: float) -> None:
+                   window_s: float, quality=None) -> None:
         """Stitch one window's decoded tokens (prompt stripped) at absolute
-        stream offset `offset_s` spanning `window_s` seconds."""
+        stream offset `offset_s` spanning `window_s` seconds.
+
+        `quality`: optional (avg_logprob, compression_ratio, no_speech_prob)
+        of the window's decode, attached to each of its segments.
+        """
         from .transcribe import find_chunk_overlap  # lazy: no import cycle
 
         tok = self.tok
         new_tokens = [int(t) for t in new_tokens]
         new_segs = segments_with_positions(
             new_tokens, tok, offset_s, window_s)
+        if quality is not None:
+            for seg, _ in new_segs:
+                seg.avg_logprob, seg.compression_ratio, seg.no_speech_prob \
+                    = quality
 
         spliced = find_chunk_overlap(
             self.all_tokens, new_tokens, self.max_offsets, self.min_overlaps)

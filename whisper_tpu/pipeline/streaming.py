@@ -27,9 +27,17 @@ import jax.numpy as jnp
 
 from . import vad
 from .segments import Segment, segments_from_tokens
-from .transcribe import SAMPLE_RATE, DecodeOptions, Transcriber
+from .transcribe import (
+    SAMPLE_RATE,
+    DecodeOptions,
+    Transcriber,
+    compression_ratio,
+)
 from ..config import HOP_LENGTH
 from ..ops.audio import max_waveform_samples
+from ..utils.logging import get_logger
+
+log = get_logger(__name__)
 
 
 class StreamingTranscriber:
@@ -127,20 +135,42 @@ class StreamingTranscriber:
                 self._trim_to(self._offset + self._n_window / SAMPLE_RATE)
                 self._prev = []
                 continue
-            tail.extend(self._decode())  # first window's worth is final
+            # first window's worth is final: gated like any confirmation
+            tail.extend(s for s in self._decode() if self._confirm_ok(s))
             self._trim_to(self._offset + self._n_window / SAMPLE_RATE)
             self._prev = []
         if len(self._buffer) < 400:  # < n_fft: no decodable audio left
-            tail.extend(self._prev)
+            tail.extend(s for s in self._prev if self._confirm_ok(s))
         elif self._skip_silence():
             pass  # vad: a silent final buffer has nothing to flush
         else:
-            tail.extend(self._decode())
+            tail.extend(s for s in self._decode() if self._confirm_ok(s))
         self.confirmed.extend(tail)
         self._buffer = np.zeros(0, np.float32)
         self._prev = []
         self._pending = 0
         return tail
+
+    # ------------------------------------------------------------------
+    def _confirm_ok(self, seg: Segment) -> bool:
+        """Quality gate on permanent confirmation: confirmed text can never
+        be retracted, so a segment whose text trips the compression-ratio
+        repetition check (DecodeOptions.compression_ratio_threshold) is
+        DROPPED instead of confirmed -- a hallucination loop in a live
+        session must not enter the immutable transcript. Streaming decodes
+        at temps[0] (re-decoding at higher temperatures would break the
+        local-agreement stability contract), so this gate is the streaming
+        arm of the robust-decoding ladder."""
+        thr = self.opt.compression_ratio_threshold
+        if thr is not None and compression_ratio(seg.text) > thr:
+            log.warning(
+                "dropping low-quality segment [%.2f-%.2f] at confirmation "
+                "(compression ratio %.2f > %.2f): %r",
+                seg.start, seg.end, compression_ratio(seg.text), thr,
+                seg.text[:80],
+            )
+            return False
+        return True
 
     # ------------------------------------------------------------------
     def _decode(self) -> List[Segment]:
@@ -222,7 +252,9 @@ class StreamingTranscriber:
         if over > 0:
             cut_time = self._offset + over / SAMPLE_RATE
             while self._prev and self._prev[0].end <= cut_time:
-                newly.append(self._prev.pop(0))
+                seg = self._prev.pop(0)
+                if self._confirm_ok(seg):  # repetition loops never confirm
+                    newly.append(seg)
             self.confirmed.extend(newly)
             self._trim_to(cut_time)
 
@@ -239,9 +271,12 @@ class StreamingTranscriber:
             else:
                 break
         if n:
-            agreed = segs[:n]
+            # a stable repetition loop agrees with itself: gate agreement-
+            # based confirmation too (the trim still advances past the
+            # agreed span so the loop audio is not re-decoded forever)
+            agreed = [s for s in segs[:n] if self._confirm_ok(s)]
             self.confirmed.extend(agreed)
             newly.extend(agreed)
-            self._trim_to(agreed[-1].end)
+            self._trim_to(segs[n - 1].end)
         self._prev = segs[n:]
         return newly

@@ -76,8 +76,12 @@ class DecodeOptions:
     # text > compression_ratio_threshold (repetition loop), or mean sampled
     # token logprob < logprob_threshold. no_speech_threshold (opt-in)
     # accepts a silent window (emits nothing) when p(<|nospeech|>) at SOT
-    # exceeds it AND the logprob check failed. Ladder applies to
-    # `Transcriber.transcribe`; other pipelines decode at temps[0].
+    # exceeds it AND the logprob check failed. The ladder applies to
+    # `Transcriber.transcribe`/`transcribe_with_timestamps` AND the batched
+    # pipelines (first pass batched at temps[0]; only failed windows
+    # re-decode, batched, at the next temperature). Streaming decodes at
+    # temps[0] but gates every permanent confirmation on the
+    # compression-ratio check (StreamingTranscriber._confirm_ok).
     temperature: object = 0.0  # float | tuple of floats
     compression_ratio_threshold: Optional[float] = 2.4
     logprob_threshold: Optional[float] = -1.0
@@ -199,6 +203,34 @@ def compression_ratio(text: str) -> float:
     if not data:
         return 0.0
     return len(data) / len(zlib.compress(data))
+
+
+def evaluate_window_quality(opt: "DecodeOptions", tok, toks, n_sampled,
+                            sum_logp, ns_prob):
+    """Host-side decode-quality gates for one window (OpenAI's
+    needs_fallback logic), shared by the single-stream and batched ladders.
+
+    Returns (ok, silence, avg_logprob, compression_ratio):
+      * silence: the no-speech gate fired (p(<|nospeech|>) above threshold
+        AND the logprob check failed, or logprob gating is off) -- the
+        window should emit nothing;
+      * ok: both the logprob and compression-ratio checks passed.
+    `ns_prob` < 0 is the "tokenizer has no <|nospeech|>" sentinel and
+    disables the silence gate.
+    """
+    avg_lp = float(sum_logp) / max(int(n_sampled), 1)
+    ns = float(ns_prob)
+    lp_failed = (opt.logprob_threshold is not None
+                 and avg_lp < opt.logprob_threshold)
+    if (opt.no_speech_threshold is not None and ns >= 0.0
+            and ns > opt.no_speech_threshold
+            and (opt.logprob_threshold is None or lp_failed)):
+        return False, True, avg_lp, 0.0
+    cr = compression_ratio(tok.decode(toks, skip_special=True))
+    ok = not lp_failed and not (
+        opt.compression_ratio_threshold is not None
+        and cr > opt.compression_ratio_threshold)
+    return ok, False, avg_lp, cr
 
 
 def window_waveform(
@@ -358,8 +390,10 @@ class Transcriber:
                               max_initial_ts_idx=50):
         """Fallback ladder (new capability): decode at temps[0]; while the
         quality checks fail, re-decode at the next (sampling) temperature.
-        Returns (final stripped token list, accepted temperature); [] =
-        accepted as silence under the no-speech gate."""
+        Returns (final stripped token list, accepted temperature,
+        (avg_logprob, compression_ratio, no_speech_prob) of the accepted
+        rung); tokens == [] means accepted as silence under the no-speech
+        gate."""
         tok = self.tok
         P = int(prompt.shape[0])
         suppress = self._suppress_ts if timestamps else self._suppress
@@ -379,29 +413,22 @@ class Transcriber:
                 )
             length = int(length)
             toks = [int(t) for t in np.asarray(toks_dev)[:length]][n_cond:]
-            n_sampled = max(length - P, 1)
-            avg_lp = float(logp) / n_sampled
-            ns = float(ns)
-            lp_failed = (opt.logprob_threshold is not None
-                         and avg_lp < opt.logprob_threshold)
-            if (opt.no_speech_threshold is not None and ns >= 0.0
-                    and ns > opt.no_speech_threshold
-                    and (opt.logprob_threshold is None or lp_failed)):
-                log.info("chunk %d: no speech (p=%.2f), skipping", i, ns)
-                return [], T
-            cr = compression_ratio(tok.decode(toks, skip_special=True))
-            ok = not lp_failed and not (
-                opt.compression_ratio_threshold is not None
-                and cr > opt.compression_ratio_threshold)
+            ok, silence, avg_lp, cr = evaluate_window_quality(
+                opt, tok, toks, length - P, logp, ns)
+            meta = (avg_lp, cr, float(ns) if float(ns) >= 0.0 else None)
+            if silence:
+                log.info("chunk %d: no speech (p=%.2f), skipping",
+                         i, float(ns))
+                return [], T, meta
             if ok or ti == len(temps) - 1:
                 if ti:
                     log.info("chunk %d: accepted at temperature %.1f "
                              "(avg_logprob %.2f, compression %.2f)",
                              i, T, avg_lp, cr)
-                return toks, T
+                return toks, T, meta
             log.info("chunk %d: t=%.1f failed checks (avg_logprob %.2f, "
                      "compression %.2f), retrying", i, T, avg_lp, cr)
-        return toks, T  # pragma: no cover (loop always returns)
+        return toks, T, meta  # pragma: no cover (loop always returns)
 
     @staticmethod
     def _ladder_temps(opt):
@@ -639,7 +666,7 @@ class Transcriber:
             else:
                 prompt_i, n_cond_i, sup_i = prompt, n_cond, sup_len
             if use_ladder:  # synchronous: quality checks gate each window
-                toks, accepted_t = self._decode_window_ladder(
+                toks, accepted_t, _meta = self._decode_window_ladder(
                     i, window, prompt_i, n_cond_i, sup_i, opt, temps,
                     prec_ctx)
                 # a window that needed a high sampling temperature is an
@@ -834,27 +861,40 @@ class Transcriber:
             if use_ladder:
                 # temperature fallback + quality gates, same semantics as
                 # the plain path (timestamped variant of the window fn)
-                new_tokens, accepted_t = self._decode_window_ladder(
+                new_tokens, accepted_t, meta = self._decode_window_ladder(
                     i, window, prompt, n_cond, sup_len, opt, temps,
                     prec_ctx, timestamps=True, max_initial_ts_idx=max_ts_idx)
                 if accepted_t > 0.5:  # unreliable context: cut permanently
                     prompt_reset_at = None  # resolved after stitching below
             else:
+                # quality=True also off the ladder: segments carry
+                # avg_logprob / compression_ratio / no_speech_prob so
+                # consumers can filter low-confidence output
                 fn = self._window_fn(
                     len(window), int(prompt.shape[0]), opt.strategy,
                     opt.beam_size, opt.max_depth, opt.padding, sup_len,
                     opt.kv_quant, opt.self_quant,
                     timestamps=True, max_initial_ts_idx=max_ts_idx,
+                    quality=True, sot_pos=n_cond,
                 )
                 with prec_ctx:
-                    toks_dev, length = fn(
+                    toks_dev, length, logp, ns = fn(
                         self.params, jnp.asarray(window), prompt,
                         self._suppress_ts)
+                length = int(length)
                 new_tokens = [
-                    int(t) for t in np.asarray(toks_dev)[: int(length)]
+                    int(t) for t in np.asarray(toks_dev)[:length]
                 ][n_cond:]  # drop the conditioning prefix
+                P = int(prompt.shape[0])
+                meta = (
+                    float(logp) / max(length - P, 1),
+                    compression_ratio(
+                        tok.decode(new_tokens, skip_special=True)),
+                    float(ns) if float(ns) >= 0.0 else None,
+                )
             stitcher.add_window(
-                new_tokens, start / sample_rate, (end - start) / sample_rate)
+                new_tokens, start / sample_rate, (end - start) / sample_rate,
+                quality=meta)
 
             if prompt_reset_at is None:  # this window was accepted at a
                 # high sampling temperature: cut it from future prompts

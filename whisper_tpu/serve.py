@@ -578,17 +578,26 @@ def make_handler(worker: BatchingWorker, sample_rate: int,
                 self._raw(200, formats.to_tsv(req.segments),
                           "text/tab-separated-values")
             else:
+                def seg_doc(s):
+                    d = {"start": round(s.start, 3), "end": round(s.end, 3),
+                         "text": s.text}
+                    # decode-quality metadata: consumers filter
+                    # low-confidence segments on these
+                    if s.avg_logprob is not None:
+                        d["avg_logprob"] = round(s.avg_logprob, 4)
+                    if s.compression_ratio is not None:
+                        d["compression_ratio"] = round(s.compression_ratio, 4)
+                    if s.no_speech_prob is not None:
+                        d["no_speech_prob"] = round(s.no_speech_prob, 4)
+                    if s.words is not None:
+                        d["words"] = [
+                            {"word": w.word, "start": round(w.start, 3),
+                             "end": round(w.end, 3)} for w in s.words]
+                    return d
+
                 doc = {
                     "text": req.result[0],
-                    "segments": [
-                        {"start": round(s.start, 3), "end": round(s.end, 3),
-                         "text": s.text,
-                         **({"words": [
-                             {"word": w.word, "start": round(w.start, 3),
-                              "end": round(w.end, 3)} for w in s.words]}
-                            if s.words is not None else {})}
-                        for s in req.segments
-                    ],
+                    "segments": [seg_doc(s) for s in req.segments],
                 }
                 if req.detected_lang is not None:
                     doc["language"] = req.detected_lang
