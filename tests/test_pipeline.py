@@ -904,3 +904,40 @@ class TestVad:
         (r_plain, _) = bt.transcribe_many(
             [speech, silence], 16000, dataclasses.replace(opt, vad=False))
         assert r_speech == r_plain
+
+
+class TestVadLanguageDetection:
+    """VAD-assisted language detection (VERDICT r3 weak #7): leading
+    silence/music no longer drives the decision."""
+
+    N_WINDOW = 160 * 55 - 1  # max_waveform_samples(54) for the test config
+
+    def test_silence_leading_audio_uses_speech_window(self, setup):
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        rng = np.random.default_rng(11)
+        speech = rng.standard_normal(self.N_WINDOW).astype(np.float32)
+        led = np.concatenate([np.zeros(self.N_WINDOW, np.float32), speech])
+        code_led, dist_led = t.detect_language(led)
+        code_sp, dist_sp = t.detect_language(speech)
+        assert code_led == code_sp
+        for k in dist_sp:  # the SAME window was scored, not the silence
+            assert dist_led[k] == pytest.approx(dist_sp[k], abs=1e-6)
+
+    def test_all_silence_falls_back_to_first_window(self, setup):
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        code, dist = t.detect_language(np.zeros(2 * self.N_WINDOW, np.float32))
+        assert code in dist and abs(sum(dist.values()) - 1.0) < 1e-4
+
+    def test_vote_averages_windows(self, setup):
+        params, cfg, tok = setup
+        t = Transcriber(params, cfg, tok)
+        rng = np.random.default_rng(12)
+        w1 = rng.standard_normal(self.N_WINDOW).astype(np.float32)
+        w2 = rng.standard_normal(self.N_WINDOW).astype(np.float32)
+        _, d1 = t.detect_language(w1)
+        _, d2 = t.detect_language(w2)
+        _, dv = t.detect_language(np.concatenate([w1, w2]), vote_windows=2)
+        for k in dv:
+            assert dv[k] == pytest.approx((d1[k] + d2[k]) / 2, abs=1e-6)

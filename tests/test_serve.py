@@ -147,6 +147,10 @@ class TestServer:
                             _wav_bytes())
         assert status == 200
         assert "language" in obj and "text" in obj
+        # lang=auto exposes the detection distribution (top-k)
+        assert "language_probs" in obj
+        assert obj["language"] in obj["language_probs"]
+        assert all(0.0 <= p <= 1.0 for p in obj["language_probs"].values())
 
     def test_vad_param(self, server):
         """vad=1 wires DecodeOptions.vad through the batch worker: a

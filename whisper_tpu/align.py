@@ -261,8 +261,18 @@ def find_word_timings(
     The standard Whisper method: alignment-head cross-attention weights,
     per-head mean/std normalization over the token axis, median filter over
     frames, head-averaged cost matrix, DTW, word grouping. Times are
-    window-relative seconds on the 20 ms encoder grid."""
-    heads = list(heads) if heads is not None else default_alignment_heads(cfg)
+    window-relative seconds on the 20 ms encoder grid.
+
+    Head priority: explicit `heads` arg > the model's baked mask
+    (`cfg.alignment_heads`, persisted by the converters) > the generic
+    top-half fallback. Baked masks track audio time far better than the
+    fallback -- on real checkpoints always convert with the mask."""
+    if heads is not None:
+        heads = list(heads)
+    elif cfg.alignment_heads:
+        heads = [tuple(p) for p in cfg.alignment_heads]
+    else:
+        heads = default_alignment_heads(cfg)
     toks = list(map(int, tokens))
     s_real = len(toks)
     # Bucket the sequence length (pad with EOT to a multiple of 64, capped

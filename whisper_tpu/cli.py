@@ -350,15 +350,44 @@ def cmd_convert_pt(argv) -> int:
     p.add_argument("out", help="output basename: writes <out>.safetensors + <out>.cfg")
     p.add_argument("--dump-tree", action="store_true",
                    help="also write the reference-format npy dump tree at <out>/")
+    p.add_argument("--alignment-heads", default=None, metavar="JSON",
+                   help="word-timing alignment heads as JSON [[layer, head],"
+                        " ...] or a path to a JSON file (e.g. an HF "
+                        "generation_config.json); auto-detected from a "
+                        "sibling generation_config.json when omitted. "
+                        "OpenAI .pt files do not embed the mask -- pass it "
+                        "here for best word timestamps.")
     args = p.parse_args(argv)
 
     from .io import checkpoint, convert_pt, npy_tree
 
+    heads = None
+    if args.alignment_heads:
+        import json as _json
+
+        try:
+            if os.path.exists(args.alignment_heads):
+                with open(args.alignment_heads) as f:
+                    heads = _json.load(f)
+                if isinstance(heads, dict):  # a generation_config.json
+                    heads = heads.get("alignment_heads")
+                    if heads is None:
+                        print(f"{args.alignment_heads}: no alignment_heads "
+                              "key", file=sys.stderr)
+                        return 1
+            else:
+                heads = _json.loads(args.alignment_heads)
+        except ValueError as e:
+            print(f"Bad --alignment-heads: {e}", file=sys.stderr)
+            return 1
     try:
-        params, cfg = convert_pt.load_pt(args.pt_file)
+        params, cfg = convert_pt.load_pt(args.pt_file, alignment_heads=heads)
     except Exception as e:
         print(f"Error loading checkpoint {args.pt_file}: {e}", file=sys.stderr)
         return 1
+    if cfg.alignment_heads:
+        print(f"Alignment heads: {len(cfg.alignment_heads)} baked "
+              "(word timings will use them)")
     print("Saving model...")
     checkpoint.save_safetensors(params, cfg, f"{args.out}.safetensors")
     print("Saving config...")
@@ -715,9 +744,11 @@ def cmd_finetune(argv) -> int:
 def cmd_detect_lang(argv) -> int:
     p = argparse.ArgumentParser(
         prog="whisper_tpu detect-lang",
-        description="Identify the spoken language of an audio file from its "
-                    "first ~15s window (multilingual models). Prints a JSON "
-                    "line {language, probs: {code: p, ...top-k}}.",
+        description="Identify the spoken language of an audio file "
+                    "(multilingual models). Scans for speech-bearing "
+                    "windows (energy VAD) so leading silence/music does "
+                    "not misdetect. Prints a JSON line "
+                    "{language, probs: {code: p, ...top-k}}.",
     )
     p.add_argument("model", help="checkpoint (.safetensors/.cfg, npy dir, "
                                  "or .mpk.gz)")
@@ -726,6 +757,9 @@ def cmd_detect_lang(argv) -> int:
     p.add_argument("--resample", action="store_true")
     p.add_argument("--top", type=int, default=5,
                    help="number of candidate languages to report")
+    p.add_argument("--vote-windows", type=int, default=1,
+                   help="average the distribution over up to this many "
+                        "speech-bearing windows")
     p.add_argument("-v", "--verbose", action="count", default=0)
     args = p.parse_args(argv)
 
@@ -768,7 +802,8 @@ def cmd_detect_lang(argv) -> int:
     params, cfg = checkpoint.load_params(args.model)
     t = Transcriber(params, cfg, tok)
     try:
-        code, dist = t.detect_language(waveform, rate)
+        code, dist = t.detect_language(waveform, rate,
+                                       vote_windows=args.vote_windows)
     except ValueError as e:
         print(f"Language detection failed: {e}", file=sys.stderr)
         return 1

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Any, Dict
+from typing import Any, Dict, Optional, Tuple
 
 # Audio frontend constants (reference: src/audio.rs:5-8).
 N_FFT = 400
@@ -56,6 +56,15 @@ class WhisperConfig:
     # GSPMD-partitionable) or "flash" (Pallas VMEM kernel; inference-only,
     # single-device/dp-only -- the inference entry points opt in on TPU).
     attention: str = "xla"
+    # Word-timing alignment heads [(layer, head), ...]: the cross-attention
+    # heads whose weights track audio time. OpenAI bakes a per-model mask
+    # (set_alignment_heads in openai-whisper; HF exposes it as
+    # generation_config.alignment_heads); converters persist it here and
+    # align.find_word_timings consumes it. None = the generic top-half
+    # fallback (align.default_alignment_heads). Round-trips through the
+    # .cfg JSON as an extra key (absent when None, so reference-format
+    # .cfg files are written unchanged for models without a mask).
+    alignment_heads: Optional[Tuple[Tuple[int, int], ...]] = None
 
     def __post_init__(self) -> None:
         # Reference asserts encoder/decoder state sizes equal (src/model/mod.rs:27-32).
@@ -107,13 +116,20 @@ class WhisperConfig:
                 n_text_head=int(dec["n_text_head"]),
                 n_text_layer=int(dec["n_text_layer"]),
             ),
+            alignment_heads=(
+                tuple((int(l), int(h)) for l, h in d["alignment_heads"])
+                if d.get("alignment_heads") else None
+            ),
         )
 
     def to_cfg_dict(self) -> Dict[str, Any]:
-        return {
+        out = {
             "audio_encoder_config": dataclasses.asdict(self.audio_encoder_config),
             "text_decoder_config": dataclasses.asdict(self.text_decoder_config),
         }
+        if self.alignment_heads is not None:
+            out["alignment_heads"] = [list(p) for p in self.alignment_heads]
+        return out
 
     @classmethod
     def load(cls, path: str) -> "WhisperConfig":

@@ -568,22 +568,52 @@ class Transcriber:
 
     # ------------------------------------------------------------------
     def detect_language(self, waveform: np.ndarray,
-                        sample_rate: int = SAMPLE_RATE):
-        """Identify the spoken language from the first audio window.
+                        sample_rate: int = SAMPLE_RATE,
+                        vote_windows: int = 1,
+                        vad_threshold_db: float = -40.0,
+                        vad_min_speech_seconds: float = 0.1):
+        """Identify the spoken language. Returns (best code, {code: prob}).
 
-        Returns (best code, {code: prob}). New capability: the reference
-        requires the language up front (src/bin/transcribe/main.rs:97-105).
+        New capability: the reference requires the language up front
+        (src/bin/transcribe/main.rs:97-105). The audio is scanned window by
+        window with the energy VAD for SPEECH-BEARING windows -- audio with
+        leading music/silence no longer misdetects off dead air -- and the
+        language distribution is averaged over up to `vote_windows` of
+        them. Falls back to the first window when everything is below the
+        VAD threshold.
         """
         from .detect import detect_language as _detect
 
         n_window = max_waveform_samples(self.cfg.encoder_ctx_size - 10)
-        window = np.asarray(waveform[:n_window], np.float32)
-        if len(window) < 400:
+        wave = np.asarray(waveform, np.float32)
+        if len(wave) < 400:
             raise ValueError("audio too short for language detection")
-        mel = prep_audio(jnp.asarray(window)[None, :], n_mels=self.cfg.n_mels)
-        enc = M.encoder_forward(self.params, mel.astype(
-            self.params["decoder"]["tok_emb"].dtype), self.cfg)
-        return _detect(self.params, enc, self.cfg, self.tok)[0]
+
+        starts: List[int] = []
+        for s0 in range(0, len(wave), n_window):
+            win = wave[s0 : s0 + n_window]
+            if len(win) < 400:
+                break
+            if not vad.is_silent(win, sample_rate, vad_threshold_db,
+                                 vad_min_speech_seconds):
+                starts.append(s0)
+                if len(starts) >= max(1, int(vote_windows)):
+                    break
+        if not starts:
+            starts = [0]  # all silent: the first window is as good as any
+
+        acc: dict = {}
+        for s0 in starts:
+            window = wave[s0 : s0 + n_window]
+            mel = prep_audio(
+                jnp.asarray(window)[None, :], n_mels=self.cfg.n_mels)
+            enc = M.encoder_forward(self.params, mel.astype(
+                self.params["decoder"]["tok_emb"].dtype), self.cfg)
+            _, dist = _detect(self.params, enc, self.cfg, self.tok)[0]
+            for code, p in dist.items():
+                acc[code] = acc.get(code, 0.0) + p / len(starts)
+        best = max(acc, key=acc.get)
+        return best, acc
 
     # ------------------------------------------------------------------
     def transcribe(

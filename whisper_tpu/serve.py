@@ -64,6 +64,7 @@ class _Request:
         self.result: Optional[tuple] = None
         self.segments = None  # timestamped path: [Segment]
         self.detected_lang: Optional[str] = None  # lang == "auto"
+        self.detected_probs: Optional[dict] = None  # {code: p} when auto
         self.error: Optional[str] = None
         # set by the handler when its waiter gave up (504): the worker
         # drops abandoned requests instead of burning chip time on them
@@ -216,8 +217,8 @@ class BatchingWorker(threading.Thread):
                     ok = []
                     for r in batch:
                         try:
-                            r.detected_lang, _ = self.t.detect_language(
-                                r.wave)
+                            r.detected_lang, r.detected_probs = \
+                                self.t.detect_language(r.wave)
                             ok.append(r)
                         except Exception as e:
                             r.error = str(e)
@@ -351,6 +352,12 @@ class StreamSessions:
         for sid in [k for k, v in self._sessions.items()
                     if now - v["last_used"] > self.ttl_s]:
             del self._sessions[sid]
+
+
+def _top_probs(dist: dict, k: int = 5) -> dict:
+    """Top-k language probabilities, rounded, for lang=auto responses."""
+    top = sorted(dist.items(), key=lambda kv: -kv[1])[:k]
+    return {code: round(p, 4) for code, p in top}
 
 
 def _pcm_to_f32(data: bytes, fmt: str) -> np.ndarray:
@@ -562,6 +569,8 @@ def make_handler(worker: BatchingWorker, sample_rate: int,
                 doc = {"text": text, "tokens": tokens}
                 if req.detected_lang is not None:
                     doc["language"] = req.detected_lang
+                if req.detected_probs is not None:
+                    doc["language_probs"] = _top_probs(req.detected_probs)
                 self._json(200, doc)
 
         def _respond_segments(self, req: _Request, out_format: str) -> None:
@@ -601,6 +610,8 @@ def make_handler(worker: BatchingWorker, sample_rate: int,
                 }
                 if req.detected_lang is not None:
                     doc["language"] = req.detected_lang
+                if req.detected_probs is not None:
+                    doc["language_probs"] = _top_probs(req.detected_probs)
                 self._json(200, doc)
 
     return Handler
