@@ -36,6 +36,11 @@ Env knobs:
   WHISPER_TPU_BENCH_SECOND_BATCH (streams for the secondary; default 128 --
                             tiny.en decode is tiny, throughput keeps scaling)
   WHISPER_TPU_BENCH_SECOND_BEAM_BATCH (windows; default 64)
+  WHISPER_TPU_BENCH_EOT    (fixed | ragged; default fixed. ragged gives each
+                            stream a real EOT at a staggered depth via a
+                            logits_hook -- times the done-masked idle steps
+                            and ragged-finish epilogue the fixed-depth run
+                            never exercises; see docs/PERFORMANCE.md)
 """
 
 from __future__ import annotations
@@ -84,23 +89,48 @@ def bench_model(model_name: str, batch: int, steps: int, reps: int,
     window_seconds = window_samples / 16000.0
     prompt = jnp.asarray([3, 7, 11, 13], jnp.int32)  # 4-token prompt shape
 
+    # WHISPER_TPU_BENCH_EOT=ragged: a logits_hook boosts a REAL eot id once
+    # a stream's depth passes its per-stream threshold (linspace over
+    # [0.3*steps, steps-1]), so streams finish STAGGERED like real audio and
+    # the done-masked idle steps + ragged-finish epilogue are timed (the
+    # default fixed-depth run never exercises them). Deterministic: the
+    # +1e4 boost dominates any random-weight logit.
+    eot_mode = os.environ.get("WHISPER_TPU_BENCH_EOT", "fixed")
+
     def make_window_fn(strategy, beam_size=5):
+        eot_id = -1  # fixed: no token matches, all streams run `steps`
+        hook = None
+        if eot_mode == "ragged":
+            eot_id = cfg.text_decoder_config.n_vocab - 1
+            P = int(prompt.shape[0])
+
+            def hook(logits, tokens, seq_len):
+                n = logits.shape[0]
+                grp = jnp.arange(n) // beam_size if strategy == "beam" \
+                    else jnp.arange(n)
+                ngrp = n // beam_size if strategy == "beam" else n
+                thr = jnp.floor(
+                    0.3 * steps
+                    + grp * (0.7 * steps - 1.0) / max(ngrp - 1, 1))
+                boost = jnp.where(seq_len - P >= thr, 1e4, 0.0)
+                return logits.at[:, eot_id].add(boost)
+
         def window_fn(params, wave):
             mel = prep_audio(wave, per_sample_max=True, n_mels=cfg.n_mels)
             mel = jnp.pad(mel, ((0, 0), (0, 0), (0, padding)))
             enc = M.encoder_forward(params, mel.astype(jnp.bfloat16), cfg)
-            # eot_id=-1: no token matches, so all streams run `steps` decode
-            # iterations -- fixed work, deterministic timing.
             if strategy == "beam":
                 toks, lengths, _ = dbeam.beam_search_batched(
-                    params, enc, prompt, cfg, eot_id=-1, beam_size=beam_size,
-                    max_depth=steps, kv_quant=kv_quant,
+                    params, enc, prompt, cfg, eot_id=eot_id,
+                    beam_size=beam_size, max_depth=steps, kv_quant=kv_quant,
                     self_quant=self_kv in ("beam", "int8"),
+                    logits_hook=hook,
                 )
             else:
                 toks, lengths, _ = greedy.greedy_decode(
-                    params, enc, prompt, cfg, eot_id=-1, max_depth=steps,
+                    params, enc, prompt, cfg, eot_id=eot_id, max_depth=steps,
                     kv_quant=kv_quant, self_quant=self_kv == "int8",
+                    logits_hook=hook,
                 )
             return lengths
         return window_fn
@@ -119,8 +149,14 @@ def bench_model(model_name: str, batch: int, steps: int, reps: int,
             rng.standard_normal((b, window_samples)).astype(np.float32) * 0.1
         )
         t0 = time.perf_counter()
-        np.asarray(fn(params, wave))
+        lengths = np.asarray(fn(params, wave))
         compile_s = time.perf_counter() - t0
+        if eot_mode == "ragged":
+            print(f"# {strategy} ragged depths: mean "
+                  f"{float(lengths.mean()) - prompt.shape[0]:.1f} of {steps} "
+                  f"(min {int(lengths.min()) - prompt.shape[0]}, "
+                  f"max {int(lengths.max()) - prompt.shape[0]})",
+                  file=sys.stderr)
         print(f"# {strategy} b{b}: compile+first run {compile_s:.1f}s",
               file=sys.stderr)
         times = []
@@ -138,7 +174,8 @@ def bench_model(model_name: str, batch: int, steps: int, reps: int,
     xrt, tok_s = run_config("greedy", batch)
 
     suffix = (f"_{quant}" if quant else "") + (
-        "_kv4" if kv_quant == "int4" else "_kv8" if kv_quant else "")
+        "_kv4" if kv_quant == "int4" else "_kv8" if kv_quant else "") + (
+        "_ragged" if eot_mode == "ragged" else "")
     tag = model_name.replace(".", "_").replace("-", "_")
     record = {
         "metric": f"xrt_{tag}_b{batch}_greedy{steps}{suffix}",

@@ -1,4 +1,7 @@
-"""Beam-step ablation. variants: full | nogather | fasttopk | both"""
+"""Beam-step ablation. variants: full | nogather | fasttopk | both |
+nobook (constant per-lane proposals: XLA dead-codes the remaining
+full-vocab pass -- isolates the whole bookkeeping tail of the compressed
+round-4 step)"""
 import sys, os as _os
 sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), '..', '..'))
 import os, time, sys
@@ -21,6 +24,12 @@ if variant == "xlatake":
     from whisper_tpu.models import whisper as MW
     BM._cache_gather = lambda k, v, gp: (
         MW.permute_lanes(k, gp), MW.permute_lanes(v, gp))
+if variant == "nobook":
+    # constant proposals: XLA dead-codes the full-vocab topk+lse pass
+    BM._topk_lse = lambda x, k, seg=128: (
+        jnp.zeros((*x.shape[:-1], k), x.dtype) - 1.0,
+        jnp.zeros((*x.shape[:-1], k), jnp.int32),
+        jnp.zeros(x.shape[:-1], x.dtype))
 if variant in ("fasttopk", "both"):
     def fast_top_k(x, k):
         vals, idxs = [], []
@@ -35,7 +44,8 @@ if variant in ("fasttopk", "both"):
 
 cfg = dataclasses.replace(preset("large-v2"), attention="flash")
 params = quantize_params(M.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16))
-W, SA = int(os.environ.get('W', '8')), 750
+W = int(os.environ.get('W', '8'))
+SA = int(os.environ.get('SA', '750'))
 enc = jax.random.normal(jax.random.PRNGKey(1), (W, SA, cfg.n_state), jnp.bfloat16)
 prompt = jnp.array([50258, 50259, 50359], jnp.int32)
 fn = jax.jit(functools.partial(

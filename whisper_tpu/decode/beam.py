@@ -108,6 +108,55 @@ def _top_k(x, k, seg: int = 128):
     return vals, gi
 
 
+def _topk_lse(x, k, seg: int = 128):
+    """Per-row top-k AND logsumexp of `x` in ONE pass over the data.
+
+    The batched beam step needs, per lane, (a) the top-k raw masked logits
+    (per-lane candidate ORDER is invariant to the per-lane normalizer) and
+    (b) the log-softmax normalizer. Computing them together from the same
+    per-segment maxima streams the (B, V) logits once per step, replacing
+    the full log_softmax write + candidate add + top-k re-read of the
+    materialized (W, K, V) `logp_next` (~4 extra full-vocab passes/step at
+    large-v2 W48; docs/PERFORMANCE.md round-4 bookkeeping trim).
+
+    Top-k indices/values are element-identical to `_top_k` (same two-level
+    segment scheme, same tie order, same -inf duplicate-0 quirk). The
+    logsumexp combines per-segment online partials
+    (sum_j exp(m_j - M) * sum_seg_j exp(x - m_j)); -inf segments contribute
+    0, an all--inf row returns -inf (no NaNs).
+    """
+    n = x.shape[-1]
+    if n <= 4 * seg:
+        vals, idx = _top_k_iter(x, k)
+        return vals, idx, jax.scipy.special.logsumexp(x, axis=-1)
+    pad = (-n) % seg
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)],
+                    constant_values=-jnp.inf)
+    nseg = (n + pad) // seg
+    xs = x.reshape(*x.shape[:-1], nseg, seg)
+    seg_max = jnp.max(xs, axis=-1)  # (..., nseg): the ONE full-stream pass
+    safe = jnp.where(jnp.isneginf(seg_max), 0.0, seg_max)
+    # fused by XLA with the max pass (same reshaped operand, no dependency)
+    seg_sum = jnp.sum(jnp.exp(xs - safe[..., None]), axis=-1)
+    m = jnp.max(seg_max, axis=-1)
+    m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+    total = jnp.sum(seg_sum * jnp.exp(seg_max - m_safe[..., None]), axis=-1)
+    lse = jnp.where(jnp.isneginf(m), NEG_INF, jnp.log(total) + m)
+
+    # top-k from the SAME seg_max (identical math to `_top_k`)
+    _, seg_idx = jax.lax.top_k(seg_max, k)
+    seg_idx = jnp.sort(seg_idx, axis=-1)
+    gathered = jnp.take_along_axis(xs, seg_idx[..., None], axis=-2)
+    vals, local = _top_k_iter(gathered.reshape(*x.shape[:-1], k * seg), k)
+    gi = (
+        jnp.take_along_axis(seg_idx, local // seg, axis=-1) * seg
+        + local % seg
+    ).astype(jnp.int32)
+    gi = jnp.where(jnp.isneginf(vals), 0, gi)
+    return vals, gi, lse
+
+
 def _fuse_reshuffle(self_k, cfg, allow=None) -> bool:
     """True when the beam reshuffle should ride the fused decode kernel
     (flash attention + quantized self-KV; WHISPER_TPU_FUSED_PERMUTE=0
@@ -276,6 +325,7 @@ def beam_search(
     nospeech_id: Optional[int] = None,  # also return p(<|nospeech|>) at SOT
     sot_pos: int = 0,  # prompt index of <|startoftranscript|>
     fuse_reshuffle: Optional[bool] = None,  # False: never the fused kernel
+    logits_hook=None,  # Callable[(logits, tokens, seq_len) -> logits]
 ) -> Tuple[jax.Array, ...]:
     """Run beam search; returns (tokens (n_text_ctx,), length, log_prob).
 
@@ -287,6 +337,12 @@ def beam_search(
     (apply_timestamp_rules) for timestamped decoding. `nospeech_id` appends
     a 4th output: p(<|nospeech|>) from the prefill logits at the SOT
     position (no-speech detection; new capability beyond the reference).
+
+    `logits_hook` is a traced custom logit filter `(logits (K, V) f32,
+    tokens (K, ctx), seq_len) -> logits`, applied after the suppression
+    window and timestamp rules, before the log-softmax -- the extension
+    point OpenAI Whisper exposes as LogitFilter (new capability; the
+    in-graph bench uses it to stagger EOT depths).
     """
     K = beam_size
     dec_cfg = cfg.text_decoder_config
@@ -302,6 +358,8 @@ def beam_search(
             x = apply_timestamp_rules(
                 x, tokens, seq_len, P, ts_begin, eot_id, max_initial_ts_idx
             )
+        if logits_hook is not None:
+            x = logits_hook(x, tokens, seq_len)
         return jax.nn.log_softmax(x, axis=-1)
 
     # ---- prefill: all K lanes carry the same prompt; only lane 0 is live.
@@ -455,6 +513,7 @@ def beam_search(
         "nospeech_id",
         "sot_pos",
         "fuse_reshuffle",
+        "logits_hook",
     ),
 )
 def beam_search_jit(
@@ -474,6 +533,7 @@ def beam_search_jit(
     nospeech_id: Optional[int] = None,
     sot_pos: int = 0,
     fuse_reshuffle: Optional[bool] = None,
+    logits_hook=None,
 ):
     return beam_search(
         params,
@@ -492,6 +552,7 @@ def beam_search_jit(
         nospeech_id,
         sot_pos,
         fuse_reshuffle,
+        logits_hook,
     )
 
 
@@ -506,7 +567,13 @@ class BatchedBeamState(NamedTuple):
     fin_tokens: jax.Array  # (W, K, ctx)
     fin_len: jax.Array  # (W, K)
     fin_logp: jax.Array  # (W, K)
-    logp_next: jax.Array  # (W, K, V)
+    # compressed next-step proposals: each lane's top-K continuation token
+    # ids and their NORMALIZED log-probs. Exact-equivalent to carrying the
+    # full (W, K, V) log-softmax (the global top-K over K x V candidates can
+    # take at most K winners from one lane, and per-lane order is invariant
+    # to the per-lane normalizer), at 1/V the carry + bookkeeping traffic.
+    next_vals: jax.Array  # (W, K, K) f32: logp of lane l's rank-j proposal
+    next_idx: jax.Array  # (W, K, K) i32: its token id
     self_k: jax.Array  # (W*K, L, C, d), batch-major (see init_cache)
     self_v: jax.Array
 
@@ -528,11 +595,16 @@ def beam_search_batched(
     fuse_reshuffle: Optional[bool] = None,  # False: never the fused kernel
     ts_begin: Optional[int] = None,  # <|0.00|> id: in-graph timestamp rules
     max_initial_ts_idx: int = 50,
+    logits_hook=None,  # Callable[(logits, tokens, seq_len) -> logits]
 ):
     """Beam-search W windows in ONE flat while_loop (no vmap).
 
     All W x K lanes run one decoder program; per-window beam bookkeeping is
-    batched arithmetic (top-k over a (W, K*V) candidate matrix). Windows
+    batched arithmetic, compressed to each lane's top-K proposals so the
+    full-vocab logits are streamed ONCE per step (`_topk_lse`) and the
+    while_loop carry holds (W, K, K) proposals instead of the (W, K, V)
+    log-softmax -- exact-equivalent to the top-k over the (W, K*V)
+    candidate matrix (see `_proposals`). Windows
     whose stop rule has fired are frozen by masking their result-bearing
     leaves, exactly reproducing per-window `beam_search` semantics
     (src/beam.rs:22-27 early stop) while the batch runs until the slowest
@@ -556,9 +628,16 @@ def beam_search_batched(
     W = enc_out.shape[0]
     B = W * K
 
-    def _logp_flat(logits, tokens_flat, seq_len):
-        """(B, V) masked log-softmax; tokens_flat (B, ctx) drives the
-        timestamp rules (identical math to the single-window `_logp`)."""
+    def _proposals(logits, tokens_flat, seq_len):
+        """Masked (B, V) logits -> per-lane top-K proposals + normalizer.
+
+        Applies the same masking as the single-window `_logp` (suppress
+        window, then the timestamp rules on the flat (B, ctx) token state),
+        then compresses to (next_vals, next_idx): rank-ordered normalized
+        log-probs and token ids, (W, K, K) each. One fused pass over the
+        logits (`_topk_lse`) instead of materializing the (B, V)
+        log-softmax; selection and tie-breaks are element-identical (see
+        `_topk_lse`)."""
         x = logits.astype(jnp.float32)
         if suppress_mask is not None:
             x = jnp.where(seq_len <= suppress_until_len, x + suppress_mask, x)
@@ -567,7 +646,11 @@ def beam_search_batched(
                 x, tokens_flat, seq_len, P, ts_begin, eot_id,
                 max_initial_ts_idx,
             )
-        return jax.nn.log_softmax(x, axis=-1)
+        if logits_hook is not None:
+            x = logits_hook(x, tokens_flat, seq_len)
+        vals, idx, lse = _topk_lse(x, K)
+        return ((vals - lse[:, None]).reshape(W, K, K),
+                idx.reshape(W, K, K))
 
     # cross-KV stays per-window (W rows); lanes map to windows i // K inside
     # the attention paths -- no K-fold replication of the cross cache.
@@ -585,8 +668,7 @@ def beam_search_batched(
         ns_prob = jax.nn.softmax(
             logits[::K, sot_pos].astype(jnp.float32), axis=-1
         )[:, nospeech_id]
-    logp_next = _logp_flat(logits[:, -1], tokens0, jnp.int32(P)).reshape(
-        W, K, V)
+    next_vals, next_idx = _proposals(logits[:, -1], tokens0, jnp.int32(P))
 
     lane = jnp.arange(K)
     state = BatchedBeamState(
@@ -602,7 +684,8 @@ def beam_search_batched(
         fin_tokens=jnp.zeros((W, K, ctx), jnp.int32),
         fin_len=jnp.zeros((W, K), jnp.int32),
         fin_logp=jnp.full((W, K), NEG_INF, jnp.float32),
-        logp_next=logp_next,
+        next_vals=next_vals,
+        next_idx=next_idx,
         self_k=cache.self_k,
         self_v=cache.self_v,
     )
@@ -635,13 +718,18 @@ def beam_search_batched(
             all_tokens, fin_idx[:, :, None], axis=1)
         fin_len = jnp.take_along_axis(all_len, fin_idx, axis=1)
 
-        # (b) expand active beams: per-window top-K over (K x V) candidates
+        # (b) expand active beams: per-window top-K over the COMPRESSED
+        # (K x K) proposal matrix -- exact-equivalent to the top-K over the
+        # full (K x V) candidates (at most K winners come from one lane; the
+        # flat lane-major/rank order reproduces the lowest-global-index tie
+        # break: rank order within a lane IS ascending token order on ties).
         active = s.cur_valid & ~s.cur_eot
         cand = jnp.where(
-            active[:, :, None], s.cur_logp[:, :, None] + s.logp_next, NEG_INF)
-        new_logp, flat_idx = _top_k(cand.reshape(W, K * V), K)
-        parent = flat_idx // V  # (W, K) in-window parent lane
-        tok = (flat_idx % V).astype(jnp.int32)
+            active[:, :, None], s.cur_logp[:, :, None] + s.next_vals, NEG_INF)
+        new_logp, flat_idx = _top_k(cand.reshape(W, K * K), K)
+        parent = flat_idx // K  # (W, K) in-window parent lane
+        tok = jnp.take_along_axis(
+            s.next_idx.reshape(W, K * K), flat_idx, axis=-1)
 
         new_tokens = jnp.take_along_axis(
             s.cur_tokens, parent[:, :, None], axis=1
@@ -666,9 +754,8 @@ def beam_search_batched(
             logits, cache = M.decoder_step(
                 params, tok.reshape(B, 1), s.cur_len, full, cfg
             )
-        logp_next = _logp_flat(
-            logits[:, -1], new_tokens.reshape(B, ctx), s.cur_len + 1
-        ).reshape(W, K, V)
+        next_vals, next_idx = _proposals(
+            logits[:, -1], new_tokens.reshape(B, ctx), s.cur_len + 1)
 
         # (e) freeze result-bearing leaves of stopped windows (the flat
         # equivalent of the while_loop batching rule's carry select)
@@ -685,12 +772,12 @@ def beam_search_batched(
             fin_tokens=jnp.where(f2, s.fin_tokens, fin_tokens),
             fin_len=jnp.where(f1, s.fin_len, fin_len),
             fin_logp=jnp.where(f1, s.fin_logp, fin_logp),
-            # logp_next needs no freeze: a stopped window's RESULT leaves
-            # (tokens/logp/valid/fin_*) are frozen above, its stop rule
-            # reads only those, and the candidates computed from a stale
-            # logp_next next step are discarded by the same masks -- so the
-            # (W, K, V) select (25 MB/step at W24) is pure waste.
-            logp_next=logp_next,
+            # next_vals/next_idx need no freeze: a stopped window's RESULT
+            # leaves (tokens/logp/valid/fin_*) are frozen above, its stop
+            # rule reads only those, and candidates computed from stale
+            # proposals next step are discarded by the same masks.
+            next_vals=next_vals,
+            next_idx=next_idx,
             self_k=cache.self_k,
             self_v=cache.self_v,
         )
@@ -742,7 +829,7 @@ def beam_search_batched(
     static_argnames=("cfg", "eot_id", "beam_size", "max_depth",
                      "suppress_until_len", "kv_quant", "self_quant",
                      "nospeech_id", "sot_pos", "fuse_reshuffle",
-                     "ts_begin", "max_initial_ts_idx"),
+                     "ts_begin", "max_initial_ts_idx", "logits_hook"),
 )
 def beam_search_batched_jit(
     params, enc_out, prompt, cfg: WhisperConfig, eot_id: int,
@@ -751,9 +838,10 @@ def beam_search_batched_jit(
     self_quant: bool = False, nospeech_id: Optional[int] = None,
     sot_pos: int = 0, fuse_reshuffle: Optional[bool] = None,
     ts_begin: Optional[int] = None, max_initial_ts_idx: int = 50,
+    logits_hook=None,
 ):
     return beam_search_batched(
         params, enc_out, prompt, cfg, eot_id, suppress_mask, beam_size,
         max_depth, suppress_until_len, kv_quant, self_quant, nospeech_id,
-        sot_pos, fuse_reshuffle, ts_begin, max_initial_ts_idx,
+        sot_pos, fuse_reshuffle, ts_begin, max_initial_ts_idx, logits_hook,
     )

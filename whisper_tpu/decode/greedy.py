@@ -75,6 +75,7 @@ def greedy_decode(
     nospeech_id: Optional[int] = None,  # also return p(<|nospeech|>) at SOT
     sot_pos: int = 0,  # prompt index of <|startoftranscript|>
     fuse_append: Optional[bool] = None,  # False: never the fused kernel
+    logits_hook=None,  # LogitFilter: (logits, tokens, seq_len) -> logits
 ) -> Tuple[jax.Array, ...]:
     """Greedy decode; returns (tokens (B, n_text_ctx), lengths (B,), sum_logp).
 
@@ -105,6 +106,11 @@ def greedy_decode(
             x = apply_timestamp_rules(
                 x, tokens, seq_len, P, ts_begin, eot_id, max_initial_ts_idx
             )
+        if logits_hook is not None:
+            # traced custom logit filter (OpenAI Whisper's LogitFilter
+            # extension point; new capability) -- after suppression +
+            # timestamp rules, before the log-softmax
+            x = logits_hook(x, tokens, seq_len)
         return jax.nn.log_softmax(x, axis=-1)
 
     tokens0 = jnp.zeros((B, ctx), jnp.int32).at[:, :P].set(prompt[None, :])
@@ -192,7 +198,7 @@ def greedy_decode(
     static_argnames=("cfg", "eot_id", "batch", "max_depth",
                      "suppress_until_len", "kv_quant", "self_quant",
                      "ts_begin", "max_initial_ts_idx", "temperature",
-                     "nospeech_id", "sot_pos", "fuse_append"),
+                     "nospeech_id", "sot_pos", "fuse_append", "logits_hook"),
 )
 def greedy_decode_jit(
     params,
@@ -213,6 +219,7 @@ def greedy_decode_jit(
     nospeech_id: Optional[int] = None,
     sot_pos: int = 0,
     fuse_append: Optional[bool] = None,
+    logits_hook=None,
 ):
     return greedy_decode(
         params,
@@ -233,4 +240,5 @@ def greedy_decode_jit(
         nospeech_id,
         sot_pos,
         fuse_append,
+        logits_hook,
     )
