@@ -58,6 +58,23 @@ class TestFlashAttention:
         )
 
 
+
+    def test_odd_head_count_group1(self, rng):
+        """n_head=3 forces the G=1 grouping fallback."""
+        q, k, v = _qkv(rng, s=96, d=192)
+        ref = qkv_attention(q, k, v, n_head=3)
+        out = attention_bhsd(q, k, v, n_head=3, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_matches_legacy_kernel(self, rng, monkeypatch):
+        q, k, v = _qkv(rng, s=200)
+        new = attention_bhsd(q, k, v, n_head=2, interpret=True)
+        monkeypatch.setenv("WHISPER_TPU_FLASH_IMPL", "legacy")
+        old = attention_bhsd(q, k, v, n_head=2, interpret=True)
+        np.testing.assert_allclose(np.asarray(new), np.asarray(old), atol=2e-6)
+
+
+
 class TestDecodeAttention:
     def test_matches_xla_cached_attention(self, rng):
         from whisper_tpu.models.whisper import _cached_attention
@@ -713,3 +730,52 @@ class TestFusedReshuffleIntegration:
         for b in range(t1.shape[0]):
             assert np.array_equal(t1[b, :l1[b]], t0[b, :l0[b]]), b
         np.testing.assert_allclose(p1, p0, atol=1e-5)
+
+
+class TestFusedMlpBlock:
+    """fused_mlp_block == x + gelu_exact(ln(x) @ w1 + b1) @ w2 + b2.
+
+    The kernel keeps ln/gelu/accumulator in f32 where the XLA sequence
+    rounds intermediates to bf16, so comparison is against an f32 reference
+    at bf16-level tolerance (one rounding step), not bit-exact.
+    """
+
+    def _make(self, rng, m, d, h, dtype=jnp.bfloat16):
+        def t(shape, scale=0.05):
+            return jnp.asarray(
+                rng.standard_normal(shape).astype(np.float32) * scale, dtype)
+        return (t((m, d), 0.5), t((d,), 1.0) + 1.0, t((d,)),
+                t((d, h)), t((h,)), t((h, d)), t((d,)))
+
+    @staticmethod
+    def _ref_f32(x, g, b, w1, b1, w2, b2, eps=1e-5):
+        from whisper_tpu.models.whisper import layer_norm
+        f = jnp.float32
+        hn = layer_norm(x.astype(f), g.astype(f), b.astype(f), eps)
+        t = jax.nn.gelu(hn @ w1.astype(f) + b1.astype(f), approximate=False)
+        return x.astype(f) + t @ w2.astype(f) + b2.astype(f)
+
+    @pytest.mark.parametrize("m,block_m", [(256, 1024), (300, 128)])
+    def test_matches_reference(self, rng, m, block_m):
+        from whisper_tpu.ops.pallas.encoder_block import fused_mlp_block
+        d, h = 256, 1024
+        x, g, b, w1, b1, w2, b2 = self._make(rng, m, d, h)
+        out = fused_mlp_block(x, g, b, w1, b1, w2, b2, eps=1e-5,
+                              block_m=block_m, block_h=256, interpret=True)
+        ref = self._ref_f32(x, g, b, w1, b1, w2, b2)
+        assert out.dtype == x.dtype
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref), atol=0.06, rtol=0.05)
+
+    def test_leading_axes(self, rng):
+        from whisper_tpu.ops.pallas.encoder_block import fused_mlp_block
+        d, h = 256, 1024
+        x, g, b, w1, b1, w2, b2 = self._make(rng, 6 * 32, d, h)
+        x3 = x.reshape(6, 32, d)
+        out = fused_mlp_block(x3, g, b, w1, b1, w2, b2, block_m=64,
+                              block_h=256, interpret=True)
+        flat = fused_mlp_block(x, g, b, w1, b1, w2, b2, block_m=64,
+                               block_h=256, interpret=True)
+        assert out.shape == (6, 32, d)
+        np.testing.assert_array_equal(
+            np.asarray(out).reshape(-1, d), np.asarray(flat))

@@ -131,6 +131,104 @@ def flash_attention(
     return out.reshape(b, h, sq_pad, hd)[:, :, :sq]
 
 
+def _attn_bsd_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int,
+                     causal: bool, block_q: int, n_group: int, hd: int):
+    """G heads x (q block x full K/V) attention on the NATURAL (S, G*hd)
+    layout: per-head lane slices feed the same per-head dots as the legacy
+    kernel -- no HBM head transpose ever happens."""
+    qi = pl.program_id(2)
+
+    # scores dot runs in the STORAGE dtype with f32 accumulation -- for the
+    # production bf16 activations that is the same single-pass bf16 MXU op
+    # (and the same numerics) as the XLA einsum path; upcasting the
+    # operands to f32 costs multi-pass f32 MXU throughput for accuracy the
+    # baseline path never had.
+    q = q_ref[0]  # (block_q, G*hd)
+    k = k_ref[0]  # (sk_pad, G*hd)
+    v = v_ref[0]
+
+    sk_pad = k.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk_pad), 1)
+    mask = col < kv_len
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk_pad), 0)
+        mask = mask & (col <= row + qi * block_q)
+
+    outs = []
+    for g in range(n_group):
+        qh = q[:, g * hd:(g + 1) * hd]
+        kh = k[:, g * hd:(g + 1) * hd]
+        s = jax.lax.dot_general(
+            qh, kh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, sk_pad) f32
+        s = jnp.where(mask, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=1, keepdims=True)
+        p = (p / denom).astype(v.dtype)
+        outs.append(jax.lax.dot_general(
+            p, v[:, g * hd:(g + 1) * hd],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "causal", "block_q", "interpret")
+)
+def _attention_bsd(q, k, v, n_head: int, causal: bool, block_q: int,
+                   interpret: bool):
+    b, sq, d = q.shape
+    sk = k.shape[1]
+    hd = d // n_head
+    # G heads per program: lane-dim G*hd stays 128-aligned (hd = 64 for
+    # every Whisper size), halving per-program fixed cost vs one head.
+    n_group = 2 if n_head % 2 == 0 and 2 * hd in (128, 256) else 1
+
+    block_q = min(block_q, _round_up(sq, 8))
+    sq_pad = _round_up(sq, block_q)
+    sk_pad = _round_up(sk, 8)
+
+    qp = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, sk_pad - sk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, sk_pad - sk), (0, 0)))
+
+    gd = n_group * hd
+    # grid: qi fastest -> the full-K/V block (bi, 0, hi) stays VMEM-resident
+    # across a head-group's whole q sweep
+    grid = (b, n_head // n_group, sq_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_bsd_kernel, kv_len=sk, causal=causal, block_q=block_q,
+            n_group=n_group, hd=hd,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, gd), lambda bi, hi, qi: (bi, qi, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, gd), lambda bi, hi, qi: (bi, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, gd), lambda bi, hi, qi: (bi, 0, hi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, gd),
+                               lambda bi, hi, qi: (bi, qi, hi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, sq_pad, d), v.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n_head * sq_pad * sk_pad * hd,
+            bytes_accessed=2 * (qp.size + kp.size + vp.size)
+            * qp.dtype.itemsize,
+            transcendentals=b * n_head * sq_pad * sk_pad,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :sq]
+
+
 def attention_bhsd(
     q: jax.Array,  # (B, S, d) unscaled
     k: jax.Array,
@@ -139,13 +237,29 @@ def attention_bhsd(
     causal: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
-    """Drop-in for models.whisper.qkv_attention on the (B, S, d) layout."""
+    """Drop-in for models.whisper.qkv_attention on the (B, S, d) layout.
+
+    Default path: the natural-layout kernel (`_attention_bsd`) -- heads are
+    LANE SLICES of the (B, S, d) activation, so the (B,S,d)->(B,H,S,hd)
+    HBM transposes of the legacy path (4 x ~122 MB per large-v2 b64 layer
+    call) never happen, and G=2 heads per program keep the block lane dim
+    at 128 (see docs/PERFORMANCE.md round-4 flash rework for on-chip A/B).
+    WHISPER_TPU_FLASH_IMPL=legacy restores the transposing kernel.
+    """
+    import os
+
     if not interpret and jax.default_backend() != "tpu":
         interpret = True  # Mosaic kernels only compile on TPU
     b, sq, d = q.shape
     sk = k.shape[1]
     hd = d // n_head
     scale = float(hd) ** -0.5  # == ((d/h)^-0.25)^2 applied once
+
+    if os.environ.get("WHISPER_TPU_FLASH_IMPL", "bsd") != "legacy":
+        return _attention_bsd(
+            (q * scale), k, v, n_head, causal,
+            int(os.environ.get("WHISPER_TPU_FLASH_BLOCK_Q", "768")),
+            interpret)
 
     qh = (q * scale).reshape(b, sq, n_head, hd).transpose(0, 2, 1, 3)
     kh = k.reshape(b, sk, n_head, hd).transpose(0, 2, 1, 3)
