@@ -306,12 +306,41 @@ def _attention(q, k, v, n_head, impl, causal=False, mask=None):
     return qkv_attention(q, k, v, n_head, mask)
 
 
+def _use_fused_mlp(w1, impl: str) -> bool:
+    """True when the encoder MLP should run as the fused Pallas sub-block
+    (ops/pallas/encoder_block.py): flash (inference fast-path) config on a
+    real TPU with plain bf16 weights and kernel-aligned shapes. Training
+    (impl="xla" -- neither Pallas kernel has a VJP) and the CPU test path
+    never route here; WHISPER_TPU_ENC_MLP=xla forces the XLA ops for A/B.
+    Measured 11.0 -> 9.6 ms/layer at large-v2 b64 (docs/PERFORMANCE.md
+    round-4 fused-MLP study)."""
+    import os
+
+    from ..quantize import QTensor
+
+    if impl != "flash" or isinstance(w1, QTensor):
+        return False
+    if os.environ.get("WHISPER_TPU_ENC_MLP", "fused") == "xla":
+        return False
+    d, h = w1.shape[-2], w1.shape[-1]
+    return (jax.default_backend() == "tpu" and d % 128 == 0
+            and h % 512 == 0)
+
+
 def _encoder_block(x: jax.Array, p: Dict[str, jax.Array], n_head: int, eps: float,
                    impl: str = "xla") -> jax.Array:
     """Pre-LN residual encoder block (src/model/mod.rs:298-303)."""
     h = layer_norm(x, p["attn_ln_g"], p["attn_ln_b"], eps)
     q, k, v = _qkv_proj(h, p["qkv_w"], p["qkv_b"])
     x = x + _linear(_attention(q, k, v, n_head, impl), p["attn_o_w"], p["attn_o_b"])
+    if _use_fused_mlp(p["mlp1_w"], impl):
+        from ..ops.pallas.encoder_block import fused_mlp_block
+
+        return fused_mlp_block(
+            x, p["mlp_ln_g"], p["mlp_ln_b"], p["mlp1_w"], p["mlp1_b"],
+            p["mlp2_w"], p["mlp2_b"], eps=eps,
+            block_h=1024 if p["mlp1_w"].shape[-1] % 1024 == 0 else 512,
+        )
     h = layer_norm(x, p["mlp_ln_g"], p["mlp_ln_b"], eps)
     h = _linear(jax.nn.gelu(_linear(h, p["mlp1_w"], p["mlp1_b"]), approximate=False),
                 p["mlp2_w"], p["mlp2_b"])
