@@ -621,6 +621,131 @@ class TestFusedPermuteAttention:
         assert jnp.array_equal(kso, ksr)
 
 
+class TestCowReshuffle:
+    """Copy-on-write beam reshuffle: the slot assignment's invariants, the
+    kernel's dests semantics, and token identity with COW on vs off."""
+
+    def test_cow_assign_invariants(self, rng):
+        from whisper_tpu.decode.beam import _cow_assign
+
+        W, K = 7, 5
+        for _ in range(20):
+            parent = jnp.asarray(rng.integers(0, K, (W, K)), jnp.int32)
+            # phys: random permutation per window (what prior steps produce)
+            phys = jnp.asarray(
+                np.stack([rng.permutation(K) for _ in range(W)]), jnp.int32)
+            src, dest = _cow_assign(parent, phys)
+            src_n, dest_n = np.asarray(src), np.asarray(dest)
+            phys_n, par_n = np.asarray(phys), np.asarray(parent)
+            for w in range(W):
+                # src reads the parent's physical slot
+                assert np.array_equal(src_n[w], phys_n[w][par_n[w]])
+                # dest is a permutation (next phys stays injective)
+                assert sorted(dest_n[w]) == list(range(K))
+                seen = set()
+                for i in range(K):
+                    if src_n[w, i] not in seen:
+                        # first claimant stays -> elided full write
+                        assert dest_n[w, i] == src_n[w, i]
+                        seen.add(src_n[w, i])
+                    else:
+                        # movers land on free slots (nobody reads them)
+                        assert dest_n[w, i] not in src_n[w]
+
+    def test_kernel_dests_physical_layout(self, rng):
+        """decode_attention_permute_fused(dests=...): attention output is
+        logical, the cache lands at dests, untouched slots are preserved."""
+        from whisper_tpu.decode.beam import _cow_assign
+        from whisper_tpu.ops.pallas.decode_attention import (
+            decode_attention_stacked,
+        )
+        from whisper_tpu.ops.pallas.permute_attention import (
+            decode_attention_permute_fused,
+        )
+
+        beam_k, nw, l, c, d, nh = 4, 2, 2, 64, 128, 4
+        b = beam_k * nw
+        pos, cu, layer = 33, 64, 1
+        k = jnp.asarray(rng.integers(-127, 128, (b, l, c, d)), jnp.int8)
+        v = jnp.asarray(rng.integers(-127, 128, (b, l, c, d)), jnp.int8)
+        ks = jnp.asarray(rng.uniform(0.01, 0.05, (b, l, c)), jnp.float32)
+        vs = jnp.asarray(rng.uniform(0.01, 0.05, (b, l, c)), jnp.float32)
+        q = jnp.asarray(rng.standard_normal((b, d)), jnp.bfloat16)
+        nk = jnp.asarray(rng.integers(-127, 128, (b, d)), jnp.int8)
+        nv = jnp.asarray(rng.integers(-127, 128, (b, d)), jnp.int8)
+        nks = jnp.asarray(rng.uniform(0.01, 0.05, (b,)), jnp.float32)
+        nvs = jnp.asarray(rng.uniform(0.01, 0.05, (b,)), jnp.float32)
+        parent = jnp.asarray(rng.integers(0, beam_k, (nw, beam_k)), jnp.int32)
+        phys = jnp.broadcast_to(
+            jnp.arange(beam_k, dtype=jnp.int32), (nw, beam_k))
+        src, dest = _cow_assign(parent, phys)
+        offs = jnp.arange(nw, dtype=jnp.int32)[:, None] * beam_k
+        src_g = (src + offs).reshape(b)
+        dest_g = (dest + offs).reshape(b)
+
+        out, ko, vo, kso, vso = decode_attention_permute_fused(
+            q, k, v, ks, vs, nk, nv, nks, nvs, src_g,
+            jnp.int32(pos), jnp.int32(layer), nh, beam_k, c_used=cu,
+            dests=dest_g, interpret=True)
+
+        # logical reference: permute by src, append, attend
+        kp = jnp.take(k, src_g, axis=0).at[:, layer, pos].set(nk)
+        vp = jnp.take(v, src_g, axis=0).at[:, layer, pos].set(nv)
+        ksp = jnp.take(ks, src_g, axis=0).at[:, layer, pos].set(nks)
+        vsp = jnp.take(vs, src_g, axis=0).at[:, layer, pos].set(nvs)
+        ref = decode_attention_stacked(
+            q, kp, vp, jnp.full((b,), pos, jnp.int32), jnp.int32(layer), nh,
+            interpret=True, batch_major=True, k_rowscale=ksp, v_rowscale=vsp,
+            c_used=cu)
+        assert jnp.array_equal(out, ref)  # attention is logical-order
+        # physical layout: logical lane i's slab sits at slot dest_g[i]
+        dg = np.asarray(dest_g)
+        for i in range(b):
+            assert jnp.array_equal(ko[dg[i], layer, :cu], kp[i, layer, :cu])
+            assert jnp.array_equal(vo[dg[i], layer, :cu], vp[i, layer, :cu])
+            assert jnp.array_equal(kso[dg[i], layer], ksp[i, layer])
+            assert jnp.array_equal(vso[dg[i], layer], vsp[i, layer])
+        # slots outside the dests image and other layers are untouched
+        other = 1 - layer
+        assert jnp.array_equal(ko[:, other], k[:, other])
+        assert jnp.array_equal(vso[:, other], vs[:, other])
+        for s in range(b):
+            if s not in dg:
+                assert jnp.array_equal(ko[s, layer], k[s, layer])
+                assert jnp.array_equal(kso[s, layer], ks[s, layer])
+
+    def test_beam_tokens_cow_vs_physical(self, rng, monkeypatch):
+        """Full beam searches (single + batched) are token-identical with
+        COW on (default) vs off (whole-prefix physical write-back)."""
+        import dataclasses
+
+        from whisper_tpu.config import tiny_test_config
+        from whisper_tpu.decode.beam import beam_search, beam_search_batched
+        from whisper_tpu.models import whisper as M
+
+        cfg = dataclasses.replace(
+            tiny_test_config(n_state=128, n_head=2, n_vocab=64,
+                             n_text_ctx=64),
+            attention="flash")
+        params = M.init_params(jax.random.PRNGKey(0), cfg)
+        enc = jnp.asarray(rng.standard_normal((3, 16, 128)).astype(np.float32))
+        prompt = jnp.asarray([1, 2], jnp.int32)
+
+        res = {}
+        for cow in ("1", "0"):
+            monkeypatch.setenv("WHISPER_TPU_COW", cow)
+            toks, lens, logps = beam_search_batched(
+                params, enc, prompt, cfg, eot_id=0, beam_size=3,
+                max_depth=8, self_quant=True)
+            t1, l1, p1 = beam_search(
+                params, enc[:1], prompt, cfg, eot_id=0, beam_size=3,
+                max_depth=8, self_quant=True)
+            res[cow] = tuple(np.asarray(x)
+                             for x in (toks, lens, logps, t1, l1, p1))
+        for a, b in zip(res["1"], res["0"]):
+            np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 class TestFusedReshuffleIntegration:
     """decoder_step(parents=...) (the fused beam path) == explicit permute
     then decoder_step, and the full batched beam search is token-identical

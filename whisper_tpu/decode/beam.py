@@ -176,6 +176,53 @@ def _fuse_reshuffle(self_k, cfg, allow=None) -> bool:
     )
 
 
+def _use_cow(fused: bool) -> bool:
+    """Copy-on-write beam reshuffle (default on with the fused kernel;
+    WHISPER_TPU_COW=0 forces the physical whole-prefix write-back for
+    A/B). See _cow_assign."""
+    import os
+
+    return fused and os.environ.get("WHISPER_TPU_COW", "1") != "0"
+
+
+def _cow_assign(parent: jax.Array, phys: jax.Array):
+    """Copy-on-write physical-slot assignment for the beam reshuffle.
+
+    parent, phys: (W, K) in-window indices. `phys[w, i]` is the physical
+    cache slot currently holding logical lane i's slab; `parent[w, i]` is
+    new lane i's logical parent. Returns (src, dest), both (W, K): new lane
+    i's slab is read from physical slot src[i] = phys[parent[i]] and lives
+    at physical slot dest[i] afterwards (dest IS the next step's phys).
+
+    Assignment: the FIRST claimant (lowest lane index) of each distinct
+    parent slab stays in that slab's slot -- dest == src, and the fused
+    kernel (ops/pallas/permute_attention.py) elides its full write-back,
+    writing only the appended-row tile. Later claimants copy to free slots
+    (slots no lane reads this step), lowest-free-slot to lowest-mover-lane.
+    Per step this cuts full slab writes from K to K - distinct(parent) per
+    window: ~K(1-1/K)^K on random parents, ~0 on stable real-audio beams
+    (parents near-identity). phys stays a permutation per window, so src
+    and dest are window-local -- the kernel contract holds.
+    """
+    _, K = parent.shape
+    src = jnp.take_along_axis(phys, parent, axis=1)  # (W, K) physical
+    # first claimant of each distinct src value (lane-order tie break)
+    same = src[:, :, None] == src[:, None, :]  # [w, i, j]: src_i == src_j
+    before = jnp.tril(jnp.ones((K, K), bool), k=-1)  # j < i
+    first = ~jnp.any(same & before[None], axis=2)  # (W, K)
+    # free slots = physical slots no lane reads from this step, ascending;
+    # stable argsort(taken) lists them first in slot order
+    taken = jnp.any(
+        src[:, :, None] == jnp.arange(K)[None, None, :], axis=1)  # (W, K)
+    free_slots = jnp.argsort(taken, axis=1)
+    mover_rank = jnp.cumsum(~first, axis=1) - 1  # rank among movers
+    dest = jnp.where(
+        first, src,
+        jnp.take_along_axis(
+            free_slots, jnp.clip(mover_rank, 0, K - 1), axis=1))
+    return src, dest
+
+
 def _cache_gather(self_k, self_v, gparent, valid_len=None):
     """Beam reshuffle of the batch-major (B, L, C, d) self-KV pair -- a
     Pallas block-DMA permute kernel. Every XLA formulation of this pure
@@ -215,6 +262,9 @@ class BeamState(NamedTuple):
     # overhead at large-v2, docs/PERFORMANCE.md round-2 log)
     self_k: jax.Array
     self_v: jax.Array
+    # copy-on-write reshuffle: physical cache slot holding logical lane i's
+    # slab (identity unless the fused kernel runs with COW; see _cow_assign)
+    phys: jax.Array  # (K,) i32
 
 
 def _masked_log_softmax(
@@ -392,6 +442,7 @@ def beam_search(
         logp_next=logp_next,
         self_k=cache.self_k,
         self_v=cache.self_v,
+        phys=jnp.arange(K, dtype=jnp.int32),
     )
 
     def best_scores(s: BeamState) -> Tuple[jax.Array, jax.Array]:
@@ -438,7 +489,21 @@ def beam_search(
         # of permute-read + permute-write + attention-read; see
         # ops/pallas/permute_attention.py); parents are window-local here
         # by construction (one window).
-        if _fuse_reshuffle(s.self_k, cfg, fuse_reshuffle):
+        fused = _fuse_reshuffle(s.self_k, cfg, fuse_reshuffle)
+        phys = jnp.arange(K, dtype=jnp.int32)
+        if fused and _use_cow(fused):
+            # COW reshuffle: read lane i's slab from phys[parent[i]], keep
+            # first claimants in place (tile-only write), move the rest to
+            # free slots; the cache stays in PHYSICAL slot order and `phys`
+            # carries the logical->physical map (see _cow_assign).
+            src, dest = _cow_assign(parent[None], s.phys[None])
+            cache = M.DecoderCache(s.self_k, s.self_v, cross_k, cross_v)
+            logits, cache = M.decoder_step(
+                params, tok[:, None], s.cur_len, cache, cfg,
+                parents=src[0], dests=dest[0],
+            )
+            phys = dest[0]
+        elif fused:
             cache = M.DecoderCache(s.self_k, s.self_v, cross_k, cross_v)
             logits, cache = M.decoder_step(
                 params, tok[:, None], s.cur_len, cache, cfg, parents=parent
@@ -467,6 +532,7 @@ def beam_search(
             logp_next=logp_next,
             self_k=cache.self_k,
             self_v=cache.self_v,
+            phys=phys,
         )
 
     state = jax.lax.while_loop(cond, body, state)
@@ -576,6 +642,9 @@ class BatchedBeamState(NamedTuple):
     next_idx: jax.Array  # (W, K, K) i32: its token id
     self_k: jax.Array  # (W*K, L, C, d), batch-major (see init_cache)
     self_v: jax.Array
+    # copy-on-write reshuffle: physical in-window cache slot holding logical
+    # lane i's slab (identity unless the fused kernel runs with COW)
+    phys: jax.Array  # (W, K) i32
 
 
 def beam_search_batched(
@@ -688,6 +757,7 @@ def beam_search_batched(
         next_idx=next_idx,
         self_k=cache.self_k,
         self_v=cache.self_v,
+        phys=jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (W, K)),
     )
 
     def window_stopped(s: BatchedBeamState) -> jax.Array:
@@ -741,7 +811,25 @@ def beam_search_batched(
         # fused into the decode kernel on the flash + quantized-self path
         # (parents stay window-local: parent is an in-window index).
         gparent = (parent + jnp.arange(W)[:, None] * K).reshape(B)
-        if _fuse_reshuffle(s.self_k, cfg, fuse_reshuffle):
+        fused = _fuse_reshuffle(s.self_k, cfg, fuse_reshuffle)
+        phys = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (W, K))
+        if fused and _use_cow(fused):
+            # COW reshuffle (see the single-window path / _cow_assign): the
+            # flat cache stays in physical slot order; `phys` carries each
+            # window's logical->physical map. Stopped windows keep being
+            # rewritten with stale proposals (same as before COW) -- their
+            # cache contents are garbage either way and phys tracks exactly
+            # what the kernel did, so reads stay consistent.
+            src, dest = _cow_assign(parent, s.phys)
+            offs = jnp.arange(W, dtype=jnp.int32)[:, None] * K
+            full = M.DecoderCache(s.self_k, s.self_v, cross_k, cross_v)
+            logits, cache = M.decoder_step(
+                params, tok.reshape(B, 1), s.cur_len, full, cfg,
+                parents=(src + offs).reshape(B),
+                dests=(dest + offs).reshape(B),
+            )
+            phys = dest
+        elif fused:
             full = M.DecoderCache(s.self_k, s.self_v, cross_k, cross_v)
             logits, cache = M.decoder_step(
                 params, tok.reshape(B, 1), s.cur_len, full, cfg,
@@ -780,6 +868,7 @@ def beam_search_batched(
             next_idx=next_idx,
             self_k=cache.self_k,
             self_v=cache.self_v,
+            phys=phys,
         )
 
     s = jax.lax.while_loop(cond, body, state)

@@ -721,6 +721,7 @@ def _decoder_step_fused(
     cache: DecoderCache,
     cfg: WhisperConfig,
     parents: Optional[jax.Array] = None,  # (B,) i32 window-local beam parents
+    dests: Optional[jax.Array] = None,  # (B,) i32 COW write slots
 ) -> Tuple[jax.Array, DecoderCache]:
     """Steady-state (S=1) decode step over layer-STACKED KV caches.
 
@@ -827,7 +828,7 @@ def _decoder_step_fused(
                 return decode_attention_permute_fused(
                     q1, sk.q, sv.q, sk.scale, sv.scale, kq, vq, ks, vs,
                     parents, pos, l, n_head, beam_k=max(kv_rep, 1),
-                    c_used=cu,
+                    c_used=cu, dests=dests,
                 )
 
             if prefix_idx is None:
@@ -933,6 +934,7 @@ def decoder_step(
     cache: DecoderCache,
     cfg: WhisperConfig,
     parents: Optional[jax.Array] = None,  # (B,) i32 beam parents (see below)
+    dests: Optional[jax.Array] = None,  # (B,) i32 COW write slots (see below)
 ) -> Tuple[jax.Array, DecoderCache]:
     """Run the decoder on S new tokens using/updating the KV cache.
 
@@ -944,7 +946,11 @@ def decoder_step(
     permute into the decode step: supported only on the S=1 flash path with
     a quantized (QTensor) self cache, where the fused Pallas kernel performs
     reshuffle + append + attention in one cache pass. The returned cache is
-    the permuted-and-appended one.
+    the permuted-and-appended one. `dests` (copy-on-write reshuffle,
+    decode/beam.py::_cow_assign) additionally redirects lane i's write-back
+    to physical slot dests[i], eliding the full-slab write when the lane
+    stays in its parent's slot; the returned cache is then in PHYSICAL slot
+    order and the caller must track the logical->physical map.
     """
     if tokens.shape[1] == 1 and cfg.attention == "flash":
         if parents is not None and not isinstance(cache.self_k, QTensor):
@@ -952,7 +958,8 @@ def decoder_step(
                 "fused beam reshuffle (parents=...) requires a quantized "
                 "self-KV cache (self_quant)"
             )
-        return _decoder_step_fused(params, tokens, pos, cache, cfg, parents)
+        return _decoder_step_fused(
+            params, tokens, pos, cache, cfg, parents, dests)
     if parents is not None:
         raise ValueError(
             "parents= is only supported on the S=1 flash decode path; "

@@ -44,7 +44,7 @@ from .decode_attention import (
 
 def _fused_kernel(
     nw, k_lanes, cu, c, d,
-    layer_ref, pos_ref, parents_ref, nks_ref, nvs_ref,
+    layer_ref, pos_ref, parents_ref, dests_ref, nks_ref, nvs_ref,
     q_ref, k_in, v_in, ks_in, vs_in, nk_ref, nv_ref,
     e_ref, et_ref,
     o_ref, k_out, v_out, ks_out, vs_out,
@@ -58,6 +58,14 @@ def _fused_kernel(
     rsem/wsem: per-slot DMA semaphores for reads / write-backs. The new-row
     scales ride scalar prefetch (SMEM): patched into the staged scale rows
     as broadcast scalars, no VMEM scalar extraction.
+
+    Copy-on-write write-back: lane i's permuted+appended slab lands at slot
+    dests_ref[i]. When dests_ref[i] == parents_ref[i] the slab is already in
+    HBM at that slot (the lane "stays" in its parent's slot), so only the
+    32-row tile containing the appended row is written -- the rest of the
+    write DMA is elided. Conditional starts and waits share one predicate
+    per lane, so the wsem byte accounting always balances. Scale rows are
+    tiny (<1% of slab bytes) and are always written whole.
     """
     l = layer_ref[0]
     # Same fast/slow score-path selection as the unfused kernels: f32
@@ -79,21 +87,55 @@ def _fused_kernel(
                 vs_in.at[p, l], vsbuf.at[slot, j], rsem.at[slot]))
         return cps
 
-    def writes(w, slot):
-        cps = []
+    def writes(w, slot, action):
+        """Start ('start') or wait ('wait') window w's write-backs. Lanes
+        that stay in their parent's slot (dest == src) write only the
+        aligned tile holding the appended row; movers write the whole
+        valid prefix to their (free) destination slot. The start and wait
+        passes rebuild identical copy descriptors under identical
+        predicates, keeping the shared-semaphore byte counts matched."""
+        tile = 32 if cu % 32 == 0 else cu
         for j in range(k_lanes):
             i = w * k_lanes + j
-            cps.append(pltpu.make_async_copy(
-                kbuf.at[slot, j], k_out.at[i, l, pl.ds(0, cu)],
-                wsem.at[slot]))
-            cps.append(pltpu.make_async_copy(
-                vbuf.at[slot, j], v_out.at[i, l, pl.ds(0, cu)],
-                wsem.at[slot]))
-            cps.append(pltpu.make_async_copy(
-                ksbuf.at[slot, j], ks_out.at[i, l], wsem.at[slot]))
-            cps.append(pltpu.make_async_copy(
-                vsbuf.at[slot, j], vs_out.at[i, l], wsem.at[slot]))
-        return cps
+            src = parents_ref[i]
+            dst = dests_ref[i]
+            base = (pos_ref[i] // tile) * tile
+            full = [
+                pltpu.make_async_copy(
+                    kbuf.at[slot, j], k_out.at[dst, l, pl.ds(0, cu)],
+                    wsem.at[slot]),
+                pltpu.make_async_copy(
+                    vbuf.at[slot, j], v_out.at[dst, l, pl.ds(0, cu)],
+                    wsem.at[slot]),
+            ]
+            tiles = [
+                pltpu.make_async_copy(
+                    kbuf.at[slot, j, pl.ds(base, tile)],
+                    k_out.at[dst, l, pl.ds(base, tile)], wsem.at[slot]),
+                pltpu.make_async_copy(
+                    vbuf.at[slot, j, pl.ds(base, tile)],
+                    v_out.at[dst, l, pl.ds(base, tile)], wsem.at[slot]),
+            ]
+            always = [
+                pltpu.make_async_copy(
+                    ksbuf.at[slot, j], ks_out.at[dst, l], wsem.at[slot]),
+                pltpu.make_async_copy(
+                    vsbuf.at[slot, j], vs_out.at[dst, l], wsem.at[slot]),
+            ]
+            moved = dst != src
+
+            @pl.when(moved)
+            def _():
+                for cp in full:
+                    getattr(cp, action)()
+
+            @pl.when(jnp.logical_not(moved))
+            def _():
+                for cp in tiles:
+                    getattr(cp, action)()
+
+            for cp in always:
+                getattr(cp, action)()
 
     for cp in reads(0, 0):
         cp.start()
@@ -108,8 +150,7 @@ def _fused_kernel(
         def _():
             @pl.when(w >= 1)
             def _():
-                for cp in writes(w - 1, nslot):
-                    cp.wait()
+                writes(w - 1, nslot, "wait")
             for cp in reads(w + 1, nslot):
                 cp.start()
 
@@ -168,8 +209,7 @@ def _fused_kernel(
             )
             o_ref[pl.ds(i, 1), 0] = o.astype(o_ref.dtype)
 
-        for cp in writes(w, slot):
-            cp.start()
+        writes(w, slot, "start")
         return carry
 
     jax.lax.fori_loop(0, nw, body, 0)
@@ -177,10 +217,8 @@ def _fused_kernel(
     # Drain the final windows' write-backs (w <= nw-3 were waited inside
     # the loop's prefetch branch). nw is static.
     if nw >= 2:
-        for cp in writes(nw - 2, (nw - 2) % 2):
-            cp.wait()
-    for cp in writes(nw - 1, (nw - 1) % 2):
-        cp.wait()
+        writes(nw - 2, (nw - 2) % 2, "wait")
+    writes(nw - 1, (nw - 1) % 2, "wait")
 
 
 def decode_attention_permute_fused(
@@ -199,6 +237,7 @@ def decode_attention_permute_fused(
     n_head: int,
     beam_k: int,  # lanes per window; parents[i] // beam_k == i // beam_k
     c_used: int | None = None,  # static 32-multiple; every pos < c_used
+    dests: jax.Array | None = None,  # (B,) i32 physical write slots (COW)
     interpret: bool = False,
 ):
     """Fused (reshuffle + append + attend) over ONE layer of the stacked
@@ -208,6 +247,18 @@ def decode_attention_permute_fused(
     `permute_lanes_arrays` + dynamic_update_slice + decode_attention_stacked
     in one HBM pass. The cache/scale operands are aliased to their outputs
     (donated): pass values you own.
+
+    `dests` (copy-on-write reshuffle, decode/beam.py::_cow_assign): lane i's
+    slab is written to physical slot dests[i] instead of i, and when
+    dests[i] == parents[i] the lane "stays" -- the slab is already in HBM at
+    that slot and only the appended-row tile (+ scale rows) is written,
+    eliding the full write-back DMA. Contract: dests are window-local and
+    injective per window, and dests[i] == parents[i] implies the HBM slab at
+    that slot already holds exactly the bytes the lane would have written
+    (true for a reshuffle of an append-only cache). Slots outside the dests
+    image keep their prior (now dead) contents. Default dests = arange(B):
+    the pre-COW layout, where identity-parent lanes skip the (bitwise
+    redundant) full write.
     """
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
@@ -230,6 +281,8 @@ def decode_attention_permute_fused(
 
     pos_rows = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (b,))
     layer_arr = jnp.asarray(layer, jnp.int32).reshape((1,))
+    if dests is None:
+        dests = jnp.arange(b, dtype=jnp.int32)
 
     e = jnp.asarray(_head_sum_matrix(d, n_head))
     et = jnp.asarray(_head_sum_matrix_t(d, n_head))
@@ -245,7 +298,7 @@ def decode_attention_permute_fused(
     nv3 = new_v[:, None, :]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,  # layer, pos, parents, new_ks, new_vs
+        num_scalar_prefetch=6,  # layer, pos, parents, dests, new_ks, new_vs
         grid=(1,),
         in_specs=[
             vspec(q3.shape), any_spec, any_spec, any_spec, any_spec,
@@ -277,9 +330,9 @@ def decode_attention_permute_fused(
             jax.ShapeDtypeStruct(k_scale.shape, jnp.float32),
             jax.ShapeDtypeStruct(v_scale.shape, jnp.float32),
         ],
-        # Aliasing: operand indices count the 5 scalar-prefetch args, then
-        # q3 (5); the caches are operands 6..9 -> outputs 1..4.
-        input_output_aliases={6: 1, 7: 2, 8: 3, 9: 4},
+        # Aliasing: operand indices count the 6 scalar-prefetch args, then
+        # q3 (6); the caches are operands 7..10 -> outputs 1..4.
+        input_output_aliases={7: 1, 8: 2, 9: 3, 10: 4},
         cost_estimate=pl.CostEstimate(
             flops=2 * b * cu * d * 2,
             bytes_accessed=2 * slab,
@@ -289,6 +342,7 @@ def decode_attention_permute_fused(
         interpret=interpret,
     )(
         layer_arr, pos_rows, parents.astype(jnp.int32),
+        dests.astype(jnp.int32),
         new_ks.astype(jnp.float32), new_vs.astype(jnp.float32),
         q3, k_cache, v_cache, k_scale.astype(jnp.float32),
         v_scale.astype(jnp.float32),
