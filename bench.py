@@ -41,6 +41,11 @@ Env knobs:
                             logits_hook -- times the done-masked idle steps
                             and ragged-finish epilogue the fixed-depth run
                             never exercises; see docs/PERFORMANCE.md)
+  WHISPER_TPU_BENCH_COLLAPSE (0 | 1; default 0. 1 biases every non-rank-0
+                            beam lane's logits toward flat so all K winners
+                            descend from one parent each step -- the beam-
+                            collapse regime of confident real audio; times
+                            the fused kernel's read-dedup + COW best case)
 """
 
 from __future__ import annotations
@@ -96,10 +101,22 @@ def bench_model(model_name: str, batch: int, steps: int, reps: int,
     # default fixed-depth run never exercises them). Deterministic: the
     # +1e4 boost dominates any random-weight logit.
     eot_mode = os.environ.get("WHISPER_TPU_BENCH_EOT", "fixed")
+    # WHISPER_TPU_BENCH_COLLAPSE=1 (beam only): a logits_hook scales every
+    # non-rank-0 lane's logits toward flat, so after per-lane normalization
+    # lane 0's proposals dominate and ALL K winners descend from one parent
+    # every step -- the beam-collapse regime real audio spends much of its
+    # time in (confident stretches). Exercises the fused kernel's read-dedup
+    # (K shared-slab reads -> 1) and the COW degenerate case (1 stay, K-1
+    # moves). Composes with the default fixed-depth EOT mode.
+    collapse = os.environ.get("WHISPER_TPU_BENCH_COLLAPSE", "0") == "1"
 
     def make_window_fn(strategy, beam_size=5):
         eot_id = -1  # fixed: no token matches, all streams run `steps`
         hook = None
+        if collapse and strategy == "beam":
+            def hook(logits, tokens, seq_len):
+                lane0 = (jnp.arange(logits.shape[0]) % beam_size) == 0
+                return logits * jnp.where(lane0[:, None], 1.0, 0.05)
         if eot_mode == "ragged":
             eot_id = cfg.text_decoder_config.n_vocab - 1
             P = int(prompt.shape[0])

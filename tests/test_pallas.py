@@ -652,6 +652,24 @@ class TestCowReshuffle:
                         # movers land on free slots (nobody reads them)
                         assert dest_n[w, i] not in src_n[w]
 
+    def test_compute_stage_invariants(self, rng):
+        from whisper_tpu.ops.pallas.permute_attention import compute_stage
+
+        K, nw = 5, 6
+        b = K * nw
+        parents = jnp.asarray(
+            rng.integers(0, K, (b,)) + (np.arange(b) // K) * K, jnp.int32)
+        stage = np.asarray(compute_stage(parents, K))
+        par = np.asarray(parents)
+        for i in range(b):
+            w0 = (i // K) * K
+            # stage is the FIRST same-parent lane in the window
+            assert stage[i] == min(
+                j for j in range(w0, w0 + K) if par[j] == par[i])
+            assert stage[i] <= i
+            assert par[stage[i]] == par[i]
+            assert stage[stage[i]] == stage[i]  # primaries self-stage
+
     def test_kernel_dests_physical_layout(self, rng):
         """decode_attention_permute_fused(dests=...): attention output is
         logical, the cache lands at dests, untouched slots are preserved."""

@@ -804,6 +804,20 @@ def _decoder_step_fused(
     if cv_scale is not None:
         scales["cv"] = cv_scale
 
+    # read-dedup (fused-kernel contract): the first claimant of each
+    # distinct parent slab streams it from HBM, the rest copy VMEM-locally.
+    # Computed ONCE per step here (outside the layer scan; parents are
+    # layer-invariant). WHISPER_TPU_DEDUP_READS=0 forces per-lane HBM
+    # reads for A/B.
+    stage = None
+    if parents is not None:
+        if os.environ.get("WHISPER_TPU_DEDUP_READS", "1") != "0":
+            from ..ops.pallas.permute_attention import compute_stage
+
+            stage = compute_stage(parents, max(kv_rep, 1))
+        else:
+            stage = jnp.arange(b, dtype=jnp.int32)
+
     def body(carry, xs):
         h, self_k, self_v = carry
         p, l, sc = xs
@@ -828,7 +842,7 @@ def _decoder_step_fused(
                 return decode_attention_permute_fused(
                     q1, sk.q, sv.q, sk.scale, sv.scale, kq, vq, ks, vs,
                     parents, pos, l, n_head, beam_k=max(kv_rep, 1),
-                    c_used=cu, dests=dests,
+                    c_used=cu, dests=dests, stage=stage,
                 )
 
             if prefix_idx is None:

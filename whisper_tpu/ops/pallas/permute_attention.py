@@ -28,6 +28,7 @@ src/beam.rs:55-72); here the reshuffle is not even a separate device op.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -35,20 +36,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .decode_attention import (
+    NEG_INF,
     _attend,
     _bf16_exact,
+    _group_matrices,
     _head_sum_matrix,
     _head_sum_matrix_t,
 )
 
 
 def _fused_kernel(
-    nw, k_lanes, cu, c, d,
-    layer_ref, pos_ref, parents_ref, dests_ref, nks_ref, nvs_ref,
+    nw, k_lanes, cu, c, d, np_,
+    layer_ref, pos_ref, parents_ref, dests_ref, stage_ref, nks_ref, nvs_ref,
     q_ref, k_in, v_in, ks_in, vs_in, nk_ref, nv_ref,
     e_ref, et_ref,
     o_ref, k_out, v_out, ks_out, vs_out,
-    kbuf, vbuf, ksbuf, vsbuf, rsem, wsem,
+    kbuf, vbuf, ksbuf, vsbuf, rsem, wsem, dsem,
 ):
     """grid=(1,); windows are pipelined by an in-kernel fori_loop.
 
@@ -66,6 +69,14 @@ def _fused_kernel(
     write DMA is elided. Conditional starts and waits share one predicate
     per lane, so the wsem byte accounting always balances. Scale rows are
     tiny (<1% of slab bytes) and are always written whole.
+
+    Read dedup: when several lanes of a window share one parent (beam
+    collapse -- the COMMON case on real audio and random-logit benches,
+    where all K winners often descend from 1-2 lanes), only the FIRST
+    claimant (stage_ref[i] == i) streams the slab from HBM; the other
+    claimants fill their staging buffers with VMEM-local copies after the
+    window's HBM reads land (dsem). HBM read traffic per window drops from
+    K slabs to distinct(parents) slabs.
     """
     l = layer_ref[0]
     # Same fast/slow score-path selection as the unfused kernels: f32
@@ -73,19 +84,52 @@ def _fused_kernel(
     # bf16 hi/lo split, bf16/int8 storage gets the exact one-pass fold.
     exact = _bf16_exact(q_ref.dtype, k_in.dtype, v_in.dtype)
 
-    def reads(w, slot):
-        cps = []
+    def reads(w, slot, action):
+        """Start/wait window w's HBM reads: primary claimants only (the
+        dup lanes are filled VMEM-locally in dup_fill). Matched predicates
+        keep the rsem byte accounting balanced."""
         for j in range(k_lanes):
-            p = parents_ref[w * k_lanes + j]
-            cps.append(pltpu.make_async_copy(
-                k_in.at[p, l, pl.ds(0, cu)], kbuf.at[slot, j], rsem.at[slot]))
-            cps.append(pltpu.make_async_copy(
-                v_in.at[p, l, pl.ds(0, cu)], vbuf.at[slot, j], rsem.at[slot]))
-            cps.append(pltpu.make_async_copy(
-                ks_in.at[p, l], ksbuf.at[slot, j], rsem.at[slot]))
-            cps.append(pltpu.make_async_copy(
-                vs_in.at[p, l], vsbuf.at[slot, j], rsem.at[slot]))
-        return cps
+            i = w * k_lanes + j
+            p = parents_ref[i]
+            cps = [
+                pltpu.make_async_copy(
+                    k_in.at[p, l, pl.ds(0, cu)], kbuf.at[slot, j],
+                    rsem.at[slot]),
+                pltpu.make_async_copy(
+                    v_in.at[p, l, pl.ds(0, cu)], vbuf.at[slot, j],
+                    rsem.at[slot]),
+                pltpu.make_async_copy(
+                    ks_in.at[p, l], ksbuf.at[slot, j], rsem.at[slot]),
+                pltpu.make_async_copy(
+                    vs_in.at[p, l], vsbuf.at[slot, j], rsem.at[slot]),
+            ]
+
+            @pl.when(stage_ref[i] == i)
+            def _():
+                for cp in cps:
+                    getattr(cp, action)()
+
+    def dup_fill(w, slot, action):
+        """Fill duplicate claimants' staging buffers from the primary's
+        (VMEM-local copies; HBM reads for window w must have landed)."""
+        for j in range(k_lanes):
+            i = w * k_lanes + j
+            sj = stage_ref[i] - w * k_lanes  # primary's in-window lane
+            cps = [
+                pltpu.make_async_copy(
+                    kbuf.at[slot, sj], kbuf.at[slot, j], dsem),
+                pltpu.make_async_copy(
+                    vbuf.at[slot, sj], vbuf.at[slot, j], dsem),
+                pltpu.make_async_copy(
+                    ksbuf.at[slot, sj], ksbuf.at[slot, j], dsem),
+                pltpu.make_async_copy(
+                    vsbuf.at[slot, sj], vsbuf.at[slot, j], dsem),
+            ]
+
+            @pl.when(stage_ref[i] != i)
+            def _():
+                for cp in cps:
+                    getattr(cp, action)()
 
     def writes(w, slot, action):
         """Start ('start') or wait ('wait') window w's write-backs. Lanes
@@ -137,8 +181,7 @@ def _fused_kernel(
             for cp in always:
                 getattr(cp, action)()
 
-    for cp in reads(0, 0):
-        cp.start()
+    reads(0, 0, "start")
 
     def body(w, carry):
         slot = w % 2
@@ -151,11 +194,14 @@ def _fused_kernel(
             @pl.when(w >= 1)
             def _():
                 writes(w - 1, nslot, "wait")
-            for cp in reads(w + 1, nslot):
-                cp.start()
+            reads(w + 1, nslot, "start")
 
-        for cp in reads(w, slot):
-            cp.wait()
+        reads(w, slot, "wait")
+        # duplicate-claimant lanes copy the primary's landed slab VMEM-
+        # locally (tiny vs the elided HBM reads); must drain before the
+        # scale patch below reads/writes the staging buffers
+        dup_fill(w, slot, "start")
+        dup_fill(w, slot, "wait")
 
         iota_c = jax.lax.broadcasted_iota(jnp.int32, (k_lanes, c), 1)
         # Patch appended rows + scales, K lanes at once (vector ops).
@@ -196,18 +242,95 @@ def _fused_kernel(
             kbuf[slot, j, pl.ds(base, tile)] = jnp.where(at_row, nk, kt)
             vbuf[slot, j, pl.ds(base, tile)] = jnp.where(at_row, nv, vt)
 
-            o = _attend(
-                pos,
-                q_ref[pl.ds(i, 1), 0].astype(jnp.float32),  # (1, d)
-                kbuf[slot, j].astype(jnp.float32),  # (cu, d)
-                vbuf[slot, j].astype(jnp.float32),
-                e_ref[:],
-                et_ref[:],
-                exact,
-                ks=kst[:, j : j + 1],
-                vs=vst[:, j : j + 1],
-            )
-            o_ref[pl.ds(i, 1), 0] = o.astype(o_ref.dtype)
+        if np_ is None:
+            # Per-lane attends (strict-f32 parity mode, or K lanes' bands
+            # don't fit the 128-lane MXU tile).
+            for j in range(k_lanes):
+                i = w * k_lanes + j
+                o = _attend(
+                    pos_ref[i],
+                    q_ref[pl.ds(i, 1), 0].astype(jnp.float32),  # (1, d)
+                    kbuf[slot, j].astype(jnp.float32),  # (cu, d)
+                    vbuf[slot, j].astype(jnp.float32),
+                    e_ref[:],
+                    et_ref[:],
+                    exact,
+                    ks=kst[:, j : j + 1],
+                    vs=vst[:, j : j + 1],
+                )
+                o_ref[pl.ds(i, 1), 0] = o.astype(o_ref.dtype)
+        else:
+            # Banded window attend: ALL K lanes' scores in ONE GEMM pair.
+            # Lane j's keys occupy rows [j*cu, (j+1)*cu) of the row-
+            # concatenated staging buffer and its heads occupy the column
+            # band [j*np_, j*np_ + n_head) (the _attend_group layout --
+            # e_ref/et_ref carry e_mul/et_mul here). Cross-band products
+            # are masked to exact zeros, so this is BITWISE equal to the
+            # per-lane path (adding exact zeros to an f32 accumulation
+            # changes nothing) while replacing 2K small serial GEMMs with
+            # 2 MXU-sized ones -- the fused kernel is issue-bound, not
+            # DMA-bound (tools/ablations/fused_kernel_sweep.py).
+            rows = k_lanes * cu
+            qw = jnp.concatenate(
+                [q_ref[pl.ds(w * k_lanes + j, 1), 0]
+                 for j in range(k_lanes)], axis=0).astype(jnp.float32)
+            icol = jax.lax.broadcasted_iota(jnp.int32, (k_lanes, 128), 1)
+            irow = jax.lax.broadcasted_iota(jnp.int32, (k_lanes, 128), 0)
+            sel = (icol // np_ == irow).astype(jnp.float32)
+            # One nonzero per output element: exact copies of q's bf16
+            # values under default MXU precision.
+            qx = jax.lax.dot_general(
+                qw, sel, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (d, 128)
+            qe = (qx * e_ref[:]).astype(jnp.bfloat16)
+
+            k_all = kbuf[slot].reshape(rows, d).astype(jnp.bfloat16)
+            v_all = vbuf[slot].reshape(rows, d).astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                k_all, qe, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (rows, 128)
+
+            # Exact f32 per-row K scales: lane j's (cu, 1) column scales its
+            # static (cu, 128) row block (the proven _attend broadcast
+            # pattern); the blocks reassemble by a uniform-layout sublane
+            # concat. (Concatenating the (cu, 1) columns themselves is not
+            # lowerable: their lane offsets differ.)
+            s = jnp.concatenate(
+                [s[j * cu : (j + 1) * cu] * kst[:, j : j + 1]
+                 for j in range(k_lanes)], axis=0)
+
+            ir = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+            r_lane = ir // cu
+            r_pos = ir % cu
+            band = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) // np_
+            pos_vec = jnp.zeros((rows, 1), jnp.int32)
+            for j in range(k_lanes):
+                pos_vec = jnp.where(
+                    r_lane == j, pos_ref[w * k_lanes + j], pos_vec)
+            valid = (band == r_lane) & (r_pos <= pos_vec)
+            s = jnp.where(valid, s, NEG_INF)
+
+            m = jnp.max(s, axis=0, keepdims=True)
+            p = jnp.exp(s - m)
+            wgt = p / jnp.sum(p, axis=0, keepdims=True)
+            # vs fold + sanitize: invalid rows (cross-band, beyond pos,
+            # dead columns) go to exact 0 before the value GEMM; same
+            # per-lane column broadcast + uniform-block concat as ks.
+            wgt = jnp.concatenate(
+                [wgt[j * cu : (j + 1) * cu] * jnp.where(
+                    valid[j * cu : (j + 1) * cu], vst[:, j : j + 1], 0.0)
+                 for j in range(k_lanes)], axis=0)
+
+            o_heads = jax.lax.dot_general(
+                wgt.astype(jnp.bfloat16), v_all,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (128, d)
+            masked = o_heads * et_ref[:]
+            for j in range(k_lanes):
+                i = w * k_lanes + j
+                o_ref[pl.ds(i, 1), 0] = jnp.sum(
+                    masked[j * np_ : (j + 1) * np_], axis=0, keepdims=True
+                ).astype(o_ref.dtype)
 
         writes(w, slot, "start")
         return carry
@@ -219,6 +342,20 @@ def _fused_kernel(
     if nw >= 2:
         writes(nw - 2, (nw - 2) % 2, "wait")
     writes(nw - 1, (nw - 1) % 2, "wait")
+
+
+def compute_stage(parents: jax.Array, beam_k: int) -> jax.Array:
+    """stage[i] = global lane index of the FIRST lane in i's window whose
+    parent equals parents[i] (the lane that streams the shared slab from
+    HBM; see the kernel's read-dedup contract). Tiny (B, K) integer ops --
+    compute once per decode step, not per layer."""
+    b = parents.shape[0]
+    nw = b // beam_k
+    pw = parents.reshape(nw, beam_k)
+    same = pw[:, :, None] == pw[:, None, :]  # [w, i, j]
+    stage_local = jnp.argmax(same, axis=2).astype(jnp.int32)  # first j
+    offs = jnp.arange(nw, dtype=jnp.int32)[:, None] * beam_k
+    return (stage_local + offs).reshape(b)
 
 
 def decode_attention_permute_fused(
@@ -238,6 +375,7 @@ def decode_attention_permute_fused(
     beam_k: int,  # lanes per window; parents[i] // beam_k == i // beam_k
     c_used: int | None = None,  # static 32-multiple; every pos < c_used
     dests: jax.Array | None = None,  # (B,) i32 physical write slots (COW)
+    stage: jax.Array | None = None,  # (B,) i32 first claimant of the parent
     interpret: bool = False,
 ):
     """Fused (reshuffle + append + attend) over ONE layer of the stacked
@@ -259,6 +397,13 @@ def decode_attention_permute_fused(
     image keep their prior (now dead) contents. Default dests = arange(B):
     the pre-COW layout, where identity-parent lanes skip the (bitwise
     redundant) full write.
+
+    `stage` (read dedup): stage[i] must be the GLOBAL lane index of the
+    first lane in i's window with the same parent (stage[i] <= i,
+    parents[stage[i]] == parents[i], stage[stage[i]] == stage[i]);
+    computed from `parents` when omitted. Primary lanes (stage[i] == i)
+    stream the slab from HBM; the rest copy it VMEM-locally.
+    stage = arange(B) disables dedup (every lane reads HBM itself).
     """
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
@@ -283,9 +428,27 @@ def decode_attention_permute_fused(
     layer_arr = jnp.asarray(layer, jnp.int32).reshape((1,))
     if dests is None:
         dests = jnp.arange(b, dtype=jnp.int32)
+    if stage is None:
+        stage = compute_stage(parents, beam_k)
 
-    e = jnp.asarray(_head_sum_matrix(d, n_head))
-    et = jnp.asarray(_head_sum_matrix_t(d, n_head))
+    # Banded window attend (see _fused_kernel): active whenever the K
+    # lanes' head bands fit one 128-lane MXU tile and storage dtypes admit
+    # the exact one-pass bf16 fold. WHISPER_TPU_FUSED_GROUP=0 forces the
+    # per-lane path for A/B (bitwise-identical results).
+    group = _group_matrices(d, n_head, beam_k)
+    exact = _bf16_exact(q.dtype, k_cache.dtype, v_cache.dtype)
+    use_group = (
+        group is not None and exact
+        and os.environ.get("WHISPER_TPU_FUSED_GROUP", "1") != "0"
+    )
+    if use_group:
+        _, e_mul, et_mul, np_ = group
+        e = jnp.asarray(e_mul)
+        et = jnp.asarray(et_mul)
+    else:
+        np_ = None
+        e = jnp.asarray(_head_sum_matrix(d, n_head))
+        et = jnp.asarray(_head_sum_matrix_t(d, n_head))
 
     def vspec(shape, ndim=None):
         nd = ndim if ndim is not None else len(shape)
@@ -298,7 +461,8 @@ def decode_attention_permute_fused(
     nv3 = new_v[:, None, :]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,  # layer, pos, parents, dests, new_ks, new_vs
+        # layer, pos, parents, dests, stage, new_ks, new_vs
+        num_scalar_prefetch=7,
         grid=(1,),
         in_specs=[
             vspec(q3.shape), any_spec, any_spec, any_spec, any_spec,
@@ -316,9 +480,10 @@ def decode_attention_permute_fused(
             pltpu.VMEM((2, beam_k, c), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,  # dsem: VMEM-local dup fills
         ],
     )
-    kernel = functools.partial(_fused_kernel, nw, beam_k, cu, c, d)
+    kernel = functools.partial(_fused_kernel, nw, beam_k, cu, c, d, np_)
     slab = 2 * b * cu * d * k_cache.dtype.itemsize + 2 * b * c * 4
     out = pl.pallas_call(
         kernel,
@@ -330,9 +495,9 @@ def decode_attention_permute_fused(
             jax.ShapeDtypeStruct(k_scale.shape, jnp.float32),
             jax.ShapeDtypeStruct(v_scale.shape, jnp.float32),
         ],
-        # Aliasing: operand indices count the 6 scalar-prefetch args, then
-        # q3 (6); the caches are operands 7..10 -> outputs 1..4.
-        input_output_aliases={7: 1, 8: 2, 9: 3, 10: 4},
+        # Aliasing: operand indices count the 7 scalar-prefetch args, then
+        # q3 (7); the caches are operands 8..11 -> outputs 1..4.
+        input_output_aliases={8: 1, 9: 2, 10: 3, 11: 4},
         cost_estimate=pl.CostEstimate(
             flops=2 * b * cu * d * 2,
             bytes_accessed=2 * slab,
@@ -342,7 +507,7 @@ def decode_attention_permute_fused(
         interpret=interpret,
     )(
         layer_arr, pos_rows, parents.astype(jnp.int32),
-        dests.astype(jnp.int32),
+        dests.astype(jnp.int32), stage.astype(jnp.int32),
         new_ks.astype(jnp.float32), new_vs.astype(jnp.float32),
         q3, k_cache, v_cache, k_scale.astype(jnp.float32),
         v_scale.astype(jnp.float32),
