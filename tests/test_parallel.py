@@ -229,10 +229,13 @@ class TestShardedInference:
         assert [tk for _, tk in meshed] == [tk for _, tk in ref]
 
 
-class TestTpAttentionGuard:
-    """VERDICT r2 weak #1: a meshed Transcriber must never feed tp-sharded
-    params/caches into the unpartitioned Pallas attention custom calls. The
-    guard in pipeline/transcribe.py forces attention='xla' when tp > 1."""
+class TestTpFlashComposition:
+    """VERDICT r4 item 1: tensor parallelism must COMPOSE with the Pallas
+    kernels instead of falling back to XLA attention. The kernel entry
+    points shard_map over ("dp", "tp") when parallel/context.kernel_mesh is
+    active (set by the meshed pipeline programs while tracing), so tp>1
+    keeps the flash/fused-beam path and must stay token-identical to both
+    the meshless flash pipeline and the xla path."""
 
     def _mk(self, tmp_path, mesh, attention):
         from whisper_tpu.pipeline.transcribe import Transcriber
@@ -250,13 +253,10 @@ class TestTpAttentionGuard:
         tparams = M.init_params(jax.random.PRNGKey(5), cfg)
         return Transcriber(tparams, cfg, tok, attention=attention, mesh=mesh), tparams, cfg, tok
 
-    def test_tp_mesh_forces_xla(self, tmp_path):
+    def test_tp_mesh_keeps_flash(self, tmp_path):
+        """tp>1 no longer downgrades the attention impl (the round-2 guard
+        is gone: kernels shard over heads via shard_map)."""
         mesh = pmesh.make_mesh(dp=4, tp=2)
-        t, *_ = self._mk(tmp_path, mesh, attention="flash")
-        assert t.cfg.attention == "xla"
-
-    def test_dp_only_mesh_keeps_flash(self, tmp_path):
-        mesh = pmesh.make_mesh(dp=8, tp=1)
         t, *_ = self._mk(tmp_path, mesh, attention="flash")
         assert t.cfg.attention == "flash"
 
@@ -265,18 +265,21 @@ class TestTpAttentionGuard:
         assert t.cfg.attention == "flash"
 
     @pytest.mark.parametrize("strategy", ["greedy", "beam"])
-    def test_tp_meshed_transcribe_matches_meshless(self, tmp_path, strategy):
-        """End-to-end: a tp=2 Transcriber (running the attention impl it
-        would select on TPU, i.e. the guarded 'xla' path) produces the same
-        tokens as the meshless pipeline."""
+    def test_tp_meshed_flash_transcribe_matches_meshless(
+        self, tmp_path, strategy
+    ):
+        """End-to-end: a tp=2 Transcriber on the FLASH path produces the
+        same tokens as the meshless flash AND xla pipelines."""
         from whisper_tpu.ops.audio import max_waveform_samples
         from whisper_tpu.pipeline.transcribe import DecodeOptions
 
         mesh = pmesh.make_mesh(dp=4, tp=2)
         t_meshed, tparams, cfg, tok = self._mk(tmp_path, mesh, "flash")
+        assert t_meshed.cfg.attention == "flash"
         from whisper_tpu.pipeline.transcribe import Transcriber
 
-        t_plain = Transcriber(tparams, cfg, tok, attention="xla")
+        t_flash = Transcriber(tparams, cfg, tok, attention="flash")
+        t_xla = Transcriber(tparams, cfg, tok, attention="xla")
 
         n = max_waveform_samples(cfg.encoder_ctx_size - 10)
         wave = np.random.default_rng(13).standard_normal(
@@ -286,10 +289,62 @@ class TestTpAttentionGuard:
         silent = lambda i, s: None
         text_m, toks_m = t_meshed.transcribe(wave, options=opts,
                                              on_chunk=silent)
-        text_p, toks_p = t_plain.transcribe(wave, options=opts,
+        text_f, toks_f = t_flash.transcribe(wave, options=opts,
                                             on_chunk=silent)
-        assert toks_m == toks_p
-        assert text_m == text_p
+        text_x, toks_x = t_xla.transcribe(wave, options=opts,
+                                          on_chunk=silent)
+        assert toks_m == toks_f
+        assert text_m == text_f
+        assert toks_m == toks_x
+        assert text_m == text_x
+
+    @pytest.mark.parametrize("dp,tp", [(4, 2), (2, 4)])
+    @pytest.mark.parametrize("strategy", ["greedy", "beam"])
+    def test_tp_sharded_flash_decode_matches_single_device(
+        self, strategy, dp, tp
+    ):
+        """The raw decode programs under kernel_mesh: tp-sharded flash
+        greedy and the FUSED int8 beam (reshuffle+append+attend kernel)
+        must be token-exact vs the meshless flash program."""
+        import dataclasses
+
+        from whisper_tpu.decode import beam as dbeam
+        from whisper_tpu.decode import greedy as dgreedy
+        from whisper_tpu.parallel.context import kernel_mesh
+
+        cfg = dataclasses.replace(
+            tiny_test_config(n_state=128, n_head=4, n_layer=2, n_vocab=256,
+                             n_audio_ctx=32, n_text_ctx=16),
+            attention="flash")
+        params = M.init_params(jax.random.PRNGKey(1), cfg)
+        rng = np.random.default_rng(3)
+        mel = rng.standard_normal((8, 80, 32)).astype(np.float32)
+        prompt = jnp.asarray([3, 5], jnp.int32)
+
+        def f(p, m, pr):
+            enc = M.encoder_forward(p, m, cfg)
+            if strategy == "beam":
+                return dbeam.beam_search_batched(
+                    p, enc, pr, cfg, eot_id=1, beam_size=3, max_depth=6,
+                    self_quant=True)[:2]
+            return dgreedy.greedy_decode(
+                p, enc, pr, cfg, eot_id=1, max_depth=6)[:2]
+
+        ref_toks, ref_len = jax.jit(f)(params, jnp.asarray(mel), prompt)
+        ref_toks, ref_len = np.asarray(ref_toks), np.asarray(ref_len)
+
+        mesh = pmesh.make_mesh(dp=dp, tp=tp)
+        with mesh:
+            sp = sharding.shard_params(params, mesh, cfg)
+            mel_s = jax.device_put(mel, NamedSharding(mesh, P("dp")))
+            with kernel_mesh(mesh):
+                toks, lens = jax.jit(f)(sp, mel_s, prompt)
+        toks, lens = np.asarray(toks), np.asarray(lens)
+
+        np.testing.assert_array_equal(lens, ref_len)
+        for i in range(8):
+            np.testing.assert_array_equal(
+                toks[i, : lens[i]], ref_toks[i, : ref_len[i]])
 
 
 class TestGraftEntry:
@@ -307,12 +362,13 @@ class TestGraftEntry:
 
 
 class TestShardedFusedBeam:
-    """The FUSED beam-reshuffle kernel under a dp-sharded mesh must produce
-    single-device tokens (tp>1 never reaches it: the attention guard forces
-    the XLA path before the kernels are selected). Also pins the small-cache
-    regression: the kernel's aligned-tile patch must handle caches shorter
-    than one 32-row tile (tiny configs; first seen as a mesh-test failure
-    that was really this)."""
+    """The FUSED beam-reshuffle kernel under a dp-sharded mesh WITHOUT
+    kernel_mesh set (plain GSPMD handling of the custom call) must still
+    produce single-device tokens; the shard_mapped composition is covered
+    by TestTpFlashComposition. Also pins the small-cache regression: the
+    kernel's aligned-tile patch must handle caches shorter than one 32-row
+    tile (tiny configs; first seen as a mesh-test failure that was really
+    this)."""
 
     def test_dp_sharded_fused_beam_matches_single_device(self):
         import dataclasses

@@ -223,7 +223,7 @@ def _cow_assign(parent: jax.Array, phys: jax.Array):
     return src, dest
 
 
-def _cache_gather(self_k, self_v, gparent, valid_len=None):
+def _cache_gather(self_k, self_v, gparent, valid_len=None, beam_k=None):
     """Beam reshuffle of the batch-major (B, L, C, d) self-KV pair -- a
     Pallas block-DMA permute kernel. Every XLA formulation of this pure
     data movement (leading-axis gather, one-hot MXU matmul) measured ~4x
@@ -236,12 +236,16 @@ def _cache_gather(self_k, self_v, gparent, valid_len=None):
     from ..quantize import QTensor
 
     if isinstance(self_k, QTensor):
+        if valid_len is not None and self_k.q.shape[2] % 32 != 0:
+            # The prefix copy needs whole 32-row chunks; tiny (test-size)
+            # caches fall back to copying everything.
+            valid_len = None
         kq, ks, vq, vs = permute_lanes_arrays(
             (self_k.q, self_k.scale, self_v.q, self_v.scale), gparent,
-            valid_len=valid_len,
+            valid_len=valid_len, beam_k=beam_k,
         )
         return QTensor(kq, ks), QTensor(vq, vs)
-    return permute_lanes_arrays((self_k, self_v), gparent)
+    return permute_lanes_arrays((self_k, self_v), gparent, beam_k=beam_k)
 
 
 
@@ -510,7 +514,7 @@ def beam_search(
             )
         else:
             self_k, self_v = _cache_gather(
-                s.self_k, s.self_v, parent, valid_len=s.cur_len)
+                s.self_k, s.self_v, parent, valid_len=s.cur_len, beam_k=K)
             cache = M.DecoderCache(self_k, self_v, cross_k, cross_v)
 
             # (c) run the decoder on the appended token for next-step logits.
@@ -837,7 +841,7 @@ def beam_search_batched(
             )
         else:
             self_k, self_v = _cache_gather(
-                s.self_k, s.self_v, gparent, valid_len=s.cur_len)
+                s.self_k, s.self_v, gparent, valid_len=s.cur_len, beam_k=K)
             full = M.DecoderCache(self_k, self_v, cross_k, cross_v)
             logits, cache = M.decoder_step(
                 params, tok.reshape(B, 1), s.cur_len, full, cfg

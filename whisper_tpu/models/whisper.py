@@ -322,6 +322,13 @@ def _use_fused_mlp(w1, impl: str) -> bool:
         return False
     if os.environ.get("WHISPER_TPU_ENC_MLP", "fused") == "xla":
         return False
+    from ..parallel import context as pctx
+
+    if pctx.tp_size() > 1:
+        # The MLP weights are tp-sharded (Megatron column/row layout); the
+        # fused kernel has no tp decomposition, so let GSPMD partition the
+        # plain XLA MLP instead.
+        return False
     d, h = w1.shape[-2], w1.shape[-1]
     return (jax.default_backend() == "tpu" and d % 128 == 0
             and h % 512 == 0)
@@ -966,6 +973,13 @@ def decoder_step(
     stays in its parent's slot; the returned cache is then in PHYSICAL slot
     order and the caller must track the logical->physical map.
     """
+    if dests is not None and parents is None:
+        # Mirror the parents guard: dests only redirect a fused reshuffle's
+        # write-backs -- without parents there is no reshuffle, and silently
+        # ignoring them would hide a caller bug (no COW semantics applied).
+        raise ValueError(
+            "dests= requires parents= (the fused COW reshuffle path)"
+        )
     if tokens.shape[1] == 1 and cfg.attention == "flash":
         if parents is not None and not isinstance(cache.self_k, QTensor):
             raise ValueError(

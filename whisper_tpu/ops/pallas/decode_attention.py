@@ -321,6 +321,13 @@ def _make_decode_attention(n_head: int, interpret: bool):
         pos_rows = jnp.broadcast_to(
             jnp.asarray(pos, jnp.int32).reshape(-1), (b,)
         )
+        mesh = _active_mesh()
+        if mesh is not None:
+            out = _decode_attention_sharded(
+                mesh, q, k_cache, v_cache, pos_rows, n_head, interpret
+            )
+            if out is not None:
+                return out
         return _decode_attention_call(
             q, k_cache, v_cache, pos_rows, n_head, interpret
         )
@@ -355,6 +362,42 @@ def _make_decode_attention(n_head: int, interpret: bool):
     return attn
 
 
+def _active_mesh():
+    from ...parallel import context as pctx
+
+    return pctx.active_mesh()
+
+
+def _decode_attention_sharded(mesh, q, k_cache, v_cache, pos_rows, n_head,
+                              interpret):
+    """shard_map the flat decode kernel over ("dp" batch, "tp" heads): each
+    device runs the same kernel on its local (rows, head-lanes) slice --
+    whole heads per tp shard, no in-kernel collectives (GSPMD inserts the
+    row-parallel psum at the following output projection). Returns None
+    when neither axis divides the operands (caller falls through)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ...parallel import context as pctx
+
+    dp = pctx.dp_axis(mesh, q.shape[0])
+    tp = pctx.tp_axis(mesh, n_head, q.shape[-1])
+    if dp is None and tp is None:
+        return None
+    tp_n = pctx.tp_size(mesh) if tp else 1
+
+    def inner(q, k, v, pos):
+        return _decode_attention_call(
+            q, k, v, pos, n_head // tp_n, interpret
+        )
+
+    return jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(P(dp, tp), P(dp, None, tp), P(dp, None, tp), P(dp)),
+        out_specs=P(dp, tp),
+        check_vma=False,
+    )(q, k_cache, v_cache, pos_rows)
+
+
 def decode_attention(
     q: jax.Array,  # (B, D) single query, PRE-SCALED by head_dim^-0.5
     k_cache: jax.Array,  # (B, C, D)
@@ -363,7 +406,11 @@ def decode_attention(
     n_head: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns (B, D) attention output in v_cache.dtype. vmap-safe."""
+    """Returns (B, D) attention output in v_cache.dtype. vmap-safe.
+
+    Under an active kernel mesh (parallel/context) the call shard_maps over
+    ("dp" rows, "tp" heads) instead of lowering to a replicated custom call.
+    """
     return _make_decode_attention(n_head, interpret)(q, k_cache, v_cache, pos)
 
 
@@ -462,6 +509,57 @@ def _decode_attn_stacked_kernel(
         o_ref[j] = o.astype(o_ref.dtype)
 
 
+def _stacked_sharded(mesh, q, k_cache, v_cache, pos, layer, n_head,
+                     interpret, batch_major, kv_rep, k_rowscale, v_rowscale,
+                     c_used):
+    """shard_map `decode_attention_stacked` over ("dp" kv rows, "tp" heads).
+
+    dp shards at KV-row granularity (whole kv_rep-lane windows per shard:
+    q lanes of one window are contiguous, so a dp split of the q batch
+    aligns with the kv batch split). tp shards the channel axis in whole
+    heads (Megatron layout, parallel/sharding.py); the int8 per-row scales
+    are head-independent and stay replicated over tp. Returns None when
+    neither axis divides the operands."""
+    from jax.sharding import PartitionSpec as P
+
+    from ...parallel import context as pctx
+
+    b, d = q.shape
+    bk = k_cache.shape[0] if batch_major else k_cache.shape[1]
+    dp = pctx.dp_axis(mesh, bk)
+    tp = pctx.tp_axis(mesh, n_head, d)
+    if dp is None and tp is None:
+        return None
+    tp_n = pctx.tp_size(mesh) if tp else 1
+
+    kv_spec = (P(dp, None, None, tp) if batch_major
+               else P(None, dp, None, tp))
+    pos_rows = jnp.broadcast_to(
+        jnp.asarray(pos, jnp.int32).reshape(-1), (b,)
+    )
+    layer_s = jnp.asarray(layer, jnp.int32)
+    args = [q, k_cache, v_cache, pos_rows, layer_s]
+    specs = [P(dp, tp), kv_spec, kv_spec, P(dp), P()]
+    has_scales = k_rowscale is not None
+    if has_scales:
+        args += [k_rowscale, v_rowscale]
+        specs += [P(dp, None, None), P(dp, None, None)]
+
+    def inner(q, k, v, pos, layer, *scales):
+        ks, vs = scales if scales else (None, None)
+        with pctx.kernel_mesh(None):
+            return decode_attention_stacked(
+                q, k, v, pos, layer, n_head // tp_n, interpret=interpret,
+                batch_major=batch_major, kv_rep=kv_rep,
+                k_rowscale=ks, v_rowscale=vs, c_used=c_used,
+            )
+
+    return jax.shard_map(
+        inner, mesh=mesh, in_specs=tuple(specs), out_specs=P(dp, tp),
+        check_vma=False,
+    )(*args)
+
+
 def decode_attention_stacked(
     q: jax.Array,  # (B, D) single query, PRE-SCALED by head_dim^-0.5
     k_cache: jax.Array,  # (L, B, C, D), or (B, L, C, D) if batch_major
@@ -497,7 +595,19 @@ def decode_attention_stacked(
     or past c_used are never fetched, so no mask can save a violation).
     Per-row scale blocks stay whole-C (lane-dim DMA granularity) and are
     sliced in-kernel. Values outside [1, C] or misaligned fall back to C.
+
+    Under an active kernel mesh (parallel/context) the call shard_maps over
+    ("dp" kv rows, "tp" heads) instead of lowering to a replicated custom
+    call (see _stacked_sharded).
     """
+    mesh = _active_mesh()
+    if mesh is not None:
+        out = _stacked_sharded(
+            mesh, q, k_cache, v_cache, pos, layer, n_head, interpret,
+            batch_major, kv_rep, k_rowscale, v_rowscale, c_used,
+        )
+        if out is not None:
+            return out
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
     if batch_major:

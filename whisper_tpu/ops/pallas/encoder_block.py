@@ -151,9 +151,40 @@ def fused_mlp_block(
     block_h: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
-    """x + gelu_exact(layer_norm(x) @ w1 + b1) @ w2 + b2, hidden in VMEM."""
+    """x + gelu_exact(layer_norm(x) @ w1 + b1) @ w2 + b2, hidden in VMEM.
+
+    Under an active kernel mesh (parallel/context) with a dp axis dividing
+    the leading batch, the call shard_maps over "dp" with replicated
+    weights (each device runs the kernel on its batch shard). Tensor
+    parallelism never routes here: the MLP weights are tp-sharded and the
+    model falls back to the XLA MLP, which GSPMD partitions Megatron-style
+    (models/whisper._use_fused_mlp).
+    """
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
+
+    from ...parallel import context as pctx
+
+    mesh = pctx.active_mesh()
+    if mesh is not None and x.ndim >= 2:
+        dp = pctx.dp_axis(mesh, x.shape[0])
+        if dp is not None:
+            from jax.sharding import PartitionSpec as P
+
+            def inner(x, g, b, w1, b1, w2, b2):
+                with pctx.kernel_mesh(None):
+                    return fused_mlp_block(
+                        x, g, b, w1, b1, w2, b2, eps=eps, block_m=block_m,
+                        block_h=block_h, interpret=interpret,
+                    )
+
+            xspec = P(dp, *(None,) * (x.ndim - 1))
+            return jax.shard_map(
+                inner, mesh=mesh,
+                in_specs=(xspec,) + (P(),) * 6, out_specs=xspec,
+                check_vma=False,
+            )(x, ln_g, ln_b, w1, b1, w2, b2)
+
     lead = x.shape[:-1]
     d = x.shape[-1]
     out = _mlp_call(x.reshape(-1, d), ln_g, ln_b, w1, b1, w2, b2, eps,

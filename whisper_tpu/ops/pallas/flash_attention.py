@@ -229,6 +229,41 @@ def _attention_bsd(q, k, v, n_head: int, causal: bool, block_q: int,
     return out[:, :sq]
 
 
+def _attention_bhsd_sharded(mesh, q, k, v, n_head, causal, interpret):
+    """shard_map composition of `attention_bhsd` over an active kernel mesh.
+
+    GSPMD treats the pallas_call as an opaque custom call it cannot
+    partition (it would all-gather the operands and run the kernel
+    replicated on every device); here each device instead runs the SAME
+    kernel on its (batch-shard, head-shard) slice. Heads are contiguous
+    lane slices of d and the Megatron TP sharding keeps whole heads per
+    "tp" shard (parallel/sharding.py), so the per-shard kernel is simply
+    the full kernel at n_head/tp heads. Returns None when neither mesh
+    axis cleanly divides the operands (caller falls through unsharded).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ...parallel import context as pctx
+
+    dp = pctx.dp_axis(mesh, q.shape[0])
+    tp = pctx.tp_axis(mesh, n_head, q.shape[-1])
+    if dp is None and tp is None:
+        return None
+    tp_n = pctx.tp_size(mesh) if tp else 1
+    spec = P(dp, None, tp)
+
+    def inner(q, k, v):
+        with pctx.kernel_mesh(None):
+            return attention_bhsd(
+                q, k, v, n_head // tp_n, causal=causal, interpret=interpret
+            )
+
+    return jax.shard_map(
+        inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)
+
+
 def attention_bhsd(
     q: jax.Array,  # (B, S, d) unscaled
     k: jax.Array,
@@ -245,8 +280,20 @@ def attention_bhsd(
     call) never happen, and G=2 heads per program keep the block lane dim
     at 128 (see docs/PERFORMANCE.md round-4 flash rework for on-chip A/B).
     WHISPER_TPU_FLASH_IMPL=legacy restores the transposing kernel.
+
+    Under an active kernel mesh (parallel/context.kernel_mesh) the call is
+    shard_mapped over ("dp" batch, "tp" heads) so tensor/data-parallel
+    programs keep the Pallas path instead of a replicated custom call.
     """
     import os
+
+    from ...parallel import context as pctx
+
+    mesh = pctx.active_mesh()
+    if mesh is not None:
+        out = _attention_bhsd_sharded(mesh, q, k, v, n_head, causal, interpret)
+        if out is not None:
+            return out
 
     if not interpret and jax.default_backend() != "tpu":
         interpret = True  # Mosaic kernels only compile on TPU

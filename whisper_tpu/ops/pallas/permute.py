@@ -111,6 +111,63 @@ def _permute_dma_kernel(b, n_arr, parents_ref, *refs):
         cp.wait()
 
 
+def _permute_sharded(mesh, arrays, parents, interpret, valid_len, chunk,
+                     chunk_mask, beam_k):
+    """shard_map the lane permute over ("dp" windows, "tp" channels).
+
+    Valid only when the caller passes `beam_k` (the window size): the
+    beam-reshuffle contract parents[i] // beam_k == i // beam_k makes every
+    lane's source live in the same window, so dp shards at whole-window
+    granularity rebase parents by the shard's lane offset. tp shards the
+    trailing (channel) axis of the rank-4 cache arrays; lower-rank arrays
+    (per-row scales) stay tp-replicated. Returns None when dp doesn't
+    divide the window count (tp-only sharding of a pure permute saves
+    nothing by itself but keeps the operands resident)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ...parallel import context as pctx
+
+    b = arrays[0].shape[0]
+    nw = b // beam_k if beam_k and b % beam_k == 0 else 0
+    dp = pctx.dp_axis(mesh, nw) if nw else None
+    tp_n = pctx.tp_size(mesh)
+    if dp is None and tp_n <= 1:
+        return None
+
+    def spec(a):
+        tp = ("tp" if tp_n > 1 and a.ndim >= 4 and a.shape[-1] % tp_n == 0
+              else None)
+        return P(dp, *(None,) * (a.ndim - 2), tp)
+
+    specs = tuple(spec(a) for a in arrays)
+    extra = [parents.astype(jnp.int32)]
+    espec = [P(dp)]
+    if valid_len is not None:
+        extra.append(jnp.asarray(valid_len, jnp.int32))
+        espec.append(P())
+
+    def inner(parents, *rest):
+        if valid_len is not None:
+            vl, arrs = rest[0], rest[1:]
+        else:
+            vl, arrs = None, rest
+        if dp is not None:
+            parents = parents - (
+                jax.lax.axis_index(dp).astype(jnp.int32) * arrs[0].shape[0]
+            )
+        with pctx.kernel_mesh(None):
+            return permute_lanes_arrays(
+                arrs, parents, interpret=interpret, valid_len=vl,
+                chunk=chunk, chunk_mask=chunk_mask,
+            )
+
+    return jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=tuple(espec) + specs, out_specs=specs,
+        check_vma=False,
+    )(*extra, *arrays)
+
+
 def permute_lanes_arrays(
     arrays,  # sequence of (B, ...) arrays sharing the lane (leading) axis
     parents: jax.Array,  # (B,) i32: out[i] = in[parents[i]]
@@ -118,6 +175,7 @@ def permute_lanes_arrays(
     valid_len: jax.Array | None = None,  # i32: copy only rows [0, valid)
     chunk: int = 32,  # row granularity of the prefix copy
     chunk_mask=None,  # per-array: chunk along axis 2 (False: copy whole)
+    beam_k: int | None = None,  # lanes per window (mesh sharding contract)
 ):
     """Permute the lane (leading) axis of several arrays in one pallas_call.
 
@@ -128,10 +186,26 @@ def permute_lanes_arrays(
     array) must have their row axis at position 2 and only rows [0, valid)
     are copied; the permuted outputs' tail rows are UNINITIALIZED and must
     be masked by the consumer.
+
+    With `beam_k` (window-local parents: parents[i] // beam_k == i //
+    beam_k) and an active kernel mesh (parallel/context), the permute
+    shard_maps over ("dp" windows, "tp" channels) instead of lowering to a
+    replicated custom call.
     """
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
     arrays = tuple(arrays)
+
+    from ...parallel import context as pctx
+
+    mesh = pctx.active_mesh()
+    if mesh is not None and beam_k is not None:
+        out = _permute_sharded(
+            mesh, arrays, parents, interpret, valid_len, chunk, chunk_mask,
+            beam_k,
+        )
+        if out is not None:
+            return out
     if not interpret and any(a.shape[-1] % 128 for a in arrays):
         # Mosaic DMA slices need the lane (trailing) dim 128-aligned; real
         # model widths are (d and cache_len are multiples of 128), but toy

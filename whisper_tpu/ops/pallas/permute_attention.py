@@ -358,6 +358,70 @@ def compute_stage(parents: jax.Array, beam_k: int) -> jax.Array:
     return (stage_local + offs).reshape(b)
 
 
+def _fused_sharded(mesh, q, k_cache, v_cache, k_scale, v_scale, new_k,
+                   new_v, new_ks, new_vs, parents, pos, layer, n_head,
+                   beam_k, c_used, dests, stage, interpret):
+    """shard_map the fused reshuffle+append+attend kernel over ("dp"
+    windows, "tp" heads).
+
+    dp shards at WINDOW granularity: parents/dests are window-local by the
+    kernel contract (parents[i] // beam_k == i // beam_k) and `stage` points
+    at a lane of the same window, so all three index within the local shard
+    after subtracting the shard's global lane offset. tp shards the channel
+    axis in whole heads; the per-row scales and appended-row scales are
+    head-independent, so every tp shard computes identical scale outputs
+    (out_specs take one replica). Returns None when neither mesh axis
+    divides the operands."""
+    from jax.sharding import PartitionSpec as P
+
+    from ...parallel import context as pctx
+
+    b, d = q.shape
+    nw = b // beam_k
+    dp = pctx.dp_axis(mesh, nw)
+    tp = pctx.tp_axis(mesh, n_head, d)
+    if dp is None and tp is None:
+        return None
+    tp_n = pctx.tp_size(mesh) if tp else 1
+
+    pos_rows = jnp.broadcast_to(
+        jnp.asarray(pos, jnp.int32).reshape(-1), (b,)
+    )
+    layer_s = jnp.asarray(layer, jnp.int32)
+    cache_spec = P(dp, None, None, tp)
+    scale_spec = P(dp, None, None)
+
+    def inner(q, kc, vc, ks, vs, nk, nv, nks, nvs, par, dst, stg, pos,
+              layer):
+        # parents/dests/stage carry GLOBAL lane indices; rebase to this
+        # shard's local lanes (windows never cross shards).
+        if dp is not None:
+            off = jax.lax.axis_index(dp).astype(jnp.int32) * q.shape[0]
+            par, dst, stg = par - off, dst - off, stg - off
+        with pctx.kernel_mesh(None):
+            return decode_attention_permute_fused(
+                q, kc, vc, ks, vs, nk, nv, nks, nvs, par, pos, layer,
+                n_head // tp_n, beam_k, c_used=c_used, dests=dst, stage=stg,
+                interpret=interpret,
+            )
+
+    return jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(
+            P(dp, tp), cache_spec, cache_spec, scale_spec, scale_spec,
+            P(dp, tp), P(dp, tp), P(dp), P(dp),
+            P(dp), P(dp), P(dp), P(dp), P(),
+        ),
+        out_specs=(
+            P(dp, tp), cache_spec, cache_spec, scale_spec, scale_spec,
+        ),
+        check_vma=False,
+    )(
+        q, k_cache, v_cache, k_scale, v_scale, new_k, new_v, new_ks,
+        new_vs, parents, dests, stage, pos_rows, layer_s,
+    )
+
+
 def decode_attention_permute_fused(
     q: jax.Array,  # (B, D) single query, PRE-SCALED by head_dim^-0.5
     k_cache: jax.Array,  # (B, L, C, D) int8, batch-major (DONATED)
@@ -430,6 +494,18 @@ def decode_attention_permute_fused(
         dests = jnp.arange(b, dtype=jnp.int32)
     if stage is None:
         stage = compute_stage(parents, beam_k)
+
+    from ...parallel import context as pctx
+
+    mesh = pctx.active_mesh()
+    if mesh is not None:
+        out = _fused_sharded(
+            mesh, q, k_cache, v_cache, k_scale, v_scale, new_k, new_v,
+            new_ks, new_vs, parents, pos_rows, layer, n_head, beam_k,
+            c_used, dests, stage, interpret,
+        )
+        if out is not None:
+            return out
 
     # Banded window attend (see _fused_kernel): active whenever the K
     # lanes' head bands fit one 128-lane MXU tile and storage dtypes admit

@@ -30,6 +30,7 @@ from ..models import whisper as M
 from ..ops.audio import max_waveform_samples, prep_audio
 from ..decode import beam as dbeam
 from ..decode import greedy as dgreedy
+from ..parallel.context import kernel_mesh
 from ..text.tokenizer import WhisperTokenizer
 from ..utils.logging import get_logger
 from . import vad
@@ -108,37 +109,49 @@ class BatchTranscriber(Transcriber):
 
             ns_id = self.tok.special_token(SpecialToken.NO_SPEECH)
 
+        mesh = self.mesh
+
         def run(params, waves, prompt, suppress, rng=None):
-            mel = prep_audio(waves, per_sample_max=True, n_mels=cfg.n_mels)
-            keep = min(mel.shape[2], enc_ctx - padding)
-            mel = jnp.pad(mel[:, :, :keep], ((0, 0), (0, 0), (0, padding)))
-            enc = M.encoder_forward(params, mel, cfg)
-            if strategy == "beam" and temperature == 0.0:
-                # flat-batched beam: B windows x beam_size lanes, one program
-                out = dbeam.beam_search_batched(
-                    params, enc, prompt, cfg, eot_id=eot,
-                    suppress_mask=suppress, beam_size=beam_size,
-                    max_depth=max_depth,
-                    suppress_until_len=suppress_until_len,
-                    kv_quant=kv_quant, self_quant=self_quant,
-                    ts_begin=ts_begin, max_initial_ts_idx=max_initial_ts_idx,
-                    nospeech_id=ns_id if quality else None, sot_pos=sot_pos,
-                )
-            else:
-                out = dgreedy.greedy_decode(
-                    params, enc, prompt, cfg, eot_id=eot,
-                    suppress_mask=suppress, max_depth=max_depth,
-                    suppress_until_len=suppress_until_len,
-                    kv_quant=kv_quant, self_quant=self_quant,
-                    ts_begin=ts_begin, max_initial_ts_idx=max_initial_ts_idx,
-                    temperature=temperature, rng=rng,
-                    nospeech_id=ns_id if quality else None, sot_pos=sot_pos,
-                )
-            if not quality:
-                return out[0], out[1]
-            ns = (out[3] if ns_id is not None
-                  else jnp.full((out[0].shape[0],), -1.0, jnp.float32))
-            return out[0], out[1], out[2], ns
+            # kernel_mesh is read at TRACE time by the Pallas kernel entry
+            # points (parallel/context): meshed programs shard_map the
+            # kernels over ("dp" windows, "tp" heads).
+            with kernel_mesh(mesh):
+                mel = prep_audio(
+                    waves, per_sample_max=True, n_mels=cfg.n_mels)
+                keep = min(mel.shape[2], enc_ctx - padding)
+                mel = jnp.pad(
+                    mel[:, :, :keep], ((0, 0), (0, 0), (0, padding)))
+                enc = M.encoder_forward(params, mel, cfg)
+                if strategy == "beam" and temperature == 0.0:
+                    # flat-batched beam: B windows x beam_size lanes
+                    out = dbeam.beam_search_batched(
+                        params, enc, prompt, cfg, eot_id=eot,
+                        suppress_mask=suppress, beam_size=beam_size,
+                        max_depth=max_depth,
+                        suppress_until_len=suppress_until_len,
+                        kv_quant=kv_quant, self_quant=self_quant,
+                        ts_begin=ts_begin,
+                        max_initial_ts_idx=max_initial_ts_idx,
+                        nospeech_id=ns_id if quality else None,
+                        sot_pos=sot_pos,
+                    )
+                else:
+                    out = dgreedy.greedy_decode(
+                        params, enc, prompt, cfg, eot_id=eot,
+                        suppress_mask=suppress, max_depth=max_depth,
+                        suppress_until_len=suppress_until_len,
+                        kv_quant=kv_quant, self_quant=self_quant,
+                        ts_begin=ts_begin,
+                        max_initial_ts_idx=max_initial_ts_idx,
+                        temperature=temperature, rng=rng,
+                        nospeech_id=ns_id if quality else None,
+                        sot_pos=sot_pos,
+                    )
+                if not quality:
+                    return out[0], out[1]
+                ns = (out[3] if ns_id is not None
+                      else jnp.full((out[0].shape[0],), -1.0, jnp.float32))
+                return out[0], out[1], out[2], ns
 
         fn = jax.jit(run)
         self._fn_cache[key] = fn

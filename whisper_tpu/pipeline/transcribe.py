@@ -43,6 +43,7 @@ from ..ops.audio import max_waveform_samples, prep_audio
 from ..decode import beam as dbeam
 from ..decode import greedy as dgreedy
 from . import vad
+from ..parallel.context import kernel_mesh
 from ..text.tokenizer import WhisperTokenizer
 from ..utils.logging import get_logger
 
@@ -269,21 +270,12 @@ class Transcriber:
         """
         if attention == "auto":
             attention = "flash" if jax.default_backend() == "tpu" else "xla"
-        if (mesh is not None and mesh.shape.get("tp", 1) > 1
-                and attention == "flash"):
-            # The Pallas decode/flash kernels are opaque custom calls GSPMD
-            # cannot partition over the head axis: feeding tp-sharded
-            # params/caches into them would at best force a replication
-            # all-gather and at worst fail to lower. Until the kernels are
-            # shard_map'ed over heads, tensor-parallel meshes take the XLA
-            # attention path, which GSPMD partitions cleanly.
-            log.warning(
-                "tensor-parallel mesh (tp=%d): forcing attention='xla' "
-                "(the Pallas attention kernels are unpartitioned custom "
-                "calls; see test_parallel.py::TestTpAttentionGuard)",
-                mesh.shape["tp"],
-            )
-            attention = "xla"
+        # tp>1 composes with the Pallas kernels via shard_map: every window
+        # program traces under parallel/context.kernel_mesh(self.mesh), and
+        # the kernel entry points shard over ("dp" batch/windows, "tp"
+        # heads) instead of lowering to replicated custom calls
+        # (test_parallel.py::TestTpFlashComposition pins token equality
+        # against the meshless and xla paths).
         cfg = dataclasses.replace(cfg, attention=attention)
         self._matmul_precision = matmul_precision
         if tokenizer.vocab_size != cfg.text_decoder_config.n_vocab:
@@ -471,10 +463,11 @@ class Transcriber:
         cfg = self.cfg
         enc_ctx = cfg.encoder_ctx_size
         eot = self.tok.eot
+        mesh = self.mesh
         # Fused-kernel selection is left to the decode loops (dp-meshed
         # fused beam is token-identical on the virtual mesh,
-        # test_parallel.py::TestShardedFusedBeam; tp>1 never reaches the
-        # kernels -- the attention guard forces "xla").
+        # test_parallel.py::TestShardedFusedBeam; tp>1 composes via the
+        # kernel shard_maps, active while `run` traces under kernel_mesh).
         ts_begin = None
         if timestamps:
             if self._ts_begin is None:
@@ -490,37 +483,46 @@ class Transcriber:
             ns_id = self.tok.special_token(SpecialToken.NO_SPEECH)
 
         def run(params, wave, prompt, suppress, rng=None):
-            mel = prep_audio(wave[None, :], n_mels=cfg.n_mels)  # (1, n_mels, F)
-            n_frames = mel.shape[2]
-            keep = min(n_frames, enc_ctx - padding)
-            mel = mel[:, :, :keep]
-            mel = jnp.pad(mel, ((0, 0), (0, 0), (0, padding)))  # 10 zero frames
-            enc = M.encoder_forward(params, mel, cfg)
-            if strategy == "beam" and temperature == 0.0:
-                out = dbeam.beam_search(
+            # kernel_mesh is read at TRACE time by the Pallas kernel entry
+            # points (parallel/context): meshed programs shard_map the
+            # kernels instead of lowering replicated custom calls.
+            with kernel_mesh(mesh):
+                mel = prep_audio(wave[None, :], n_mels=cfg.n_mels)
+                n_frames = mel.shape[2]
+                keep = min(n_frames, enc_ctx - padding)
+                mel = mel[:, :, :keep]
+                mel = jnp.pad(mel, ((0, 0), (0, 0), (0, padding)))  # 10 frames
+                enc = M.encoder_forward(params, mel, cfg)
+                if strategy == "beam" and temperature == 0.0:
+                    out = dbeam.beam_search(
+                        params, enc, prompt, cfg, eot_id=eot,
+                        suppress_mask=suppress, beam_size=beam_size,
+                        max_depth=max_depth,
+                        suppress_until_len=suppress_until_len,
+                        kv_quant=kv_quant, self_quant=self_quant,
+                        ts_begin=ts_begin,
+                        max_initial_ts_idx=max_initial_ts_idx,
+                        nospeech_id=ns_id if quality else None,
+                        sot_pos=sot_pos,
+                    )
+                    if not quality:
+                        return out[0], out[1]
+                    ns = out[3] if ns_id is not None else jnp.float32(-1.0)
+                    return out[0], out[1], out[2], ns
+                out = dgreedy.greedy_decode(
                     params, enc, prompt, cfg, eot_id=eot,
-                    suppress_mask=suppress, beam_size=beam_size,
-                    max_depth=max_depth, suppress_until_len=suppress_until_len,
+                    suppress_mask=suppress,
+                    max_depth=max_depth,
+                    suppress_until_len=suppress_until_len,
                     kv_quant=kv_quant, self_quant=self_quant,
                     ts_begin=ts_begin, max_initial_ts_idx=max_initial_ts_idx,
+                    temperature=temperature, rng=rng,
                     nospeech_id=ns_id if quality else None, sot_pos=sot_pos,
                 )
                 if not quality:
-                    return out[0], out[1]
-                ns = out[3] if ns_id is not None else jnp.float32(-1.0)
-                return out[0], out[1], out[2], ns
-            out = dgreedy.greedy_decode(
-                params, enc, prompt, cfg, eot_id=eot, suppress_mask=suppress,
-                max_depth=max_depth, suppress_until_len=suppress_until_len,
-                kv_quant=kv_quant, self_quant=self_quant,
-                ts_begin=ts_begin, max_initial_ts_idx=max_initial_ts_idx,
-                temperature=temperature, rng=rng,
-                nospeech_id=ns_id if quality else None, sot_pos=sot_pos,
-            )
-            if not quality:
-                return out[0][0], out[1][0]
-            ns = out[3][0] if ns_id is not None else jnp.float32(-1.0)
-            return out[0][0], out[1][0], out[2][0], ns
+                    return out[0][0], out[1][0]
+                ns = out[3][0] if ns_id is not None else jnp.float32(-1.0)
+                return out[0][0], out[1][0], out[2][0], ns
 
         fn = jax.jit(run)
         self._fn_cache[key] = fn
