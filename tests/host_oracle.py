@@ -192,6 +192,47 @@ class OracleWhisper:
         x = _ln(x, d["ln_g"], d["ln_b"], self.cfg.ln_eps)
         return x @ d["tok_emb"].T
 
+    def decode_cross_weights(
+        self, tokens: Sequence[int], enc: np.ndarray
+    ) -> np.ndarray:
+        """Teacher-forced pass returning every layer's cross-attention
+        softmax, (L, H, S, Sa) f64 — the oracle for
+        align.cross_attention_weights."""
+        cfg = self.cfg.text_decoder_config
+        d_ = self.p["decoder"]
+        n_head = cfg.n_text_head
+        eps = self.cfg.ln_eps
+        toks = np.asarray(tokens, np.int64)
+        s = len(toks)
+        x = d_["tok_emb"][toks] + d_["pos_emb"][:s]
+        mask = np.triu(np.full((s, s), -np.inf), 1)
+        blk = d_["blocks"]
+        d = x.shape[-1]
+        hd = d // n_head
+        scale = (d / n_head) ** -0.25
+        ws = []
+        for i in range(cfg.n_text_layer):
+            h = _ln(x, blk["attn_ln_g"][i], blk["attn_ln_b"][i], eps)
+            qkv = h @ blk["qkv_w"][i].reshape(d, 3 * d) + blk["qkv_b"][i].reshape(-1)
+            q, k, v = np.split(qkv, 3, axis=-1)
+            x = x + _attn(q, k, v, n_head, mask) @ blk["attn_o_w"][i] + blk["attn_o_b"][i]
+
+            h = _ln(x, blk["cross_ln_g"][i], blk["cross_ln_b"][i], eps)
+            q = h @ blk["cross_q_w"][i] + blk["cross_q_b"][i]
+            kv = enc @ blk["cross_kv_w"][i].reshape(d, 2 * d) + blk["cross_kv_b"][i].reshape(-1)
+            ck, cv = np.split(kv, 2, axis=-1)
+            qh = (q * scale).reshape(s, n_head, hd).transpose(1, 0, 2)
+            kh = (ck * scale).reshape(-1, n_head, hd).transpose(1, 2, 0)
+            vh = cv.reshape(-1, n_head, hd).transpose(1, 0, 2)
+            w = _softmax(qh @ kh)  # (H, S, Sa)
+            ws.append(w)
+            out = (w @ vh).transpose(1, 0, 2).reshape(s, d)
+            x = x + out @ blk["cross_o_w"][i] + blk["cross_o_b"][i]
+
+            h = _ln(x, blk["mlp_ln_g"][i], blk["mlp_ln_b"][i], eps)
+            x = x + _gelu(h @ blk["mlp1_w"][i] + blk["mlp1_b"][i]) @ blk["mlp2_w"][i] + blk["mlp2_b"][i]
+        return np.stack(ws)
+
     def _block(self, x, blk, i, n_head, xa, mask=None):
         eps = self.cfg.ln_eps
         h = _ln(x, blk["attn_ln_g"][i], blk["attn_ln_b"][i], eps)
@@ -223,6 +264,64 @@ def _log_softmax(x: np.ndarray) -> np.ndarray:
     return s - np.log(np.exp(s).sum(-1, keepdims=True))
 
 
+def oracle_timestamp_rules(
+    logits: np.ndarray,  # (V,) f64, already suppress-masked
+    seq: Sequence[int],  # tokens so far, prompt INCLUDED
+    prompt_len: int,
+    ts_begin: int,  # id of <|0.00|>; every id >= ts_begin is a timestamp
+    eot_id: int,
+    max_initial_idx: int,
+) -> np.ndarray:
+    """Sequential per-sequence reimplementation of OpenAI Whisper's
+    ApplyTimestampRules — the independent oracle for
+    decode/beam.apply_timestamp_rules (which is batched/in-graph).
+
+    Written list-first on one sequence: inspect the sampled suffix, build
+    the rule decisions as plain Python booleans, mask with f64 -inf.
+    """
+    out = np.asarray(logits, np.float64).copy()
+    V = out.shape[0]
+    sampled = [int(t) for t in seq[prompt_len:]]
+    last_is_ts = len(sampled) >= 1 and sampled[-1] >= ts_begin
+    pen_is_ts = len(sampled) >= 2 and sampled[-2] >= ts_begin
+
+    # 1. pair rules
+    if last_is_ts and pen_is_ts:  # a pair just closed: no third stamp
+        out[ts_begin:] = -np.inf
+    elif last_is_ts:  # single stamp open: only a timestamp or EOT follows
+        for t in range(ts_begin):
+            if t != eot_id:
+                out[t] = -np.inf
+
+    # 2. monotonicity: floor = max emitted stamp, +1 once its pair closed
+    emitted = [t for t in sampled if t >= ts_begin]
+    if emitted:
+        floor = max(emitted) + (0 if (last_is_ts and not pen_is_ts) else 1)
+        if floor > ts_begin:
+            out[ts_begin:min(floor, V)] = -np.inf
+
+    # 3. the first sampled token is a timestamp, capped
+    if len(sampled) == 0:
+        out[:ts_begin] = -np.inf
+        cap = ts_begin + max_initial_idx
+        if cap + 1 < V:
+            out[cap + 1:] = -np.inf
+
+    # 4. sum-of-logprobs: if p(any timestamp) beats the best text token,
+    #    force a timestamp
+    lp = _log_softmax(out[None, :])[0]
+    with np.errstate(divide="ignore"):
+        ts_mass = lp[ts_begin:]
+        ts_lp = (
+            -np.inf if np.all(np.isneginf(ts_mass))
+            else np.log(np.exp(ts_mass - ts_mass.max()).sum()) + ts_mass.max()
+        )
+    text_max = lp[:ts_begin].max() if ts_begin > 0 else -np.inf
+    if ts_lp > text_max:
+        out[:ts_begin] = -np.inf
+    return out
+
+
 def oracle_window_tokens(
     model: OracleWhisper,
     mel: np.ndarray,  # (n_mels, F) for one window
@@ -234,6 +333,8 @@ def oracle_window_tokens(
     max_depth: int,
     padding: int,
     suppress_until_len: int,
+    ts_begin: Optional[int] = None,
+    max_initial_ts_idx: int = 50,
 ) -> List[int]:
     """One window: clip+pad mel, encode once, decode (src/transcribe.rs:148-383).
 
@@ -241,6 +342,10 @@ def oracle_window_tokens(
     `next` closure exactly like the reference's beamsearch_next
     (src/transcribe.rs:253-307). Greedy is stepwise argmax with the same
     masking (the repo's live-greedy semantics, decode/greedy.py).
+
+    `ts_begin` enables the timestamp constraints between the suppression
+    mask and the log-softmax (oracle_timestamp_rules), mirroring the order
+    in decode/greedy.py::_logp / decode/beam.py::_logp.
     """
     enc_ctx = model.cfg.audio_encoder_config.n_audio_ctx
     keep = min(mel.shape[1], enc_ctx - padding)
@@ -253,6 +358,11 @@ def oracle_window_tokens(
         logits = model.decode(seq, enc)[-1]
         if len(seq) <= suppress_until_len:
             logits = logits + suppress_mask
+        if ts_begin is not None:
+            logits = oracle_timestamp_rules(
+                logits, seq, len(prompt), ts_begin, eot_id,
+                max_initial_ts_idx,
+            )
         return _log_softmax(logits)
 
     if strategy == "greedy":
@@ -278,6 +388,160 @@ def oracle_window_tokens(
         beam_size,
         max_depth,
     )
+
+
+# ---------------------------------------------------------------------------
+# Word-timing oracle: independent median filter, DTW (argmin backtracking,
+# no trace array), and word grouping for align.find_word_timings.
+# ---------------------------------------------------------------------------
+
+
+def oracle_median_filter(x: np.ndarray, width: int) -> np.ndarray:
+    """Median over the last axis, edge-padded — explicit per-element loop."""
+    if width <= 1:
+        return np.asarray(x, np.float64)
+    pad = width // 2
+    flat = np.asarray(x, np.float64).reshape(-1, x.shape[-1])
+    out = np.empty_like(flat)
+    for r in range(flat.shape[0]):
+        row = flat[r]
+        n = len(row)
+        for j in range(n):
+            window = [row[min(max(j + k - pad, 0), n - 1)]
+                      for k in range(width)]
+            window.sort()
+            m = len(window)
+            out[r, j] = (window[m // 2] if m % 2
+                         else 0.5 * (window[m // 2 - 1] + window[m // 2]))
+    return out.reshape(x.shape)
+
+
+def oracle_dtw(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Monotone min-cost path over (N, M) with steps {diag, down, right}.
+
+    Same math and tie preference (diagonal, then down, then right — by <=
+    comparisons on the PREDECESSOR accumulated costs) as align.dtw, but
+    backtracks by re-comparing the accumulated-cost matrix instead of
+    recording a trace array."""
+    n, m = cost.shape
+    acc = np.full((n + 1, m + 1), np.inf, np.float64)
+    acc[0, 0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            acc[i, j] = cost[i - 1, j - 1] + min(
+                acc[i - 1, j - 1], acc[i - 1, j], acc[i, j - 1]
+            )
+    ti, tj = [], []
+    i, j = n, m
+    while i > 0 and j > 0:
+        ti.append(i - 1)
+        tj.append(j - 1)
+        c_diag, c_down, c_right = acc[i - 1, j - 1], acc[i - 1, j], acc[i, j - 1]
+        if c_diag <= c_down and c_diag <= c_right:
+            i, j = i - 1, j - 1
+        elif c_down <= c_right:
+            i -= 1
+        else:
+            j -= 1
+    return np.asarray(ti[::-1]), np.asarray(tj[::-1])
+
+
+_ORACLE_PREPEND = "\"'\u201c\u00bf([{-"
+_ORACLE_APPEND = "\"'.\u3002,\uff0c!\uff01?\uff1f:\uff1a\u201d)]}\u3001"
+
+
+def _oracle_split_words(tokens: Sequence[int], tok):
+    """[(word, tokens, positions)]: unicode-complete subwords merged into
+    words at leading spaces (the published split_tokens_on_unicode/spaces
+    contract, shared with align.split_tokens_on_spaces)."""
+    subwords = []
+    buf, bufp = [], []
+    for i, t in enumerate(tokens):
+        t = int(t)
+        if tok.is_special(t):
+            continue
+        buf.append(t)
+        bufp.append(i)
+        txt = tok.decode(buf, skip_special=True)
+        if txt and "\ufffd" not in txt[-1:]:
+            subwords.append((txt, buf, bufp))
+            buf, bufp = [], []
+    if buf:
+        txt = tok.decode(buf, skip_special=True)
+        if txt.strip():
+            subwords.append((txt, buf, bufp))
+    words = []
+    for txt, toks_, pos in subwords:
+        if not words or txt.startswith(" ") or not txt.strip():
+            words.append([txt, list(toks_), list(pos)])
+        else:
+            words[-1][0] += txt
+            words[-1][1] += toks_
+            words[-1][2] += pos
+    return [(w.strip(), t, p) for w, t, p in words if w.strip()]
+
+
+def oracle_word_timings(
+    model: "OracleWhisper",
+    tokens: Sequence[int],  # full window sequence (prompt + text + EOT)
+    enc: np.ndarray,  # (Sa, d) f64 encoder output
+    tok,
+    num_frames: int,
+    heads: Sequence[Tuple[int, int]],
+    medfilt_width: int = 7,
+) -> List[Tuple[str, float, float, List[int]]]:
+    """Independent f64 pipeline for align.find_word_timings: cross-attention
+    weights -> head select -> per-head token-axis normalization -> median
+    filter -> head-mean cost -> DTW -> first-visit jump times -> words.
+    Returns [(word, start, end, tokens)] on the 20 ms frame grid."""
+    toks = [int(t) for t in tokens]
+    s = len(toks)
+    ws = model.decode_cross_weights(toks, enc)  # (L, H, S, Sa)
+    sel = np.stack([ws[l, h] for l, h in heads])
+    sel = sel[:, :, : max(num_frames, 2)]
+    mean = sel.mean(axis=-2, keepdims=True)
+    std = sel.std(axis=-2, keepdims=True) + 1e-8
+    sel = (sel - mean) / std
+    sel = oracle_median_filter(sel, medfilt_width)
+    matrix = sel.mean(axis=0)  # (S, F)
+
+    text_idx, time_idx = oracle_dtw(-matrix)
+    jumps = np.full(s + 1, time_idx[-1] + 1, np.int64)
+    seen = set()
+    for ti, fj in zip(text_idx, time_idx):
+        if ti not in seen:
+            jumps[ti] = fj
+            seen.add(ti)
+    start_t = jumps * 0.02
+
+    raw = []
+    for word, wtoks, pos in _oracle_split_words(toks, tok):
+        t0 = float(start_t[pos[0]])
+        t1 = float(start_t[min(pos[-1] + 1, s)])
+        raw.append([word, t0, max(t1, t0), list(wtoks)])
+
+    # punctuation merging: forward two-pass with the same semantics as
+    # align.merge_punctuations (prepend chains attach to the FOLLOWING
+    # word's timing, append chains to the PRECEDING word's)
+    merged = []
+    pending = []  # consecutive prepend-only words
+    for w in raw:
+        if w[0] in _ORACLE_PREPEND:
+            pending.append(w)
+        else:
+            for p in reversed(pending):
+                w = [p[0] + w[0], w[1], w[2], p[3] + w[3]]
+            pending = []
+            merged.append(w)
+    merged.extend(pending)  # trailing prepend words stay as-is
+    out = []
+    for w in merged:
+        if out and w[0] in _ORACLE_APPEND:
+            prev = out[-1]
+            out[-1] = [prev[0] + w[0], prev[1], prev[2], prev[3] + w[3]]
+        else:
+            out.append(w)
+    return [(w, s0, e0, t) for w, s0, e0, t in out]
 
 
 # ---------------------------------------------------------------------------

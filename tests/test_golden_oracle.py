@@ -120,7 +120,128 @@ class TestGoldenOracle:
         assert chunks == ochunks
 
 
-class TestOracleFrontendAgreement:
+class TestTimestampRulesOracle:
+    """Independent oracle for the timestamp logit constraints (VERDICT r4
+    item 5): decode/beam.apply_timestamp_rules (batched, in-graph, f32) vs
+    tests/host_oracle.oracle_timestamp_rules (sequential, per-sequence,
+    f64) — randomized rule-level parity plus token-exact timestamped
+    window decodes through the full pipelines."""
+
+    def test_randomized_rule_parity(self):
+        """200 random (logits, history) cases: identical mask pattern,
+        untouched entries pass through bit-exact."""
+        from whisper_tpu.decode.beam import apply_timestamp_rules
+
+        V, eot, tsb, P, ctx = 24, 5, 14, 3, 16
+        rng = np.random.default_rng(0)
+        for _ in range(200):
+            seq_len = int(rng.integers(P, ctx - 1))
+            toks = rng.integers(0, V, size=(ctx,)).astype(np.int32)
+            logits = (rng.standard_normal(V) * 3).astype(np.float32)
+            got = np.asarray(
+                apply_timestamp_rules(
+                    jnp.asarray(logits)[None, :],
+                    jnp.asarray(toks)[None, :],
+                    jnp.int32(seq_len), P, tsb, eot, 6,
+                )
+            )[0]
+            want = host_oracle.oracle_timestamp_rules(
+                logits.astype(np.float64), toks[:seq_len], P, tsb, eot, 6
+            )
+            np.testing.assert_array_equal(
+                np.isneginf(got), np.isneginf(want),
+                err_msg=f"history={toks[:seq_len]}",
+            )
+            fin = ~np.isneginf(want)
+            np.testing.assert_array_equal(got[fin], logits[fin])
+
+    @pytest.mark.parametrize("strategy", ["greedy", "beam"])
+    def test_timestamped_window_token_exact(self, setup, strategy):
+        """A full timestamped window decode (frontend -> encoder -> rules ->
+        greedy/beam) agrees token-for-token with the f64 oracle pipeline."""
+        params, cfg, tok = setup
+        from whisper_tpu.decode import beam as dbeam
+        from whisper_tpu.decode import greedy as dgreedy
+
+        tsb = tok.timestamp_begin
+        prompt = tok.prompt_ids("en", timestamps=True)
+        sup = np.asarray(tok.suppress_mask()).copy()
+        sup[tsb:] = 0.0  # timestamps stay emittable (transcribe.py:311-318)
+        padding, depth, max_ts_idx = 10, 12, 3
+        wave = _audio(max_waveform_samples(ENC_CTX - padding), seed=29)
+
+        with jax.default_matmul_precision("highest"):
+            mel = prep_audio(jnp.asarray(wave)[None, :])
+            keep = min(mel.shape[2], ENC_CTX - padding)
+            mel = jnp.pad(mel[:, :, :keep], ((0, 0), (0, 0), (0, padding)))
+            enc = M.encoder_forward(params, mel, cfg)
+            pr = jnp.asarray(prompt, jnp.int32)
+            if strategy == "beam":
+                toks, length, _ = dbeam.beam_search(
+                    params, enc, pr, cfg, eot_id=tok.eot,
+                    suppress_mask=jnp.asarray(sup), beam_size=3,
+                    max_depth=depth, ts_begin=tsb,
+                    max_initial_ts_idx=max_ts_idx,
+                )
+                got = [int(t) for t in np.asarray(toks)[: int(length)]]
+            else:
+                toks, lengths, _ = dgreedy.greedy_decode(
+                    params, enc, pr, cfg, eot_id=tok.eot,
+                    suppress_mask=jnp.asarray(sup), max_depth=depth,
+                    ts_begin=tsb, max_initial_ts_idx=max_ts_idx,
+                )
+                got = [int(t) for t in np.asarray(toks)[0][: int(lengths[0])]]
+
+        model = host_oracle.OracleWhisper(params, cfg)
+        omel = host_oracle.oracle_prep_audio(
+            wave, cfg.audio_encoder_config.n_mels)
+        want = host_oracle.oracle_window_tokens(
+            model, omel, list(prompt), tok.eot, sup.astype(np.float64),
+            strategy, 3, depth, padding, suppress_until_len=5,
+            ts_begin=tsb, max_initial_ts_idx=max_ts_idx,
+        )
+        assert got == want
+        # the gate is not vacuous: a timestamp token was actually emitted
+        assert any(t >= tsb for t in got[len(prompt):])
+
+
+class TestWordTimingOracle:
+    """Independent f64 oracle for the word-timing aligner (VERDICT r4 item
+    5): align.find_word_timings (jitted weight collection + trace-array
+    DTW) vs host_oracle.oracle_word_timings (f64 loops + argmin-backtrack
+    DTW + loop median filter) — exact words, tokens, and frame-grid
+    times."""
+
+    def test_word_timings_match_oracle(self, setup):
+        from whisper_tpu.align import find_word_timings
+
+        params, cfg, tok = setup
+        rng = np.random.default_rng(41)
+        sa = ENC_CTX // 2
+        enc = rng.standard_normal((1, sa, 32)).astype(np.float32)
+        # a plausible window sequence: prompt + text bytes + EOT
+        text_ids = [int(t) for t in tok.encode(" hello world, ok")]
+        seq = tok.prompt_ids("en", timestamps=False) + text_ids + [tok.eot]
+        heads = [(1, 0), (1, 1)]  # top-half heads of the 2-layer decoder
+        num_frames = sa - 4
+
+        with jax.default_matmul_precision("highest"):
+            got = find_word_timings(
+                params, jnp.asarray(enc), seq, cfg, tok, num_frames,
+                heads=heads,
+            )
+
+        model = host_oracle.OracleWhisper(params, cfg)
+        want = host_oracle.oracle_word_timings(
+            model, seq, np.asarray(enc, np.float64)[0], tok, num_frames,
+            heads,
+        )
+        assert [w.word for w in got] == [w for w, *_ in want]
+        assert [w.tokens for w in got] == [t for *_, t in want]
+        got_times = [(w.start, w.end) for w in got]
+        want_times = [(s, e) for _, s, e, _ in want]
+        assert got_times == want_times
+        assert len(got) >= 3  # "hello", "world,", "ok" (comma merged)
     """The two frontends (GEMM-DFT f32-highest vs rfft f64) agree numerically;
     a loud failure here localizes a golden-gate failure to the frontend."""
 
