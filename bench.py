@@ -112,16 +112,21 @@ def bench_model(model_name: str, batch: int, steps: int, reps: int,
 
     def make_window_fn(strategy, beam_size=5):
         eot_id = -1  # fixed: no token matches, all streams run `steps`
-        hook = None
+        collapse_hook = None
         if collapse and strategy == "beam":
-            def hook(logits, tokens, seq_len):
+            def collapse_hook(logits, tokens, seq_len):
                 lane0 = (jnp.arange(logits.shape[0]) % beam_size) == 0
                 return logits * jnp.where(lane0[:, None], 1.0, 0.05)
+        hook = collapse_hook
         if eot_mode == "ragged":
             eot_id = cfg.text_decoder_config.n_vocab - 1
             P = int(prompt.shape[0])
 
+            # composes with COLLAPSE=1: collapse scaling first, then the
+            # EOT boost (the +1e4 dominates either way)
             def hook(logits, tokens, seq_len):
+                if collapse_hook is not None:
+                    logits = collapse_hook(logits, tokens, seq_len)
                 n = logits.shape[0]
                 grp = jnp.arange(n) // beam_size if strategy == "beam" \
                     else jnp.arange(n)

@@ -226,11 +226,14 @@ int flac_probe(const uint8_t* data, int64_t len, flac_info* info) {
   return parse_streaminfo(data, len, info, &frames_start);
 }
 
-// Decode the whole stream; channels are averaged to mono like a resampling
-// front door would do (LibriSpeech is mono anyway). Returns sample count or
-// a negative error.
-int64_t flac_decode(const uint8_t* data, int64_t len, int32_t* out,
-                    int64_t cap) {
+// Decode the whole stream. `raw` writes every channel interleaved
+// (s0c0, s0c1, s1c0, ...) and returns the PER-CHANNEL sample count --
+// callers use it to verify the decode against the STREAMINFO MD5 (computed
+// by the encoder over exactly this interleaved order, RFC 9639 §8.2).
+// !raw averages channels to mono like a resampling front door would do
+// (LibriSpeech is mono anyway). Returns sample count or a negative error.
+static int64_t decode_impl(const uint8_t* data, int64_t len, int32_t* out,
+                           int64_t cap, bool raw) {
   flac_info info;
   int64_t pos;
   int rc = parse_streaminfo(data, len, &info, &pos);
@@ -319,8 +322,13 @@ int64_t flac_decode(const uint8_t* data, int64_t len, int32_t* out,
       }
     }
 
-    if (written + block_size > cap) return FLAC_BUFFER_SMALL;
-    if (nch == 1) {
+    if ((written + block_size) * (raw ? nch : 1) > cap)
+      return FLAC_BUFFER_SMALL;
+    if (raw) {
+      for (int i = 0; i < block_size; ++i)
+        for (int c = 0; c < nch; ++c)
+          out[(written + i) * nch + c] = (int32_t)chan[c][i];
+    } else if (nch == 1) {
       for (int i = 0; i < block_size; ++i) out[written + i] = (int32_t)chan[0][i];
     } else {
       for (int i = 0; i < block_size; ++i)
@@ -331,6 +339,16 @@ int64_t flac_decode(const uint8_t* data, int64_t len, int32_t* out,
     if (info.total_samples && (uint64_t)written >= info.total_samples) break;
   }
   return written;
+}
+
+int64_t flac_decode(const uint8_t* data, int64_t len, int32_t* out,
+                    int64_t cap) {
+  return decode_impl(data, len, out, cap, false);
+}
+
+int64_t flac_decode_raw(const uint8_t* data, int64_t len, int32_t* out,
+                        int64_t cap) {
+  return decode_impl(data, len, out, cap, true);
 }
 
 }  // extern "C"

@@ -72,29 +72,50 @@ def _rice_encode(bw: BitWriter, residuals: Sequence[int], param: int) -> None:
         bw.write(rem, param)
 
 
+def _write_wasted(bw: BitWriter, wasted: int) -> None:
+    """Wasted-bits field: flag 0, or flag 1 + unary(wasted - 1)."""
+    if wasted:
+        bw.write(1, 1)
+        bw.write_unary(wasted - 1)
+    else:
+        bw.write(0, 1)
+
+
 def _write_subframe(bw: BitWriter, samples: np.ndarray, bps: int,
-                    subframe: str, order: int = 2, rice: int = 4) -> None:
+                    subframe: str, order: int = 2, rice: int = 4,
+                    wasted: int = 0, method: int = 0,
+                    partition_order: int = 0,
+                    escape_raw: Optional[int] = None) -> None:
+    """`wasted` shifts samples down by that many (must-be-zero) low bits;
+    `method`=1 selects 5-bit Rice parameters; `partition_order` splits the
+    residuals into 2^po partitions (each gets its own parameter field);
+    `escape_raw` writes every partition ESCAPED as raw signed
+    `escape_raw`-bit residuals instead of Rice codes."""
     bw.write(0, 1)  # padding
     n = len(samples)
+    if wasted:
+        assert not np.any(samples & ((1 << wasted) - 1)), "low bits not zero"
+        samples = samples >> wasted
+        bps -= wasted
     if subframe == "constant":
         bw.write(0, 6)
-        bw.write(0, 1)  # no wasted bits
+        _write_wasted(bw, wasted)
         bw.write_signed(int(samples[0]), bps)
         return
     if subframe == "verbatim":
         bw.write(1, 6)
-        bw.write(0, 1)
+        _write_wasted(bw, wasted)
         for s in samples:
             bw.write_signed(int(s), bps)
         return
     if subframe == "fixed":
         bw.write(8 + order, 6)
-        bw.write(0, 1)
+        _write_wasted(bw, wasted)
         coefs = np.array(_FIXED_COEFS[order], np.int64)
         shift = 0
     elif subframe == "lpc":
         bw.write(32 + order - 1, 6)
-        bw.write(0, 1)
+        _write_wasted(bw, wasted)
         coefs = np.array([1] * order, np.int64)  # simple averaging predictor
         shift = 1 if order == 2 else 0
         if order == 1:
@@ -117,10 +138,26 @@ def _write_subframe(bw: BitWriter, samples: np.ndarray, bps: int,
         pred = int(np.dot(coefs, s[i - order : i][::-1])) if order else 0
         residuals.append(int(s[i] - (pred >> shift)))
 
-    bw.write(0, 2)  # residual method 0 (4-bit rice)
-    bw.write(0, 4)  # partition order 0
-    bw.write(rice, 4)
-    _rice_encode(bw, residuals, rice)
+    plen = 4 if method == 0 else 5
+    esc = (1 << plen) - 1
+    bw.write(method, 2)  # residual method (0: 4-bit rice, 1: 5-bit)
+    bw.write(partition_order, 4)
+    nparts = 1 << partition_order
+    assert n % nparts == 0, "block size must divide into partitions"
+    idx = 0
+    for p in range(nparts):
+        count = (n >> partition_order) - (order if p == 0 else 0)
+        assert count >= 0
+        part = residuals[idx: idx + count]
+        idx += count
+        if escape_raw is not None:
+            bw.write(esc, plen)
+            bw.write(escape_raw, 5)
+            for r in part:
+                bw.write_signed(r, escape_raw)
+        else:
+            bw.write(rice, plen)
+            _rice_encode(bw, part, rice)
 
 
 def encode_flac(
@@ -131,9 +168,17 @@ def encode_flac(
     subframe: str = "fixed",
     order: int = 2,
     channel_mode: str = "independent",  # or "left_side", "mid_side"
+    wasted: int = 0,
+    method: int = 0,
+    partition_order: int = 0,
+    escape_raw: Optional[int] = None,
+    md5: bool = True,
 ) -> bytes:
     channels = np.atleast_2d(np.asarray(channels, np.int64))
     nch, total = channels.shape
+
+    sub_kw = dict(wasted=wasted, method=method,
+                  partition_order=partition_order, escape_raw=escape_raw)
 
     out = bytearray(b"fLaC")
     # STREAMINFO (last metadata block)
@@ -146,7 +191,16 @@ def encode_flac(
     si.write(nch - 1, 3)
     si.write(bps - 1, 5)
     si.write(total, 36)
-    si_bytes = si.getvalue() + b"\x00" * 16  # md5 unset
+    if md5:
+        # the spec hash: interleaved little-endian samples at the stream
+        # bit width (RFC 9639 §8.2)
+        import hashlib
+
+        inter = channels.T.reshape(-1).astype(f"<i{bps // 8}").tobytes()
+        digest = hashlib.md5(inter).digest()
+    else:
+        digest = b"\x00" * 16
+    si_bytes = si.getvalue() + digest
     out += bytes([0x80, 0, 0, len(si_bytes)]) + si_bytes
 
     frame_no = 0
@@ -176,19 +230,19 @@ def encode_flac(
         bw.write(0, 8)  # CRC-8 (decoder does not validate)
 
         if nch == 1:
-            _write_subframe(bw, blk[0], bps, subframe, order)
+            _write_subframe(bw, blk[0], bps, subframe, order, **sub_kw)
         elif channel_mode == "independent":
             for c in range(nch):
-                _write_subframe(bw, blk[c], bps, subframe, order)
+                _write_subframe(bw, blk[c], bps, subframe, order, **sub_kw)
         elif channel_mode == "left_side":
             side = blk[0] - blk[1]
-            _write_subframe(bw, blk[0], bps, subframe, order)
-            _write_subframe(bw, side, bps + 1, subframe, order)
+            _write_subframe(bw, blk[0], bps, subframe, order, **sub_kw)
+            _write_subframe(bw, side, bps + 1, subframe, order, **sub_kw)
         elif channel_mode == "mid_side":
             side = blk[0] - blk[1]
             mid = (blk[0] + blk[1]) >> 1
-            _write_subframe(bw, mid, bps, subframe, order)
-            _write_subframe(bw, side, bps + 1, subframe, order)
+            _write_subframe(bw, mid, bps, subframe, order, **sub_kw)
+            _write_subframe(bw, side, bps + 1, subframe, order, **sub_kw)
         bw.align()
         bw.write(0, 16)  # CRC-16 (unvalidated)
         out += bw.getvalue()

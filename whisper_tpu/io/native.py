@@ -148,6 +148,11 @@ def _bind_flac(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
     ]
     lib.flac_decode.restype = ctypes.c_int64
+    lib.flac_decode_raw.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ]
+    lib.flac_decode_raw.restype = ctypes.c_int64
 
 
 if _LIB is not None:
@@ -193,6 +198,70 @@ def load_flac(path: str) -> Tuple[np.ndarray, int]:
         raise _pywav.WavFormatError(f"{path}: FLAC decode failed ({n})")
     denom = float(2 ** (info.bits_per_sample - 1) - 1)
     return (out[:n].astype(np.float32) / denom), int(info.sample_rate)
+
+
+def load_flac_raw(path: str) -> Tuple[np.ndarray, "_FlacInfo"]:
+    """Decode a FLAC file -> ((n, channels) int32 raw samples, info).
+
+    No downmix, no normalization: the exact per-channel integers the
+    encoder hashed into the STREAMINFO MD5 (RFC 9639 §8.2) -- used by
+    `verify_flac_md5` and by tests that pin conformance-vector sample
+    values."""
+    if not flac_available() or not hasattr(_LIB, "flac_decode_raw"):
+        raise _pywav.WavFormatError(
+            "FLAC support requires native/libwhisper_io.so (make -C native)"
+        )
+    with open(path, "rb") as f:
+        data = f.read()
+    info = _FlacInfo()
+    rc = _LIB.flac_probe(data, len(data), ctypes.byref(info))
+    if rc != 0:
+        raise _pywav.WavFormatError(f"{path}: FLAC probe failed ({rc})")
+    nch = max(int(info.n_channels), 1)
+    cap = (int(info.total_samples) if info.total_samples
+           else len(data) * 8) * nch
+    while True:
+        out = np.empty(cap, np.int32)
+        n = _LIB.flac_decode_raw(
+            data, len(data),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), out.size,
+        )
+        if n != -5:  # FLAC_BUFFER_SMALL
+            break
+        cap *= 4
+    if n < 0:
+        raise _pywav.WavFormatError(f"{path}: FLAC decode failed ({n})")
+    return out[: n * nch].reshape(n, nch), info
+
+
+def verify_flac_md5(path: str) -> Optional[bool]:
+    """Check the decoded samples against the encoder's STREAMINFO MD5.
+
+    Returns True/False, or None when the stream carries no MD5 (all-zero
+    field). The hash covers the raw interleaved little-endian samples at
+    the stream's bit width (RFC 9639 §8.2) -- a cryptographic end-to-end
+    check that the decode reproduced the encoder's input bit-for-bit."""
+    import hashlib
+
+    samples, info = load_flac_raw(path)
+    with open(path, "rb") as f:
+        f.seek(4)
+        # STREAMINFO is the mandatory first block; MD5 is its last 16 bytes
+        hdr = f.read(4)
+        size = int.from_bytes(hdr[1:4], "big")
+        block = f.read(size)
+    embedded = block[size - 16: size]
+    if embedded == b"\x00" * 16:
+        return None
+    bits = int(info.bits_per_sample)
+    nbytes = (bits + 7) // 8
+    flat = samples.reshape(-1)
+    if nbytes in (1, 2, 4):
+        raw = flat.astype(f"<i{nbytes}").tobytes()
+    else:  # 24-bit: low 3 bytes of the little-endian i32
+        b4 = flat.astype("<i4").view(np.uint8).reshape(-1, 4)
+        raw = np.ascontiguousarray(b4[:, :3]).tobytes()
+    return hashlib.md5(raw).hexdigest() == embedded.hex()
 
 
 def load_audio(path: str) -> Tuple[np.ndarray, int]:

@@ -814,11 +814,15 @@ def _decoder_step_fused(
     # read-dedup (fused-kernel contract): the first claimant of each
     # distinct parent slab streams it from HBM, the rest copy VMEM-locally.
     # Computed ONCE per step here (outside the layer scan; parents are
-    # layer-invariant). WHISPER_TPU_DEDUP_READS=0 forces per-lane HBM
-    # reads for A/B.
+    # layer-invariant). Default OFF: the round-5 on-chip A/B measured it
+    # neutral on random parents and ~2% SLOWER in the beam-collapse regime
+    # it was built for (the VMEM-local copies serialize against COW's
+    # conditional write-backs; HBM re-reads of one slab overlap fine --
+    # docs/PERFORMANCE.md round-5 study). WHISPER_TPU_DEDUP_READS=1
+    # re-enables it for A/B.
     stage = None
     if parents is not None:
-        if os.environ.get("WHISPER_TPU_DEDUP_READS", "1") != "0":
+        if os.environ.get("WHISPER_TPU_DEDUP_READS", "0") == "1":
             from ..ops.pallas.permute_attention import compute_stage
 
             stage = compute_stage(parents, max(kv_rep, 1))
