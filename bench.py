@@ -33,9 +33,10 @@ Env knobs:
   WHISPER_TPU_BENCH_BEAM_BATCH (windows in the beam run; default 48 --
                             post-fusion sweep optimum, docs/PERFORMANCE.md)
   WHISPER_TPU_BENCH_SECOND (secondary model; default tiny.en, "none" skips)
-  WHISPER_TPU_BENCH_SECOND_BATCH (streams for the secondary; default 128 --
-                            tiny.en decode is tiny, throughput keeps scaling)
-  WHISPER_TPU_BENCH_SECOND_BEAM_BATCH (windows; default 64)
+  WHISPER_TPU_BENCH_THIRD  (third model; default large-v3-turbo, the
+                            deployment model -- encoder-dominated profile)
+  WHISPER_TPU_BENCH_{SECOND,THIRD}_BATCH / _BEAM_BATCH (stream counts;
+                            default to MODEL_BATCH_DEFAULTS sweep optima)
   WHISPER_TPU_BENCH_EOT    (fixed | ragged; default fixed. ragged gives each
                             stream a real EOT at a staggered depth via a
                             logits_hook -- times the done-masked idle steps
@@ -216,6 +217,18 @@ def bench_model(model_name: str, batch: int, steps: int, reps: int,
     return record
 
 
+# Per-model measured-best stream counts (on-chip sweeps, docs/PERFORMANCE.md):
+# large-v2 greedy still gains to b64 / beam peaks at W48; turbo's 4-layer
+# decoder is encoder-dominated -- greedy peaks at b96 (1316.9x vs 1273.3x at
+# b64, 1303.2x at b128) and beam at W48 (990.1 vs 950.6 at W64, round-5
+# turbo study); tiny.en keeps scaling to b128/W64.
+MODEL_BATCH_DEFAULTS = {
+    "large-v3-turbo": {"batch": 96, "beam_batch": 48},
+    "tiny.en": {"batch": 128, "beam_batch": 64},
+    "tiny": {"batch": 128, "beam_batch": 64},
+}
+
+
 def main() -> int:
     import jax
 
@@ -245,15 +258,28 @@ def main() -> int:
     record = bench_model(model_name, batch, steps, reps, quant, kv_quant,
                          self_kv, beam_size, beam_batch)
 
-    # The secondary BASELINE model (tiny.en) rides the same artifact line.
-    second = os.environ.get("WHISPER_TPU_BENCH_SECOND", "tiny.en")
-    if second not in ("", "none", model_name):
-        sbatch = int(os.environ.get("WHISPER_TPU_BENCH_SECOND_BATCH", "128"))
-        sbeam_batch = int(
-            os.environ.get("WHISPER_TPU_BENCH_SECOND_BEAM_BATCH", "64"))
-        srec = bench_model(second, sbatch, steps, reps, quant, kv_quant,
+    # The secondary BASELINE model (tiny.en) rides the same artifact line,
+    # as does the deployment model (large-v3-turbo) so all three headline
+    # models appear in every round artifact. WHISPER_TPU_BENCH_SECOND /
+    # _THIRD=none skips; batches default to the per-model sweep optima.
+    extras = [
+        ("SECOND", os.environ.get("WHISPER_TPU_BENCH_SECOND", "tiny.en")),
+        ("THIRD", os.environ.get("WHISPER_TPU_BENCH_THIRD",
+                                 "large-v3-turbo")),
+    ]
+    for tag, name in extras:
+        if name in ("", "none", model_name):
+            continue
+        defaults = MODEL_BATCH_DEFAULTS.get(name, {})
+        sbatch = int(os.environ.get(
+            f"WHISPER_TPU_BENCH_{tag}_BATCH",
+            str(defaults.get("batch", batch))))
+        sbeam_batch = int(os.environ.get(
+            f"WHISPER_TPU_BENCH_{tag}_BEAM_BATCH",
+            str(defaults.get("beam_batch", beam_batch))))
+        srec = bench_model(name, sbatch, steps, reps, quant, kv_quant,
                            self_kv, beam_size, sbeam_batch)
-        record[second.replace(".", "_").replace("-", "_")] = srec
+        record[name.replace(".", "_").replace("-", "_")] = srec
 
     print(json.dumps(record))
     return 0

@@ -195,3 +195,79 @@ class TestAsymmetricLayers:
             params, enc, jnp.asarray([1, 2], jnp.int32), fcfg, eot_id=0,
             max_depth=4)
         assert np.array_equal(np.asarray(t), np.asarray(tf))
+
+
+class TestKernelKnobs:
+    """config.KernelKnobs (VERDICT r4 item 8): the WHISPER_TPU_* trace-time
+    env reads are now WhisperConfig fields; env vars remain overrides."""
+
+    def test_env_overrides_config(self, monkeypatch):
+        from whisper_tpu.config import KernelKnobs, resolve_knobs
+
+        base = KernelKnobs(int8_impl="w8a8", cow=False, dedup_reads=True)
+        assert resolve_knobs(base) == base  # no env: config wins
+        monkeypatch.setenv("WHISPER_TPU_INT8_IMPL", "pallas")
+        monkeypatch.setenv("WHISPER_TPU_COW", "1")
+        monkeypatch.setenv("WHISPER_TPU_DEDUP_READS", "0")
+        monkeypatch.setenv("WHISPER_TPU_PREFIX_RUNGS", "2")
+        r = resolve_knobs(base)
+        assert (r.int8_impl, r.cow, r.dedup_reads, r.prefix_rungs) == (
+            "pallas", True, False, 2)
+
+    def test_knobs_not_serialized_to_cfg(self):
+        import dataclasses as dc
+
+        from whisper_tpu.config import KernelKnobs, WhisperConfig
+
+        cfg = dc.replace(
+            tiny_test_config(), knobs=KernelKnobs(encoder_mlp="xla"))
+        d = cfg.to_cfg_dict()
+        assert "knobs" not in d
+        # round-trip comes back with defaults (reference .cfg parity)
+        assert WhisperConfig.from_cfg_dict(d).knobs == KernelKnobs()
+
+    def test_config_drives_paths_without_env(self):
+        """The helpers that used to read os.environ now read the config."""
+        import dataclasses as dc
+
+        from whisper_tpu.config import KernelKnobs, active_knobs
+        from whisper_tpu.decode.beam import _fuse_reshuffle, _use_cow
+        from whisper_tpu.models.whisper import _use_fused_mlp
+        from whisper_tpu.quantize import quantize_tensor
+
+        qt = quantize_tensor(np.ones((8, 8), np.float32))
+        fcfg = dc.replace(tiny_test_config(), attention="flash")
+        assert _fuse_reshuffle(qt, fcfg) is True
+        off = dc.replace(fcfg, knobs=KernelKnobs(fused_permute=False))
+        assert _fuse_reshuffle(qt, off) is False
+        assert _use_cow(True, fcfg) is True
+        assert _use_cow(True, dc.replace(
+            fcfg, knobs=KernelKnobs(cow=False))) is False
+        with active_knobs(KernelKnobs(encoder_mlp="xla")):
+            assert _use_fused_mlp(np.ones((128, 512)), "flash") is False
+
+    def test_knobbed_beam_token_equal(self, params):
+        """fused_permute=False via CONFIG (no env) decodes the same tokens
+        as the default fused path."""
+        import dataclasses as dc
+
+        from whisper_tpu.config import KernelKnobs
+        from whisper_tpu.decode.beam import beam_search_batched
+
+        rng = np.random.default_rng(5)
+        mel = rng.standard_normal((2, 80, CFG.audio_encoder_config.n_audio_ctx)
+                                  ).astype(np.float32)
+        fcfg = dc.replace(CFG, attention="flash")
+        enc = m.encoder_forward(params, jnp.asarray(mel), fcfg)
+        prompt = jnp.asarray([1, 2], jnp.int32)
+
+        def run(cfg):
+            t, l, _ = jax.jit(lambda p, e: beam_search_batched(
+                p, e, prompt, cfg, eot_id=0, beam_size=2, max_depth=4,
+                self_quant=True))(params, enc)
+            return np.asarray(t), np.asarray(l)
+
+        t0, l0 = run(fcfg)
+        t1, l1 = run(dc.replace(fcfg, knobs=KernelKnobs(fused_permute=False)))
+        np.testing.assert_array_equal(l0, l1)
+        np.testing.assert_array_equal(t0, t1)

@@ -3,4 +3,10 @@ with the capabilities of Gadersd/whisper-burn."""
 
 __version__ = "0.1.0"
 
-from .config import WhisperConfig, AudioEncoderConfig, TextDecoderConfig, preset
+from .config import (
+    AudioEncoderConfig,
+    KernelKnobs,
+    TextDecoderConfig,
+    WhisperConfig,
+    preset,
+)

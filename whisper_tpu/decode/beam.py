@@ -159,12 +159,12 @@ def _topk_lse(x, k, seg: int = 128):
 
 def _fuse_reshuffle(self_k, cfg, allow=None) -> bool:
     """True when the beam reshuffle should ride the fused decode kernel
-    (flash attention + quantized self-KV; WHISPER_TPU_FUSED_PERMUTE=0
-    forces the separate permute kernel for A/B). `allow=False` hard-gates
-    it off (explicit caller control; dp meshes are token-identical through
-    the fused path on the virtual mesh, and tp>1 never reaches flash)."""
-    import os
-
+    (flash attention + quantized self-KV; cfg.knobs.fused_permute /
+    WHISPER_TPU_FUSED_PERMUTE=0 forces the separate permute kernel for
+    A/B). `allow=False` hard-gates it off (explicit caller control; dp
+    meshes are token-identical through the fused path on the virtual
+    mesh)."""
+    from ..config import resolve_knobs
     from ..quantize import QTensor
 
     if allow is False:
@@ -172,17 +172,17 @@ def _fuse_reshuffle(self_k, cfg, allow=None) -> bool:
     return (
         cfg.attention == "flash"
         and isinstance(self_k, QTensor)
-        and os.environ.get("WHISPER_TPU_FUSED_PERMUTE", "1") != "0"
+        and resolve_knobs(cfg.knobs).fused_permute
     )
 
 
-def _use_cow(fused: bool) -> bool:
+def _use_cow(fused: bool, cfg) -> bool:
     """Copy-on-write beam reshuffle (default on with the fused kernel;
-    WHISPER_TPU_COW=0 forces the physical whole-prefix write-back for
-    A/B). See _cow_assign."""
-    import os
+    cfg.knobs.cow / WHISPER_TPU_COW=0 forces the physical whole-prefix
+    write-back for A/B). See _cow_assign."""
+    from ..config import resolve_knobs
 
-    return fused and os.environ.get("WHISPER_TPU_COW", "1") != "0"
+    return fused and resolve_knobs(cfg.knobs).cow
 
 
 def _cow_assign(parent: jax.Array, phys: jax.Array):
@@ -495,7 +495,7 @@ def beam_search(
         # by construction (one window).
         fused = _fuse_reshuffle(s.self_k, cfg, fuse_reshuffle)
         phys = jnp.arange(K, dtype=jnp.int32)
-        if fused and _use_cow(fused):
+        if fused and _use_cow(fused, cfg):
             # COW reshuffle: read lane i's slab from phys[parent[i]], keep
             # first claimants in place (tile-only write), move the rest to
             # free slots; the cache stays in PHYSICAL slot order and `phys`
@@ -817,7 +817,7 @@ def beam_search_batched(
         gparent = (parent + jnp.arange(W)[:, None] * K).reshape(B)
         fused = _fuse_reshuffle(s.self_k, cfg, fuse_reshuffle)
         phys = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (W, K))
-        if fused and _use_cow(fused):
+        if fused and _use_cow(fused, cfg):
             # COW reshuffle (see the single-window path / _cow_assign): the
             # flat cache stays in physical slot order; `phys` carries each
             # window's logical->physical map. Stopped windows keep being

@@ -28,8 +28,7 @@ def _fuse_append(self_k, cfg, allow=None) -> bool:
     kernel's whole-prefix write-back measured a 3-5% LOSS on chip (424.7x
     vs 437x int8 / 444.6x bf16 at large-v2 b64 -- docs/PERFORMANCE.md
     fused-reshuffle study). Kept as an opt-in A/B knob."""
-    import os
-
+    from ..config import resolve_knobs
     from ..quantize import QTensor
 
     if allow is False:  # explicit caller override (A/B, tests)
@@ -37,7 +36,7 @@ def _fuse_append(self_k, cfg, allow=None) -> bool:
     return (
         cfg.attention == "flash"
         and isinstance(self_k, QTensor)
-        and os.environ.get("WHISPER_TPU_GREEDY_FUSED_APPEND", "0") == "1"
+        and resolve_knobs(cfg.knobs).greedy_fused_append
     )
 
 

@@ -34,8 +34,28 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..config import WhisperConfig
+from ..config import WhisperConfig, active_knobs, current_knobs
 from ..quantize import QTensor
+
+
+def _with_knobs(fn):
+    """Entry-point decorator: activate the config's kernel knobs
+    (config.KernelKnobs; WHISPER_TPU_* env vars override) for the trace, so
+    leaf helpers with no cfg parameter (_matmul, _use_fused_mlp) read the
+    caller's config instead of bare env defaults."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        cfg = kwargs.get("cfg")
+        if cfg is None:
+            for a in args:
+                if isinstance(a, WhisperConfig):
+                    cfg = a
+                    break
+        with active_knobs(cfg.knobs if cfg is not None else None):
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 Params = Dict[str, Any]
 
@@ -141,7 +161,9 @@ def layer_norm(x: jax.Array, g: jax.Array, b: jax.Array, eps: float) -> jax.Arra
 def _matmul(x: jax.Array, w) -> jax.Array:
     """x (..., d) @ w (d, ...); w may be an int8 QTensor (weight-only quant).
 
-    QTensor impl selection (`WHISPER_TPU_INT8_IMPL`, read at trace time):
+    QTensor impl selection (`config.KernelKnobs.int8_impl` via the
+    enclosing entry point's `active_knobs`; WHISPER_TPU_INT8_IMPL
+    overrides; read at trace time):
       * "xla" (default): int8 weights with the convert fused into the XLA
         GEMM -- measured fastest end-to-end at BOTH decode (small M; w8a8's
         extra ops outweigh the MXU saving) and encoder shapes (m=24k:
@@ -152,9 +174,7 @@ def _matmul(x: jax.Array, w) -> jax.Array:
       * "w8a8": dynamic per-row int8 activations + XLA s8 x s8 -> s32 dot;
       * "pallas": the Pallas W8A8 kernel (ops/pallas/dequant_matmul.py)."""
     if isinstance(w, QTensor):
-        import os
-
-        impl = os.environ.get("WHISPER_TPU_INT8_IMPL", "xla")
+        impl = current_knobs().int8_impl
         q = w.q
         k = q.shape[0]
         n = 1
@@ -320,7 +340,7 @@ def _use_fused_mlp(w1, impl: str) -> bool:
 
     if impl != "flash" or isinstance(w1, QTensor):
         return False
-    if os.environ.get("WHISPER_TPU_ENC_MLP", "fused") == "xla":
+    if current_knobs().encoder_mlp == "xla":
         return False
     from ..parallel import context as pctx
 
@@ -354,6 +374,7 @@ def _encoder_block(x: jax.Array, p: Dict[str, jax.Array], n_head: int, eps: floa
     return x + h
 
 
+@_with_knobs
 def encoder_forward(
     params: Params, mel: jax.Array, cfg: WhisperConfig, remat: bool = False
 ) -> jax.Array:
@@ -421,6 +442,7 @@ def _decoder_block(
     return x + h
 
 
+@_with_knobs
 def decoder_forward(
     params: Params,
     tokens: jax.Array,
@@ -459,6 +481,7 @@ def decoder_forward(
     )
 
 
+@_with_knobs
 def whisper_forward(
     params: Params,
     mel: jax.Array,
@@ -515,6 +538,7 @@ def _q8_rows(x: jax.Array, qdt=jnp.int8) -> Tuple[jax.Array, jax.Array]:
     return q, scale[..., 0]
 
 
+@_with_knobs
 def init_cache(
     params: Params,
     enc_out: jax.Array,
@@ -786,8 +810,8 @@ def _decoder_step_fused(
     c_self = (cache.self_k.q if isinstance(cache.self_k, QTensor)
               else cache.self_k).shape[2]
     default_rungs = 4 if isinstance(cache.self_k, QTensor) else 1
-    n_rungs = int(
-        os.environ.get("WHISPER_TPU_PREFIX_RUNGS", str(default_rungs)))
+    _pr = current_knobs().prefix_rungs
+    n_rungs = int(_pr) if _pr is not None else default_rungs
     prefix_g = (
         math.ceil(math.ceil(c_self / n_rungs) / 32) * 32 if n_rungs > 1
         else c_self
@@ -818,11 +842,11 @@ def _decoder_step_fused(
     # neutral on random parents and ~2% SLOWER in the beam-collapse regime
     # it was built for (the VMEM-local copies serialize against COW's
     # conditional write-backs; HBM re-reads of one slab overlap fine --
-    # docs/PERFORMANCE.md round-5 study). WHISPER_TPU_DEDUP_READS=1
-    # re-enables it for A/B.
+    # docs/PERFORMANCE.md round-5 study). cfg.knobs.dedup_reads /
+    # WHISPER_TPU_DEDUP_READS=1 re-enables it for A/B.
     stage = None
     if parents is not None:
-        if os.environ.get("WHISPER_TPU_DEDUP_READS", "0") == "1":
+        if current_knobs().dedup_reads:
             from ..ops.pallas.permute_attention import compute_stage
 
             stage = compute_stage(parents, max(kv_rep, 1))
@@ -952,6 +976,7 @@ def _decoder_step_fused(
     return logits, DecoderCache(new_k, new_v, cache.cross_k, cache.cross_v)
 
 
+@_with_knobs
 def decoder_step(
     params: Params,
     tokens: jax.Array,  # (B, S) new tokens at absolute positions [pos, pos+S)
