@@ -132,10 +132,30 @@ def flash_attention(
 
 
 def _attn_bsd_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int,
-                     causal: bool, block_q: int, n_group: int, hd: int):
+                     causal: bool, block_q: int, n_group: int, hd: int,
+                     fast_softmax: bool):
     """G heads x (q block x full K/V) attention on the NATURAL (S, G*hd)
     layout: per-head lane slices feed the same per-head dots as the legacy
-    kernel -- no HBM head transpose ever happens."""
+    kernel -- no HBM head transpose ever happens.
+
+    `fast_softmax` (non-causal only) removes two full-width VPU passes
+    over the (block_q, sk_pad) f32 score tile -- on-chip they cost 0.86 +
+    1.10 ms/layer-call of the kernel's 3.7 ms at large-v2 b64
+    (tools/ablations/flash_softmax.py; docs/PERFORMANCE.md round-5 study):
+      * no pad mask: padded K rows are ZERO, so their scores are exactly
+        0.0 and their V rows contribute nothing to the numerator; their
+        denominator mass is the closed-form n_pad * exp(-m), subtracted
+        per row. Exact in f32 up to one subtraction rounding; m becomes
+        max(valid scores, 0), still a valid softmax shift. Cancellation
+        bound: rows whose best VALID logit is < ~-7 lose denominator
+        precision (pad mass ~n_pad*eps_f32 vs valid mass e^max) --
+        implausible for real attention rows, and n_pad <= 7 at Whisper
+        shapes.
+      * deferred normalization: the second dot consumes UNNORMALIZED
+        exp(s - m) (bf16-rounded, same relative quantization as rounding
+        p) and the division happens on the (block_q, G*hd) output --
+        sk_pad/hd ~ 12x narrower.
+    """
     qi = pl.program_id(2)
 
     # scores dot runs in the STORAGE dtype with f32 accumulation -- for the
@@ -148,11 +168,14 @@ def _attn_bsd_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int,
     v = v_ref[0]
 
     sk_pad = k.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk_pad), 1)
-    mask = col < kv_len
-    if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk_pad), 0)
-        mask = mask & (col <= row + qi * block_q)
+    fast = fast_softmax and not causal
+    if not fast:
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk_pad), 1)
+        mask = col < kv_len
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk_pad), 0)
+            mask = mask & (col <= row + qi * block_q)
+    n_pad = sk_pad - kv_len
 
     outs = []
     for g in range(n_group):
@@ -163,13 +186,27 @@ def _attn_bsd_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (block_q, sk_pad) f32
+        vh = v[:, g * hd:(g + 1) * hd]
+        if fast:
+            m = jnp.max(s, axis=1, keepdims=True)  # >= 0 (pad cols are 0)
+            e = jnp.exp(s - m)
+            denom = jnp.sum(e, axis=1, keepdims=True)
+            if n_pad:
+                denom = denom - n_pad * jnp.exp(-m)
+            o = jax.lax.dot_general(
+                e.astype(v.dtype), vh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            outs.append(o / denom)
+            continue
         s = jnp.where(mask, s, NEG_INF)
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
         denom = jnp.sum(p, axis=1, keepdims=True)
         p = (p / denom).astype(v.dtype)
         outs.append(jax.lax.dot_general(
-            p, v[:, g * hd:(g + 1) * hd],
+            p, vh,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ))
@@ -181,9 +218,20 @@ def _attn_bsd_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int,
 )
 def _attention_bsd(q, k, v, n_head: int, causal: bool, block_q: int,
                    interpret: bool):
+    import os
+
     b, sq, d = q.shape
     sk = k.shape[1]
     hd = d // n_head
+    # WHISPER_TPU_FLASH_SOFTMAX=fast elides the pad-mask and normalization
+    # VPU passes (see _attn_bsd_kernel). Default LEGACY: the round-5 study
+    # measured the standalone kernel -2 ms/layer-call but the PRODUCTION
+    # encoder only -1% (306.6 -> 303.4 ms at b32) and end-to-end bench
+    # neutral -- in situ the softmax VPU work overlaps the pipelined
+    # DMAs/adjacent ops, so the numerics tweak buys nothing real
+    # (docs/PERFORMANCE.md round-5 flash-softmax study).
+    fast_softmax = os.environ.get(
+        "WHISPER_TPU_FLASH_SOFTMAX", "legacy") == "fast"
     # G heads per program: lane-dim G*hd stays 128-aligned (hd = 64 for
     # every Whisper size), halving per-program fixed cost vs one head.
     n_group = 2 if n_head % 2 == 0 and 2 * hd in (128, 256) else 1
@@ -203,7 +251,7 @@ def _attention_bsd(q, k, v, n_head: int, causal: bool, block_q: int,
     out = pl.pallas_call(
         functools.partial(
             _attn_bsd_kernel, kv_len=sk, causal=causal, block_q=block_q,
-            n_group=n_group, hd=hd,
+            n_group=n_group, hd=hd, fast_softmax=fast_softmax,
         ),
         grid=grid,
         in_specs=[
