@@ -283,3 +283,81 @@ class TestStreamingQualityGate:
                     .standard_normal(8000).astype(np.float32))
         st.finish()
         assert any("a" * 40 in s.text for s in st.confirmed)
+
+
+class TestStreamBatcher:
+    """StreamDecodeBatcher: concurrent sessions' decodes merge into one
+    batched program and every session's output is IDENTICAL to its
+    unbatched run (batched == single tokens)."""
+
+    def _audio(self, seed, n=24000):
+        rng = np.random.default_rng(seed)
+        t = np.arange(n) / 16000.0
+        return (0.4 * np.sin(2 * np.pi * (200 + 40 * seed) * t)
+                + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    def _drive(self, st, wave, block=3000):
+        segs = []
+        for i in range(0, len(wave), block):
+            segs.extend(st.push(wave[i:i + block]))
+        segs.extend(st.finish())
+        return [(s.text, s.start, s.end, tuple(s.tokens)) for s in segs]
+
+    def test_batched_session_matches_unbatched(self, setup):
+        from whisper_tpu.pipeline.batch import BatchTranscriber
+        from whisper_tpu.pipeline.streaming import StreamDecodeBatcher
+
+        params, cfg, tok = setup
+        t = BatchTranscriber(params, cfg, tok, batch_size=2)
+        batcher = StreamDecodeBatcher(t, batch_size=2)
+        wave = self._audio(3)
+
+        ref = self._drive(StreamingTranscriber(
+            None, None, None, options=_opts(), min_step_seconds=0.1,
+            transcriber=t), wave)
+        got = self._drive(StreamingTranscriber(
+            None, None, None, options=_opts(), min_step_seconds=0.1,
+            transcriber=t, batcher=batcher), wave)
+        assert got == ref
+        assert batcher.batches > 0
+
+    def test_concurrent_sessions_share_batches(self, setup):
+        import threading
+
+        from whisper_tpu.pipeline.batch import BatchTranscriber
+        from whisper_tpu.pipeline.streaming import StreamDecodeBatcher
+
+        params, cfg, tok = setup
+        t = BatchTranscriber(params, cfg, tok, batch_size=2)
+        # long wait: the two sessions' decodes MUST coalesce in the test
+        batcher = StreamDecodeBatcher(t, batch_size=2, max_wait_s=3.0)
+        waves = [self._audio(5), self._audio(6)]
+
+        refs = [self._drive(StreamingTranscriber(
+            None, None, None, options=_opts(), min_step_seconds=0.1,
+            transcriber=t), w) for w in waves]
+
+        outs = [None, None]
+        def run(i):
+            st = StreamingTranscriber(
+                None, None, None, options=_opts(), min_step_seconds=0.1,
+                transcriber=t, batcher=batcher)
+            outs[i] = self._drive(st, waves[i])
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in (0, 1)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=600)
+        assert outs[0] == refs[0]
+        assert outs[1] == refs[1]
+        # the sessions actually shared batched calls
+        assert batcher.batched_requests > batcher.batches
+
+    def test_requires_batch_transcriber(self, setup):
+        from whisper_tpu.pipeline.streaming import StreamDecodeBatcher
+        from whisper_tpu.pipeline.transcribe import Transcriber
+
+        params, cfg, tok = setup
+        with pytest.raises(TypeError):
+            StreamDecodeBatcher(Transcriber(params, cfg, tok))

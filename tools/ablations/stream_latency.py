@@ -48,7 +48,18 @@ def main() -> int:
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (correctness shakeout; "
                     "latency numbers are meaningless off-chip)")
+    ap.add_argument("--threaded", action="store_true",
+                    help="drive each session from its own thread (the HTTP "
+                    "daemon's model) instead of single-thread round-robin")
+    ap.add_argument("--batched", action="store_true",
+                    help="share a StreamDecodeBatcher: concurrent sessions' "
+                    "decodes merge into one batched program (implies "
+                    "--threaded)")
+    ap.add_argument("--batch-wait", type=float, default=0.03,
+                    help="batcher coalescing window (s)")
     args = ap.parse_args()
+    if args.batched:
+        args.threaded = True
 
     import jax
 
@@ -94,7 +105,13 @@ def main() -> int:
             "multilingual preset (tiny/base/small/medium/large*)"
         )
 
-    t = Transcriber(params, cfg, tok)
+    if args.batched:
+        from whisper_tpu.pipeline.batch import BatchTranscriber
+
+        t = BatchTranscriber(params, cfg, tok,
+                             batch_size=max(args.sessions))
+    else:
+        t = Transcriber(params, cfg, tok)
     opts = DecodeOptions(
         strategy=args.strategy, beam_size=args.beam_size,
         max_depth=args.max_depth, kv_quant="int8", timestamps=True,
@@ -107,10 +124,17 @@ def main() -> int:
 
     results = []
     for n_sessions in args.sessions:
+        batcher = None
+        if args.batched:
+            from whisper_tpu.pipeline.streaming import StreamDecodeBatcher
+
+            batcher = StreamDecodeBatcher(
+                t, batch_size=n_sessions, max_wait_s=args.batch_wait)
         streams = [
             StreamingTranscriber(
                 None, None, None, options=opts,
                 min_step_seconds=args.step, transcriber=t,
+                batcher=batcher,
             )
             for _ in range(n_sessions)
         ]
@@ -123,22 +147,60 @@ def main() -> int:
         lat = []  # wall seconds of each decode-triggering push
         warm = True  # first decode compiles; drop it from the stats
         t_start = time.perf_counter()
-        for b in range(n_blocks):
-            for s, a in zip(streams, audio):
-                t0 = time.perf_counter()
-                s.push(a[b * block_n : (b + 1) * block_n])
-                dt = time.perf_counter() - t0
-                if dt > 5e-3:  # a decode ran (buffered pushes are ~free)
-                    if warm:
-                        print(f"# warmup decode (may compile): {dt:.1f}s",
-                              file=sys.stderr)
-                        warm = False
-                        t_start = time.perf_counter()  # aggregate xRT
-                    else:                              # excludes warmup
-                        lat.append(dt)
-        for s in streams:
-            s.finish()
+        if args.threaded:
+            # warm the executable once so compile time stays out of stats
+            wst = StreamingTranscriber(
+                None, None, None, options=opts, min_step_seconds=args.step,
+                transcriber=t, batcher=batcher)
+            t0 = time.perf_counter()
+            wst.push(audio[0][: int(args.step * sr) + block_n])
+            print(f"# warmup decode (may compile): "
+                  f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+            import threading
+
+            lock = threading.Lock()
+            t_start = time.perf_counter()
+
+            def drive(s, a):
+                for b in range(n_blocks):
+                    t0 = time.perf_counter()
+                    s.push(a[b * block_n: (b + 1) * block_n])
+                    dt = time.perf_counter() - t0
+                    if dt > 5e-3:
+                        with lock:
+                            lat.append(dt)
+                s.finish()
+
+            threads = [
+                threading.Thread(target=drive, args=(s, a))
+                for s, a in zip(streams, audio)
+            ]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+        else:
+            for b in range(n_blocks):
+                for s, a in zip(streams, audio):
+                    t0 = time.perf_counter()
+                    s.push(a[b * block_n : (b + 1) * block_n])
+                    dt = time.perf_counter() - t0
+                    if dt > 5e-3:  # a decode ran (buffered pushes ~free)
+                        if warm:
+                            print(f"# warmup decode (may compile): "
+                                  f"{dt:.1f}s", file=sys.stderr)
+                            warm = False
+                            t_start = time.perf_counter()  # aggregate xRT
+                        else:                              # excl. warmup
+                            lat.append(dt)
+            for s in streams:
+                s.finish()
         total = time.perf_counter() - t_start
+        if batcher is not None:
+            print(f"# batcher: {batcher.batches} calls / "
+                  f"{batcher.batched_requests} decodes "
+                  f"(avg group {batcher.batched_requests / max(batcher.batches, 1):.2f})",
+                  file=sys.stderr)
         lat_ms = np.sort(np.asarray(lat)) * 1e3
         p50 = float(np.percentile(lat_ms, 50))
         p95 = float(np.percentile(lat_ms, 95))

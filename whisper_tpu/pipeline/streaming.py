@@ -19,6 +19,9 @@ agreement and for trimming confirmed audio off the buffer.
 from __future__ import annotations
 
 import dataclasses
+import queue
+import threading
+import time
 from typing import List, Optional
 
 import numpy as np
@@ -38,6 +41,120 @@ from ..ops.audio import max_waveform_samples
 from ..utils.logging import get_logger
 
 log = get_logger(__name__)
+
+
+class StreamDecodeBatcher:
+    """Batches CONCURRENT streaming sessions' window decodes into one
+    fixed-shape batched program call.
+
+    The round-3 streaming study (docs/PERFORMANCE.md) measured B=1 decodes
+    leaving the chip ~99% idle per step and concurrent sessions queueing
+    behind each other (p95 degrading with session count). Sessions that
+    decode within `max_wait_s` of each other now ride ONE batched window
+    program (the same `_batch_window_fn` the offline batch pipeline uses;
+    batched == single tokens is pinned by tests), so N live sessions cost
+    ~one decode of batch N instead of N serialized decodes.
+
+    Sessions submit via `decode()` (blocking); a daemon thread groups
+    same-options submissions up to `batch_size`. Requests with different
+    decode options/prompts batch only among themselves.
+    """
+
+    def __init__(self, transcriber, batch_size: int = 8,
+                 max_wait_s: float = 0.1):
+        # max_wait_s: the coalescing window. Too short and sessions convoy
+        # into sub-batches (30 ms measured avg group 2.0 of 4; 150 ms got
+        # 3.9 of 4 -- the post-decode host work between a session's decodes
+        # is tens of ms). The wait is only paid when a decode is pending,
+        # and is small against the ~1 s decode cadence of live sessions.
+        if not hasattr(transcriber, "_batch_window_fn"):
+            raise TypeError(
+                "StreamDecodeBatcher needs a BatchTranscriber "
+                "(the batched window program lives there)")
+        self.t = transcriber
+        self.batch_size = int(batch_size)
+        self.max_wait_s = float(max_wait_s)
+        self._q: "queue.Queue" = queue.Queue()
+        self._started = False
+        self._start_lock = threading.Lock()
+        self.batches = 0  # telemetry: batched calls issued
+        self.batched_requests = 0
+
+    def _ensure_started(self) -> None:
+        with self._start_lock:
+            if not self._started:
+                threading.Thread(target=self._run, daemon=True).start()
+                self._started = True
+
+    def decode(self, window: np.ndarray, prompt, suppress, key: tuple):
+        """Submit one window; blocks until the batched call returns.
+        Returns (tokens_row (ctx,) np.int32, length int)."""
+        self._ensure_started()
+        item = {
+            "window": np.asarray(window, np.float32),
+            "prompt": prompt,
+            "suppress": suppress,
+            "key": key,
+            "done": threading.Event(),
+            "out": None,
+            "err": None,
+        }
+        self._q.put(item)
+        item["done"].wait()
+        if item["err"] is not None:
+            raise item["err"]
+        return item["out"]
+
+    def _run(self) -> None:
+        while True:
+            first = self._q.get()
+            group = [first]
+            spill = []
+            deadline = time.monotonic() + self.max_wait_s
+            while len(group) < self.batch_size:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if nxt["key"] == first["key"]:
+                    group.append(nxt)
+                else:
+                    spill.append(nxt)
+            for it in spill:  # different options: next round
+                self._q.put(it)
+            try:
+                self._run_group(group)
+            except Exception as e:  # pragma: no cover - surfaced to callers
+                for it in group:
+                    it["err"] = e
+                    it["done"].set()
+
+    def _run_group(self, group) -> None:
+        t = self.t
+        (P, strategy, beam_size, max_depth, padding, sup_len, kv_quant,
+         self_quant, max_ts_idx, _prompt_ids) = group[0]["key"]
+        fn = t._batch_window_fn(
+            len(group[0]["window"]), P, strategy, beam_size, max_depth,
+            padding, sup_len, kv_quant, self_quant, timestamps=True,
+            max_initial_ts_idx=max_ts_idx,
+        )
+        waves = np.stack([it["window"] for it in group])
+        if len(group) < self.batch_size:
+            waves = np.concatenate(
+                [waves,
+                 np.repeat(waves[:1], self.batch_size - len(group), axis=0)])
+        toks, lengths = fn(
+            t.params, t._place_batch(waves), group[0]["prompt"],
+            group[0]["suppress"])
+        toks, lengths = np.asarray(toks), np.asarray(lengths)
+        self.batches += 1
+        self.batched_requests += len(group)
+        for j, it in enumerate(group):
+            it["out"] = (toks[j], int(lengths[j]))
+            it["done"].set()
 
 
 class StreamingTranscriber:
@@ -70,11 +187,15 @@ class StreamingTranscriber:
         min_step_seconds: float = 1.0,
         confirm_margin_seconds: float = 0.3,
         transcriber: Optional[Transcriber] = None,
+        batcher: Optional[StreamDecodeBatcher] = None,
     ):
         # A shared Transcriber lets many concurrent streams (e.g. server
         # sessions) reuse ONE compiled window executable; params/cfg/
-        # tokenizer may then be None.
+        # tokenizer may then be None. A shared `batcher` additionally
+        # merges concurrent sessions' decodes into one batched program
+        # call (StreamDecodeBatcher).
         self._t = transcriber or Transcriber(params, cfg, tokenizer)
+        self._batcher = batcher
         cfg, tokenizer = self._t.cfg, self._t.tok
         self.opt = dataclasses.replace(
             options or DecodeOptions(), timestamps=True
@@ -178,19 +299,34 @@ class StreamingTranscriber:
         real = min(len(self._buffer), self._n_window)
         window = np.zeros(self._n_window, np.float32)
         window[:real] = self._buffer[:real]
-        fn = self._t._window_fn(
-            self._n_window, int(self._prompt.shape[0]), self.opt.strategy,
-            self.opt.beam_size, self.opt.max_depth, self.opt.padding,
-            self.opt.suppress_until_len + self._n_cond, self.opt.kv_quant,
-            self.opt.self_quant, timestamps=True,
-            max_initial_ts_idx=max(
-                0, int(round(self.opt.max_initial_timestamp / 0.02))),
-        )
-        toks_dev, length = fn(
-            self._t.params, jnp.asarray(window), self._prompt,
-            self._t._suppress_ts,
-        )
-        tokens = [int(t) for t in np.asarray(toks_dev)[: int(length)]]
+        P = int(self._prompt.shape[0])
+        max_ts_idx = max(
+            0, int(round(self.opt.max_initial_timestamp / 0.02)))
+        sup_len = self.opt.suppress_until_len + self._n_cond
+        if self._batcher is not None:
+            # batched == single tokens: the batched window program uses the
+            # per-sample mel max and the flat-batched decode, both pinned
+            # token-identical to the singleton program by tests
+            key = (P, self.opt.strategy, self.opt.beam_size,
+                   self.opt.max_depth, self.opt.padding, sup_len,
+                   self.opt.kv_quant, self.opt.self_quant, max_ts_idx,
+                   tuple(int(t) for t in np.asarray(self._prompt)))
+            row, length = self._batcher.decode(
+                window, self._prompt, self._t._suppress_ts, key)
+            tokens = [int(t) for t in row[:length]]
+        else:
+            fn = self._t._window_fn(
+                self._n_window, P, self.opt.strategy,
+                self.opt.beam_size, self.opt.max_depth, self.opt.padding,
+                sup_len, self.opt.kv_quant,
+                self.opt.self_quant, timestamps=True,
+                max_initial_ts_idx=max_ts_idx,
+            )
+            toks_dev, length = fn(
+                self._t.params, jnp.asarray(window), self._prompt,
+                self._t._suppress_ts,
+            )
+            tokens = [int(t) for t in np.asarray(toks_dev)[: int(length)]]
         tokens = tokens[self._n_cond :]  # drop the conditioning prefix
         real_s = real / SAMPLE_RATE
         segs = segments_from_tokens(

@@ -420,6 +420,18 @@ class StreamSessions:
         self.ttl_s = ttl_s
         self._lock = threading.Lock()
         self._sessions = {}  # id -> dict(st, lock, last_used)
+        # concurrent sessions' decodes merge into one batched program call
+        # (pipeline/streaming.StreamDecodeBatcher; needs the batched window
+        # program, i.e. a BatchTranscriber -- the daemon always has one)
+        self.batcher = None
+        if hasattr(transcriber, "_batch_window_fn"):
+            from .pipeline.streaming import StreamDecodeBatcher
+
+            self.batcher = StreamDecodeBatcher(
+                transcriber,
+                batch_size=min(getattr(transcriber, "batch_size", 8),
+                               max_sessions),
+            )
 
     def start(self, options) -> Optional[str]:
         from .pipeline.streaming import StreamingTranscriber
@@ -433,7 +445,7 @@ class StreamSessions:
             sid = secrets.token_urlsafe(16)
             st = StreamingTranscriber(
                 None, None, None, options=options,
-                transcriber=self.shared_t,
+                transcriber=self.shared_t, batcher=self.batcher,
             )
             self._sessions[sid] = {
                 "st": st, "lock": threading.Lock(),
