@@ -141,11 +141,22 @@ class StreamDecodeBatcher:
             padding, sup_len, kv_quant, self_quant, timestamps=True,
             max_initial_ts_idx=max_ts_idx,
         )
+        # Pad to the smallest power of two >= the group, not to the full
+        # batch_size: the jitted program specializes per batch shape (one
+        # cached compile per rung), so partial demand -- a lone session, or
+        # 5 of 8 sessions coalescing -- pays for its rung, not the full
+        # batch. Meshed transcribers keep the fixed size (dp must divide).
+        size = self.batch_size
+        if getattr(t, "mesh", None) is None:
+            size = 1
+            while size < len(group):
+                size *= 2
+            size = min(size, self.batch_size)
         waves = np.stack([it["window"] for it in group])
-        if len(group) < self.batch_size:
+        if len(group) < size:
             waves = np.concatenate(
                 [waves,
-                 np.repeat(waves[:1], self.batch_size - len(group), axis=0)])
+                 np.repeat(waves[:1], size - len(group), axis=0)])
         toks, lengths = fn(
             t.params, t._place_batch(waves), group[0]["prompt"],
             group[0]["suppress"])
