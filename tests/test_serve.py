@@ -608,3 +608,26 @@ class TestContinuousServing:
                            fromlist=["DecodeOptions"]).DecodeOptions),
         )
         assert out["text"] == direct[0][0]
+
+
+class TestPoolRoundRobin:
+    """Two options keys under load: the worker must alternate pools (a
+    sustained stream of one key cannot starve the other)."""
+
+    def test_both_keys_progress(self, server):
+        base, worker = server
+        import concurrent.futures as cf
+
+        def req(greedy, seed):
+            body = _wav_bytes(n=16000, seed=seed)
+            q = "greedy=1" if greedy else "greedy=0"
+            r = urllib.request.Request(
+                base + f"/transcribe?{q}", data=body,
+                headers={"Content-Type": "audio/wav"})
+            with urllib.request.urlopen(r, timeout=120) as resp:
+                return json.loads(resp.read())["text"]
+
+        with cf.ThreadPoolExecutor(8) as ex:
+            futs = [ex.submit(req, i % 2 == 0, i) for i in range(8)]
+            texts = [f.result() for f in futs]
+        assert len(texts) == 8  # every request of both keys completed

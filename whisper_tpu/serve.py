@@ -279,6 +279,10 @@ class BatchingWorker(threading.Thread):
             try:
                 if pool.pending() and not stepped:
                     stepped = True
+                    # round-robin: move the stepped pool to the END so a
+                    # sustained stream of one options key cannot starve
+                    # the other pools' windows
+                    self._pools[key] = self._pools.pop(key)
                     done = pool.step()
                     self.metrics.add(
                         batches_total=1,
