@@ -267,9 +267,11 @@ def main() -> int:
         ("THIRD", os.environ.get("WHISPER_TPU_BENCH_THIRD",
                                  "large-v3-turbo")),
     ]
+    seen = {model_name}
     for tag, name in extras:
-        if name in ("", "none", model_name):
+        if name in ("", "none") or name in seen:
             continue
+        seen.add(name)
         defaults = MODEL_BATCH_DEFAULTS.get(name, {})
         sbatch = int(os.environ.get(
             f"WHISPER_TPU_BENCH_{tag}_BATCH",

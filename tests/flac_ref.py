@@ -196,7 +196,13 @@ def encode_flac(
         # bit width (RFC 9639 §8.2)
         import hashlib
 
-        inter = channels.T.reshape(-1).astype(f"<i{bps // 8}").tobytes()
+        nbytes = (bps + 7) // 8  # spec width; 24-bit packs low 3 bytes
+        flat = channels.T.reshape(-1)
+        if nbytes in (1, 2, 4):
+            inter = flat.astype(f"<i{nbytes}").tobytes()
+        else:
+            b4 = flat.astype("<i4").view(np.uint8).reshape(-1, 4)
+            inter = np.ascontiguousarray(b4[:, :nbytes]).tobytes()
         digest = hashlib.md5(inter).digest()
     else:
         digest = b"\x00" * 16

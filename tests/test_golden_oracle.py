@@ -242,6 +242,9 @@ class TestWordTimingOracle:
         want_times = [(s, e) for _, s, e, _ in want]
         assert got_times == want_times
         assert len(got) >= 3  # "hello", "world,", "ok" (comma merged)
+
+
+class TestOracleFrontendAgreement:
     """The two frontends (GEMM-DFT f32-highest vs rfft f64) agree numerically;
     a loud failure here localizes a golden-gate failure to the frontend."""
 

@@ -465,6 +465,9 @@ class WindowPool:
         self._prompt, self._n_cond = transcriber._build_prompt(opt)
         self._sup_len = opt.suppress_until_len + self._n_cond
         self._suppress = transcriber._suppress
+        # a 1-tuple temperature is poolable (no ladder) but not float()-able
+        temps, _ = Transcriber._ladder_temps(opt)
+        self._temperature = float(temps[0])
         self._queue: List[Tuple[object, int, np.ndarray]] = []  # full wins
         self._tails: dict = {}  # rid -> [(w, chunk)]
         self._results: dict = {}  # rid -> {w: tokens}
@@ -542,7 +545,7 @@ class WindowPool:
             fn = t._batch_window_fn(
                 self._n_window, P, opt.strategy, opt.beam_size,
                 opt.max_depth, opt.padding, self._sup_len, opt.kv_quant,
-                opt.self_quant, temperature=float(opt.temperature),
+                opt.self_quant, temperature=self._temperature,
                 sot_pos=self._n_cond,
             )
             waves = np.stack([g[2] for g in group])

@@ -79,6 +79,12 @@ class StreamDecodeBatcher:
         self._start_lock = threading.Lock()
         self.batches = 0  # telemetry: batched calls issued
         self.batched_requests = 0
+        # Optional client count, maintained by the session registry
+        # (serve.StreamSessions): with <= 1 known client the coalescing
+        # wait is skipped -- a lone session must not pay max_wait_s per
+        # decode for partners that cannot exist. None = unknown (library
+        # callers): always wait.
+        self.clients: int | None = None
 
     def _ensure_started(self) -> None:
         with self._start_lock:
@@ -111,6 +117,8 @@ class StreamDecodeBatcher:
             group = [first]
             spill = []
             deadline = time.monotonic() + self.max_wait_s
+            if self.clients is not None and self.clients <= 1:
+                deadline = 0.0  # lone session: drain without waiting
             while len(group) < self.batch_size:
                 timeout = deadline - time.monotonic()
                 if timeout <= 0:

@@ -233,6 +233,7 @@ class BatchingWorker(threading.Thread):
     def _admit(self, req: _Request, DecodeOptions) -> None:
         from .pipeline.batch import WindowPool
 
+        pool = rid = None
         try:
             key = req.opts_key()
             entry = self._pools.get(key)
@@ -244,6 +245,10 @@ class BatchingWorker(threading.Thread):
             self._next_rid += 1
             pool.add(rid, req.wave)
         except Exception as e:
+            if pool is not None and rid is not None:
+                # add() may have enqueued windows before raising: cancel
+                # them or they decode as ghost work and sweep as orphans
+                pool.cancel(rid)
             req.error = str(e)
             self.metrics.add(errors_total=1)
             self._finish(req)
@@ -283,10 +288,14 @@ class BatchingWorker(threading.Thread):
                     # sustained stream of one options key cannot starve
                     # the other pools' windows
                     self._pools[key] = self._pools.pop(key)
+                    before = pool.pending()
                     done = pool.step()
+                    # batch OCCUPANCY (windows actually decoded), so the
+                    # batched_requests/batches_total ratio stays the avg
+                    # batch-fill gauge it documents
                     self.metrics.add(
                         batches_total=1,
-                        batched_requests=len({r for r, _, _ in done}))
+                        batched_requests=before - pool.pending())
                 else:
                     done = pool.sweep()
             except Exception as e:
@@ -335,6 +344,17 @@ class BatchingWorker(threading.Thread):
                           DecodeOptions) -> None:
         """The original one-shot path: one transcribe_many* call per
         same-options group (ladder/timestamped/lang=auto requests)."""
+        # Drop members whose waiter already 504ed BEFORE spending chip
+        # time: under overload, requests queue past their deadline and
+        # transcribing them anyway wastes the chip when it's scarcest.
+        live = [r for r in batch if not r.abandoned]
+        for r in batch:
+            if r.abandoned:
+                self.dropped += 1
+                r.done.set()
+        batch = live
+        if not batch:
+            return
         req = batch[0]
         try:
             # lang=auto: detect each request's language (one encoder +
@@ -455,7 +475,13 @@ class StreamSessions:
                 "st": st, "lock": threading.Lock(),
                 "last_used": time.monotonic(),
             }
+            self._sync_batcher_clients()
             return sid
+
+    def _sync_batcher_clients(self) -> None:
+        # lone sessions skip the batcher's coalescing wait (must hold _lock)
+        if self.batcher is not None:
+            self.batcher.clients = len(self._sessions)
 
     def _get(self, sid):
         with self._lock:
@@ -480,6 +506,7 @@ class StreamSessions:
             text = s["st"].text
         with self._lock:
             self._sessions.pop(sid, None)
+            self._sync_batcher_clients()
         return tail, text
 
     def open_count(self) -> int:
@@ -491,6 +518,7 @@ class StreamSessions:
         for sid in [k for k, v in self._sessions.items()
                     if now - v["last_used"] > self.ttl_s]:
             del self._sessions[sid]
+        self._sync_batcher_clients()
 
 
 def _top_probs(dist: dict, k: int = 5) -> dict:
