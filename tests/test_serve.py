@@ -631,3 +631,26 @@ class TestPoolRoundRobin:
             futs = [ex.submit(req, i % 2 == 0, i) for i in range(8)]
             texts = [f.result() for f in futs]
         assert len(texts) == 8  # every request of both keys completed
+
+
+class TestWindowPoolTupleTemperature:
+    def test_one_tuple_temperature_poolable_and_works(self, server):
+        """temperature=(0.0,) is ladder-inactive and poolable; the pool must
+        decode it instead of crashing float() on a tuple (round-5 review)."""
+        from whisper_tpu.pipeline.batch import WindowPool
+        from whisper_tpu.pipeline.transcribe import DecodeOptions
+
+        _, worker = server
+        t = worker.t
+        opt = DecodeOptions(strategy="greedy", max_depth=4,
+                            temperature=(0.0,))
+        assert WindowPool.poolable(opt)
+        pool = WindowPool(t, opt)
+        rng = np.random.default_rng(2)
+        pool.add(0, (rng.standard_normal(12000) * 0.2).astype(np.float32))
+        done = pool.flush()
+        assert [rid for rid, _, _ in done] == [0]
+        want = t.transcribe_many(
+            [(np.random.default_rng(2).standard_normal(12000) * 0.2
+              ).astype(np.float32)], options=opt)
+        assert (done[0][1], done[0][2]) == want[0]

@@ -790,7 +790,9 @@ def serve(model: str, host: str = "127.0.0.1", port: int = 8000,
           ready_event: Optional[threading.Event] = None,
           max_body_bytes: int = 64 * 1024 * 1024,
           request_timeout_s: float = 120.0,
-          max_streams: int = 16):
+          max_streams: int = 16,
+          continuous: bool = True,
+          stream_batch_wait_s: float = 0.1):
     import jax.numpy as jnp
 
     from .config import SAMPLE_RATE
@@ -806,12 +808,15 @@ def serve(model: str, host: str = "127.0.0.1", port: int = 8000,
         params, cfg, WhisperTokenizer(tok_path), batch_size=batch_size,
         dtype=jnp.bfloat16 if dtype == "bfloat16" else None,
     )
-    worker = BatchingWorker(t, max_batch=batch_size, max_wait_s=max_wait_s)
+    worker = BatchingWorker(t, max_batch=batch_size, max_wait_s=max_wait_s,
+                            continuous=continuous)
     worker.start()
 
     # BatchTranscriber is-a Transcriber: streaming sessions share its
     # jit caches (and one tokenizer/suppress-mask) with the batch path
     streams = StreamSessions(t, max_sessions=max_streams)
+    if streams.batcher is not None:
+        streams.batcher.max_wait_s = float(stream_batch_wait_s)
 
     server = ThreadingHTTPServer(
         (host, port),
@@ -841,12 +846,20 @@ def main(argv=None) -> int:
                    help="per-request transcription deadline (504)")
     p.add_argument("--max-streams", type=int, default=16,
                    help="concurrent streaming sessions (409 when full)")
+    p.add_argument("--no-continuous", action="store_true",
+                   help="disable continuous window-pool batching (one-shot "
+                        "grouped dispatch for every request)")
+    p.add_argument("--stream-batch-wait-ms", type=float, default=100.0,
+                   help="coalescing window for concurrent live streams' "
+                        "batched decodes (docs/PERFORMANCE.md round-5)")
     args = p.parse_args(argv)
     serve(args.model, args.host, args.port, args.tokenizer, args.batch_size,
           args.max_wait_ms / 1000.0, args.dtype,
           max_body_bytes=args.max_body_mb * 1024 * 1024,
           request_timeout_s=args.request_timeout_s,
-          max_streams=args.max_streams)
+          max_streams=args.max_streams,
+          continuous=not args.no_continuous,
+          stream_batch_wait_s=args.stream_batch_wait_ms / 1000.0)
     return 0
 
 
