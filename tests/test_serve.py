@@ -510,14 +510,16 @@ class TestWindowPool:
             for L in lengths
         ]
 
-    def test_pool_matches_transcribe_many(self, pool_t):
+    @pytest.mark.parametrize("strategy", ["greedy", "beam"])
+    def test_pool_matches_transcribe_many(self, pool_t, strategy):
         """Mixed window counts incl. a partial tail and a sub-window wave:
-        pool completions == transcribe_many, request for request."""
+        pool completions == transcribe_many, request for request (both
+        decode strategies -- beam serve requests pool too)."""
         from whisper_tpu.pipeline.batch import WindowPool
         from whisper_tpu.pipeline.transcribe import DecodeOptions
 
         t = pool_t
-        opt = DecodeOptions(strategy="greedy", max_depth=6,
+        opt = DecodeOptions(strategy=strategy, beam_size=2, max_depth=6,
                             chunk_overlap_seconds=0.05)
         waves = self._waves(t, [2.4, 1.0, 0.6, 3.0])
         want = t.transcribe_many(waves, options=opt)
