@@ -57,6 +57,14 @@ def main() -> int:
                     "--threaded)")
     ap.add_argument("--batch-wait", type=float, default=0.03,
                     help="batcher coalescing window (s)")
+    ap.add_argument("--draft", default=None, metavar="PRESET",
+                    help="speculative decoding (greedy only): attach a "
+                    "synthetic draft model of this preset (e.g. tiny). "
+                    "NOTE random-weight models tie-collapse onto the same "
+                    "argmax, so this measures the ~FULL-acceptance latency "
+                    "ceiling; spec_decode.py has the acceptance-controlled "
+                    "curve")
+    ap.add_argument("--draft-k", type=int, default=4)
     args = ap.parse_args()
     if args.batched:
         args.threaded = True
@@ -105,13 +113,22 @@ def main() -> int:
             "multilingual preset (tiny/base/small/medium/large*)"
         )
 
+    draft = None
+    if args.draft is not None:
+        if args.batched or args.strategy != "greedy":
+            raise SystemExit("--draft needs --strategy greedy, unbatched "
+                             "(speculative decoding is the B=1 path)")
+        dcfg = preset(args.draft)
+        draft = (M.init_params(jax.random.PRNGKey(7), dcfg,
+                               dtype=jnp.bfloat16), dcfg)
     if args.batched:
         from whisper_tpu.pipeline.batch import BatchTranscriber
 
         t = BatchTranscriber(params, cfg, tok,
                              batch_size=max(args.sessions))
     else:
-        t = Transcriber(params, cfg, tok)
+        t = Transcriber(params, cfg, tok, draft=draft,
+                        draft_k=args.draft_k)
     opts = DecodeOptions(
         strategy=args.strategy, beam_size=args.beam_size,
         max_depth=args.max_depth, kv_quant="int8", timestamps=True,

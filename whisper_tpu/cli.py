@@ -113,6 +113,15 @@ def cmd_transcribe(argv) -> int:
                    help="condition the decoder on this text (domain terms, "
                         "names, style) via <|startofprev|>; applied to every "
                         "window, stripped from the output")
+    p.add_argument("--draft", default=None, metavar="MODEL",
+                   help="speculative decoding (with --greedy): a smaller "
+                        "model sharing the tokenizer (e.g. multilingual "
+                        "tiny for large-v2) drafts tokens, the main model "
+                        "verifies them in one step -- identical output, "
+                        "fewer large-model steps on the B=1 latency path")
+    p.add_argument("--draft-k", type=int, default=4,
+                   help="speculative block size: 1 committed + k-1 drafted "
+                        "tokens per verify step (default 4)")
     p.add_argument("-v", "--verbose", action="count", default=0)
     args = p.parse_args(argv)
 
@@ -175,6 +184,27 @@ def cmd_transcribe(argv) -> int:
     except Exception as e:
         print(f"Failed to load whisper model file: {e}", file=sys.stderr)
         return 1
+
+    draft = None
+    if args.draft is not None:
+        if not args.greedy:
+            print("--draft requires --greedy (speculative decoding is "
+                  "exact only at temperature-0 greedy)", file=sys.stderr)
+            return 1
+        if args.parallel_windows:
+            print("--draft is incompatible with --parallel-windows "
+                  "(speculative decoding is the B=1 latency path)",
+                  file=sys.stderr)
+            return 1
+        d_cfg = None
+        d_cfg_path = f"{args.draft}.cfg"
+        if os.path.exists(d_cfg_path):
+            d_cfg = WhisperConfig.load(d_cfg_path)
+        try:
+            draft = checkpoint.load_params(args.draft, d_cfg)
+        except Exception as e:
+            print(f"Failed to load draft model file: {e}", file=sys.stderr)
+            return 1
 
     # Full 99-language table (incl. haw, which the reference's table omits,
     # src/token.rs:50-58); whether the code resolves against THIS tokenizer
@@ -242,7 +272,8 @@ def cmd_transcribe(argv) -> int:
             print("--timestamps is incompatible with --parallel-windows",
                   file=sys.stderr)
             return 1
-        t = Transcriber(params, cfg, tokenizer, dtype=dtype)
+        t = Transcriber(params, cfg, tokenizer, dtype=dtype,
+                        draft=draft, draft_k=args.draft_k)
         text, segments = t.transcribe_with_timestamps(
             waveform, rate, opts, word_timestamps=args.words)
         if out_format == "json":
@@ -290,7 +321,8 @@ def cmd_transcribe(argv) -> int:
         bt = BatchTranscriber(params, cfg, tokenizer, dtype=dtype)
         (text, _tokens), = bt.transcribe_many([waveform], rate, opts)
     else:
-        t = Transcriber(params, cfg, tokenizer, dtype=dtype)
+        t = Transcriber(params, cfg, tokenizer, dtype=dtype,
+                        draft=draft, draft_k=args.draft_k)
         text, _tokens = t.transcribe(waveform, rate, opts)
     dt = time.perf_counter() - t0
 

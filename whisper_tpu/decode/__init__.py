@@ -1,1 +1,1 @@
-from . import beam, greedy, host_beam
+from . import beam, greedy, host_beam, speculative

@@ -40,6 +40,45 @@ def _fuse_append(self_k, cfg, allow=None) -> bool:
     )
 
 
+def make_logp_fn(
+    prompt_len: int,
+    eot_id: int,
+    suppress_mask: Optional[jax.Array],
+    suppress_until_len: int,
+    ts_begin: Optional[int],
+    max_initial_ts_idx: int,
+    logits_hook,
+):
+    """The greedy token-selection distribution: suppression window +
+    timestamp rules + custom hook + log-softmax, as one traced function
+    `(logits (B, V), tokens (B, ctx), seq_len) -> logp (B, V)`.
+
+    Single-sourced so the speculative decoder's draft and verify phases
+    (decode/speculative.py) apply BIT-IDENTICAL masking to the plain greedy
+    loop -- its token-parity guarantee rests on argmax agreement of these
+    distributions. `tokens` positions >= seq_len are never read
+    (apply_timestamp_rules masks reads by seq_len; hooks must honor the
+    same contract)."""
+
+    def _logp(logits, tokens, seq_len):
+        x = logits.astype(jnp.float32)
+        if suppress_mask is not None:
+            x = jnp.where(seq_len <= suppress_until_len, x + suppress_mask, x)
+        if ts_begin is not None:
+            x = apply_timestamp_rules(
+                x, tokens, seq_len, prompt_len, ts_begin, eot_id,
+                max_initial_ts_idx,
+            )
+        if logits_hook is not None:
+            # traced custom logit filter (OpenAI Whisper's LogitFilter
+            # extension point; new capability) -- after suppression +
+            # timestamp rules, before the log-softmax
+            x = logits_hook(x, tokens, seq_len)
+        return jax.nn.log_softmax(x, axis=-1)
+
+    return _logp
+
+
 class GreedyState(NamedTuple):
     tokens: jax.Array  # (B, n_text_ctx) i32
     length: jax.Array  # (B,) i32 per-stream sequence length (incl. prompt)
@@ -97,20 +136,8 @@ def greedy_decode(
     P = prompt.shape[0]
     B = batch or enc_out.shape[0]
 
-    def _logp(logits, tokens, seq_len):
-        x = logits.astype(jnp.float32)
-        if suppress_mask is not None:
-            x = jnp.where(seq_len <= suppress_until_len, x + suppress_mask, x)
-        if ts_begin is not None:
-            x = apply_timestamp_rules(
-                x, tokens, seq_len, P, ts_begin, eot_id, max_initial_ts_idx
-            )
-        if logits_hook is not None:
-            # traced custom logit filter (OpenAI Whisper's LogitFilter
-            # extension point; new capability) -- after suppression +
-            # timestamp rules, before the log-softmax
-            x = logits_hook(x, tokens, seq_len)
-        return jax.nn.log_softmax(x, axis=-1)
+    _logp = make_logp_fn(P, eot_id, suppress_mask, suppress_until_len,
+                         ts_begin, max_initial_ts_idx, logits_hook)
 
     tokens0 = jnp.zeros((B, ctx), jnp.int32).at[:, :P].set(prompt[None, :])
     cache_len = min(ctx, -(-(P + max_depth) // 128) * 128)

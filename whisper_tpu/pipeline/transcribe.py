@@ -258,6 +258,8 @@ class Transcriber:
         attention: str = "auto",
         matmul_precision: Optional[str] = None,
         mesh=None,
+        draft: Optional[Tuple[M.Params, WhisperConfig]] = None,
+        draft_k: int = 4,
     ):
         """`matmul_precision`: None (device default: single-pass bf16 MXU for
         f32 on TPU, ~0.2 logit deviation vs exact f32) or "highest"/"float32"
@@ -267,6 +269,13 @@ class Transcriber:
         are placed with the Megatron TP rules (replicated over dp); batched
         inputs (BatchTranscriber) are sharded over dp, so one jitted program
         data-parallelizes windows across chips with XLA-inserted collectives.
+
+        `draft`: optional (params, cfg) of a SMALLER model sharing the
+        tokenizer (e.g. tiny drafting for large-v2): greedy temperature-0
+        windows then decode speculatively (decode/speculative.py) -- the
+        draft proposes `draft_k - 1` tokens per target step, the target
+        verifies, output tokens unchanged. B=1 latency feature; ignored by
+        beam/sampling decodes and the batched pipelines.
         """
         if attention == "auto":
             attention = "flash" if jax.default_backend() == "tpu" else "xla"
@@ -319,6 +328,46 @@ class Transcriber:
         except KeyError:
             self._ts_begin = None
             self._suppress_ts = self._suppress
+        self._draft_params = None
+        self._draft_cfg: Optional[WhisperConfig] = None
+        self._draft_k = int(draft_k)
+        if draft is not None:
+            d_params, d_cfg = draft
+            if mesh is not None:
+                raise ValueError(
+                    "draft= does not compose with mesh= yet: speculative "
+                    "decoding is the B=1 single-chip latency path"
+                )
+            if d_cfg.text_decoder_config.n_vocab != cfg.text_decoder_config.n_vocab:
+                raise ValueError(
+                    "draft model vocab "
+                    f"{d_cfg.text_decoder_config.n_vocab} != target vocab "
+                    f"{cfg.text_decoder_config.n_vocab} -- the draft must "
+                    "share the tokenizer (e.g. multilingual tiny for "
+                    "large-v2, NOT tiny.en)"
+                )
+            if d_cfg.n_mels != cfg.n_mels:
+                raise ValueError(
+                    f"draft n_mels {d_cfg.n_mels} != target n_mels "
+                    f"{cfg.n_mels}: both models must consume the same mel "
+                    "frontend"
+                )
+            if self._draft_k < 1:
+                raise ValueError("draft_k must be >= 1")
+            d_cfg = dataclasses.replace(d_cfg, attention=attention)
+            if dtype is not None:
+                d_params = jax.tree.map(
+                    lambda x: x.astype(dtype)
+                    if np.issubdtype(x.dtype, np.floating) else x,
+                    d_params,
+                )
+            # device arrays up front: the window programs close over the
+            # draft pytree (the jitted signature stays (params, wave,
+            # prompt, suppress)); closing over HOST arrays would re-stage
+            # them per trace (CLAUDE.md closed-over-operand gotcha) -- the
+            # draft is small, but keep it on device regardless
+            self._draft_params = jax.tree.map(jnp.asarray, d_params)
+            self._draft_cfg = d_cfg
         # per-instance jit cache (a functools.lru_cache on the method would
         # key on `self` at class level and pin every Transcriber forever --
         # a real leak under the serving daemon)
@@ -455,9 +504,23 @@ class Transcriber:
         (or -1 when the tokenizer lacks the token), and `temperature > 0`
         forces sampling (greedy machinery), matching OpenAI's ladder.
         """
+        # greedy temperature-0 windows take the speculative path when a
+        # draft model is attached (B=1 only; the batched programs live in
+        # _batch_window_fn and never see this)
+        spec = (self._draft_cfg is not None and strategy == "greedy"
+                and temperature == 0.0)
+        if spec:
+            # the verify step needs n_draft rows of context headroom past
+            # max_depth; an oversized conditioning prompt falls back to the
+            # plain greedy loop rather than erroring (prompt_len is static
+            # per compiled program, so this is a trace-time decision)
+            ctx_room = min(self.cfg.text_decoder_config.n_text_ctx,
+                           self._draft_cfg.text_decoder_config.n_text_ctx)
+            spec = prompt_len + max_depth + self._draft_k <= ctx_room
         key = ("window", n_samples, prompt_len, strategy, beam_size,
                max_depth, padding, suppress_until_len, kv_quant, self_quant,
-               timestamps, max_initial_ts_idx, temperature, quality, sot_pos)
+               timestamps, max_initial_ts_idx, temperature, quality, sot_pos,
+               spec and self._draft_k)
         if key in self._fn_cache:
             return self._fn_cache[key]
         cfg = self.cfg
@@ -509,16 +572,37 @@ class Transcriber:
                         return out[0], out[1]
                     ns = out[3] if ns_id is not None else jnp.float32(-1.0)
                     return out[0], out[1], out[2], ns
-                out = dgreedy.greedy_decode(
-                    params, enc, prompt, cfg, eot_id=eot,
-                    suppress_mask=suppress,
-                    max_depth=max_depth,
-                    suppress_until_len=suppress_until_len,
-                    kv_quant=kv_quant, self_quant=self_quant,
-                    ts_begin=ts_begin, max_initial_ts_idx=max_initial_ts_idx,
-                    temperature=temperature, rng=rng,
-                    nospeech_id=ns_id if quality else None, sot_pos=sot_pos,
-                )
+                if spec:
+                    from ..decode import speculative as dspec
+
+                    enc_d = M.encoder_forward(
+                        self._draft_params, mel, self._draft_cfg)
+                    out = dspec.speculative_greedy_decode(
+                        params, enc, prompt, cfg, eot_id=eot,
+                        draft_params=self._draft_params, draft_enc_out=enc_d,
+                        draft_cfg=self._draft_cfg,
+                        suppress_mask=suppress, n_draft=self._draft_k,
+                        max_depth=max_depth,
+                        suppress_until_len=suppress_until_len,
+                        kv_quant=kv_quant, self_quant=self_quant,
+                        ts_begin=ts_begin,
+                        max_initial_ts_idx=max_initial_ts_idx,
+                        nospeech_id=ns_id if quality else None,
+                        sot_pos=sot_pos,
+                    )
+                else:
+                    out = dgreedy.greedy_decode(
+                        params, enc, prompt, cfg, eot_id=eot,
+                        suppress_mask=suppress,
+                        max_depth=max_depth,
+                        suppress_until_len=suppress_until_len,
+                        kv_quant=kv_quant, self_quant=self_quant,
+                        ts_begin=ts_begin,
+                        max_initial_ts_idx=max_initial_ts_idx,
+                        temperature=temperature, rng=rng,
+                        nospeech_id=ns_id if quality else None,
+                        sot_pos=sot_pos,
+                    )
                 if not quality:
                     return out[0][0], out[1][0]
                 ns = out[3][0] if ns_id is not None else jnp.float32(-1.0)
